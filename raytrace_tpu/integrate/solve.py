@@ -1,0 +1,219 @@
+"""Batched ray integration driver.
+
+Replaces `ODEProblem` + `solve(..., CVODE_BDF(), callback=cb)` from the
+reference (RayMain.jl:382-387, RayTrace_lat.jl:333-338) with a vmapped,
+jit-compiled stepping loop:
+
+  - every ray carries its own (t, dt, status, error-controller memory), so
+    an adaptive batch diverges freely: rays hit the plasmapause knee or the
+    Earth surface at different steps without host round-trips;
+  - stop conditions are per-ray status codes, so one evanescent/NaN ray
+    cannot kill a 10k-ray batch (SURVEY.md section 5.3);
+  - final-state mode runs under lax.while_loop (early exit when every ray
+    is done), trajectory mode under lax.scan with a fixed snapshot cadence
+    (fixed shapes; mask-padded) -- the TPU-shaped version of the
+    SavingCallback channel (RayTrace_lat.jl:318-330).
+
+All tolerances follow the reference defaults: rtol 1e-7 (RayMain.jl:387),
+dt_max = 1e6 m, dt_min = 1e-8 m (RayTrace_lat.jl:338), converted to scaled
+(RE) units.
+"""
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import RE
+from . import events
+from .events import StopSpec
+from .steppers import dopri5_step, rk4_step
+
+
+class SolverConfig(NamedTuple):
+    """Numeric solver knobs (jittable pytree)."""
+
+    rtol: float = 1.0e-7
+    atol: float = 1.0e-12
+    dt0: float = 1.0e-4            # initial step, scaled units
+    dt_min: float = 1.0e-8 / RE    # reference dtmin (RayTrace_lat.jl:338)
+    dt_max: float = 1.0e6 / RE     # reference dtmax
+    safety: float = 0.9
+    pi_alpha: float = 0.7 / 5.0    # PI controller exponents (Hairer II.4)
+    pi_beta: float = 0.4 / 5.0
+    fac_min: float = 0.2
+    fac_max: float = 5.0
+
+
+class RayCarry(NamedTuple):
+    """Per-ray integration state threaded through the scan."""
+
+    u: jnp.ndarray         # state vector (n,)
+    t: jnp.ndarray         # phase path, scaled units
+    dt: jnp.ndarray        # current step size
+    k1: jnp.ndarray        # du/dt at (t, u)   [FSAL carry]
+    errold: jnp.ndarray    # controller memory
+    status: jnp.ndarray    # events.* status code, int32
+    n_accept: jnp.ndarray  # int32
+    n_reject: jnp.ndarray  # int32
+
+
+class TraceResult(NamedTuple):
+    u: jnp.ndarray          # (B, n) final states
+    t: jnp.ndarray          # (B,) final phase path
+    status: jnp.ndarray     # (B,) status codes
+    n_accept: jnp.ndarray   # (B,)
+    n_reject: jnp.ndarray   # (B,)
+    traj: Optional[Any] = None  # dict of stacked snapshots (traj mode)
+
+
+def init_carry(rhs_fn, u0, f, cfg: SolverConfig):
+    """Initial carry for one ray; u0 shape (n,)."""
+    dtype = u0.dtype
+    return RayCarry(
+        u=u0,
+        t=jnp.zeros((), dtype),
+        dt=jnp.asarray(cfg.dt0, dtype),
+        k1=rhs_fn(u0, f),
+        errold=jnp.asarray(1.0e-4, dtype),
+        status=jnp.zeros((), jnp.int32),
+        n_accept=jnp.zeros((), jnp.int32),
+        n_reject=jnp.zeros((), jnp.int32),
+    )
+
+
+def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
+              group_idx: int, adaptive: bool):
+    """One attempted step for one ray; no-op when the ray is not ACTIVE."""
+    active = carry.status == events.ACTIVE
+    rhs1 = lambda u: rhs_fn(u, f)
+    # do not overshoot the phase-path budget (CVODE integrates to tstop)
+    dt_eff = jnp.minimum(carry.dt, jnp.maximum(spec.t_max - carry.t, cfg.dt_min))
+
+    if adaptive:
+        out = dopri5_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
+        accept = out.err <= 1.0
+    else:
+        out = rk4_step(rhs1, carry.u, carry.k1, dt_eff)
+        accept = jnp.asarray(True)
+
+    t1 = carry.t + dt_eff
+    status1 = events.classify_step(carry.u, out.u_new, t1, spec, group_idx)
+
+    # localize terminal crossings on the cubic Hermite interpolant
+    tau_s, u_s = events.refine_crossing(
+        lambda uu: uu[0] - spec.r_floor,
+        carry.u, carry.k1, out.u_new, out.k_end, dt_eff,
+    )
+    tau_e, u_e = events.refine_crossing(
+        lambda uu: events.lat_of(uu, spec),
+        carry.u, carry.k1, out.u_new, out.k_end, dt_eff,
+    )
+    is_surf = status1 == events.HIT_EARTH
+    is_eq = status1 == events.HIT_EQUATOR
+    u_fin = jnp.where(is_surf, u_s, jnp.where(is_eq, u_e, out.u_new))
+    tau = jnp.where(is_surf, tau_s, jnp.where(is_eq, tau_e, 1.0))
+    t_fin = carry.t + tau * dt_eff
+
+    # PI step-size controller
+    if adaptive:
+        err = jnp.maximum(out.err, 1.0e-10)
+        fac_acc = jnp.clip(
+            cfg.safety * err ** (-cfg.pi_alpha) * carry.errold ** cfg.pi_beta,
+            cfg.fac_min, cfg.fac_max,
+        )
+        fac_rej = jnp.clip(cfg.safety * err ** (-0.2), cfg.fac_min, 1.0)
+        dt_next = jnp.clip(
+            dt_eff * jnp.where(accept, fac_acc, fac_rej),
+            cfg.dt_min, cfg.dt_max,
+        )
+        underflow = (~accept) & (dt_eff <= cfg.dt_min * (1.0 + 1.0e-6))
+        errold_new = jnp.where(accept, jnp.maximum(err, 1.0e-4), carry.errold)
+    else:
+        dt_next = carry.dt
+        underflow = jnp.asarray(False)
+        errold_new = carry.errold
+
+    adv = active & accept
+    status_new = jnp.where(
+        active,
+        jnp.where(
+            accept, status1,
+            jnp.where(underflow, events.DT_UNDERFLOW, events.ACTIVE),
+        ),
+        carry.status,
+    ).astype(jnp.int32)
+
+    return RayCarry(
+        u=jnp.where(adv, u_fin, carry.u),
+        t=jnp.where(adv, t_fin, carry.t),
+        dt=jnp.where(active, dt_next, carry.dt),
+        k1=jnp.where(adv, out.k_end, carry.k1),
+        errold=jnp.where(active, errold_new, carry.errold),
+        status=status_new,
+        n_accept=carry.n_accept + adv.astype(jnp.int32),
+        n_reject=carry.n_reject + (active & ~accept).astype(jnp.int32),
+    )
+
+
+def trace(
+    rhs_fn,
+    u0,
+    f,
+    *,
+    cfg: SolverConfig = SolverConfig(),
+    spec: StopSpec = StopSpec(),
+    group_idx: int = 3,
+    adaptive: bool = True,
+    max_steps: int = 20000,
+    save_every: int = 0,
+    save_fn=None,
+    chunk: int = 64,
+):
+    """Integrate a batch of rays. u0: (B, n); f: (B,) frequencies in Hz.
+
+    save_every == 0: final states only, early-exits via lax.while_loop when
+    every ray has terminated (checked every `chunk` attempted steps).
+    save_every > 0: records a snapshot of (u, t, status) -- plus
+    save_fn(u, f) extras, e.g. the (mu, dmu/dpsi, dip, psi) diagnostics of
+    the reference SavingCallback -- every save_every attempted steps, under
+    lax.scan with fixed shapes.
+    """
+    step = partial(
+        _step_one, rhs_fn, cfg=cfg, spec=spec,
+        group_idx=group_idx, adaptive=adaptive,
+    )
+    step_b = jax.vmap(step)
+    carry0 = jax.vmap(lambda u, ff: init_carry(rhs_fn, u, ff, cfg))(u0, f)
+
+    if save_every == 0:
+        n_chunks = -(-max_steps // chunk)
+
+        def cond(state):
+            i, c = state
+            return (i < n_chunks) & jnp.any(c.status == events.ACTIVE)
+
+        def body(state):
+            i, c = state
+            c = jax.lax.fori_loop(0, chunk, lambda _, cc: step_b(cc, f), c)
+            return i + 1, c
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), carry0))
+        traj = None
+    else:
+        n_outer = -(-max_steps // save_every)
+
+        def outer(c, _):
+            c = jax.lax.fori_loop(0, save_every, lambda _, cc: step_b(cc, f), c)
+            snap = {"u": c.u, "t": c.t, "status": c.status}
+            if save_fn is not None:
+                snap["extras"] = jax.vmap(save_fn)(c.u, f)
+            return c, snap
+
+        carry, traj = jax.lax.scan(outer, carry0, None, length=n_outer)
+
+    return TraceResult(
+        u=carry.u, t=carry.t, status=carry.status,
+        n_accept=carry.n_accept, n_reject=carry.n_reject, traj=traj,
+    )

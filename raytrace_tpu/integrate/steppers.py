@@ -1,0 +1,74 @@
+"""Runge-Kutta steppers: fixed RK4 and adaptive Dormand-Prince 5(4).
+
+TPU-native replacement for the Sundials CVODE_BDF layer the reference calls
+through Julia (RayMain.jl:387; see SURVEY.md section 2, N1). Both steppers
+are written for a single ray (state vector u of shape (n,)) and batched with
+jax.vmap at the solve level; each ray carries its own dt, so adaptive rays
+diverge freely inside one SIMD batch.
+
+Both steppers are FSAL-structured: the derivative at the *end* of the step
+is computed as part of the step (DP5 has it for free; RK4's next k1 is
+hoisted into the carry), so event localization gets cubic-Hermite endpoint
+derivatives with zero extra RHS evaluations (integrate/events.py).
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class StepOut(NamedTuple):
+    u_new: jnp.ndarray      # proposed state at t + dt
+    k_end: jnp.ndarray      # du/dt at (t + dt, u_new)  [FSAL]
+    err: jnp.ndarray        # scalar error norm (adaptive; 0.0 for rk4)
+
+
+def rk4_step(rhs_fn, u, k1, dt):
+    """Classic RK4 step. k1 = rhs(u) comes from the carry (FSAL-style)."""
+    k2 = rhs_fn(u + 0.5 * dt * k1)
+    k3 = rhs_fn(u + 0.5 * dt * k2)
+    k4 = rhs_fn(u + dt * k3)
+    u_new = u + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+    k_end = rhs_fn(u_new)
+    return StepOut(u_new, k_end, jnp.zeros_like(dt))
+
+
+# Dormand-Prince 5(4) tableau (Hairer, Norsett & Wanner, table II.5.2)
+_DP_C = (0.2, 0.3, 0.8, 8.0 / 9.0, 1.0, 1.0)
+_DP_A = (
+    (0.2,),
+    (3.0 / 40.0, 9.0 / 40.0),
+    (44.0 / 45.0, -56.0 / 15.0, 32.0 / 9.0),
+    (19372.0 / 6561.0, -25360.0 / 2187.0, 64448.0 / 6561.0, -212.0 / 729.0),
+    (9017.0 / 3168.0, -355.0 / 33.0, 46732.0 / 5247.0, 49.0 / 176.0,
+     -5103.0 / 18656.0),
+    (35.0 / 384.0, 0.0, 500.0 / 1113.0, 125.0 / 192.0, -2187.0 / 6784.0,
+     11.0 / 84.0),
+)
+# b (5th order) == last row of A (FSAL); b* (4th order embedded):
+_DP_B5 = (35.0 / 384.0, 0.0, 500.0 / 1113.0, 125.0 / 192.0,
+          -2187.0 / 6784.0, 11.0 / 84.0, 0.0)
+_DP_B4 = (5179.0 / 57600.0, 0.0, 7571.0 / 16695.0, 393.0 / 640.0,
+          -92097.0 / 339200.0, 187.0 / 2100.0, 1.0 / 40.0)
+
+
+def dopri5_step(rhs_fn, u, k1, dt, rtol, atol):
+    """One DP5(4) attempt. Returns proposed state, FSAL k7, RMS error norm.
+
+    err <= 1 means acceptable at (rtol, atol); the controller in
+    integrate/solve.py decides accept/reject and the next dt."""
+    ks = [k1]
+    for row in _DP_A:
+        acc = jnp.zeros_like(u)
+        for a_ij, k_j in zip(row, ks):
+            acc = acc + a_ij * k_j
+        ks.append(rhs_fn(u + dt * acc))
+    # ks[6] was evaluated at u + dt * (b5 . k) == u_new  (FSAL)
+    u_new = u + dt * sum(a_ij * k_j for a_ij, k_j in zip(_DP_A[-1], ks[:-1]))
+    k7 = ks[6]
+    err_vec = dt * sum(
+        (b5 - b4) * k_j for b5, b4, k_j in zip(_DP_B5, _DP_B4, ks)
+    )
+    scale = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u_new))
+    err = jnp.sqrt(jnp.mean(jnp.square(err_vec / scale)))
+    return StepOut(u_new, k7, err)

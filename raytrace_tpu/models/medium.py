@@ -1,0 +1,96 @@
+"""Composite propagation medium: dipole B-field + electron density.
+
+The medium is a pure function of position closed over a small NamedTuple of
+scalars (`EnvParams`) -- a jittable pytree, so one compiled trace serves any
+parameter set. This replaces the reference's copy-pasted module globals
+(RayMain.jl:110-116, RayTrace_lat.jl:26-41, plasmasphere.jl:42-46) and
+eliminates its global-closure hazards (e.g. the `t`-for-`mlt` leak at
+plasmasphere.jl:90).
+
+Quasi-neutral 2-species plasma: n_p = n_e (reference: RayMain.jl:154).
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..constants import B0_2D, B0_3D
+from . import dipole, ionosphere, plasmasphere
+
+
+class EnvParams(NamedTuple):
+    """All-scalar medium parameters (jittable pytree leaf set)."""
+
+    b0: jnp.float64 | float          # equatorial surface field, T
+    iono_n0: float                   # ionosphere fit amplitude, cm^-3
+    iono_decay: float                # ionosphere fit decay, 1/RE
+    iono_r0: float                   # ionosphere fit offset, RE
+    ps_weight: float                 # 1.0 = plasmasphere on, 0.0 = off
+    lppi: float                      # plasmapause inner limit, L
+    lppo: float                      # plasmapause outer limit, L
+    ne_lppi: float                   # branch-1 density at Lppi, cm^-3
+    ps_season: float                 # CA1992 seasonal/solar coefficient
+    ps_trough: float                 # 5800 + 300 mlt
+    de_weight: float                 # 1.0 = diffusive-equilibrium correction
+
+
+def make_env(
+    b0=B0_3D,
+    iono_fit=ionosphere.TRACED_FIT,
+    plasmasphere_on=True,
+    kp_max=3.0,
+    day=0.0,
+    rbar=90.0,
+    mlt=2.0,
+    de_correction=False,
+):
+    """Build EnvParams; runs the host-side plasmapause pre-solve.
+
+    Defaults reproduce the canonical reference run (plasmasphere.jl:42-46):
+    Kp_max=3 (Lppi=4.22), d=0, Rbar=90, mlt=2."""
+    lppi = plasmasphere.lppi_from_kp(kp_max)
+    lppo, ne_lppi = plasmasphere.initialize_plasmasphere(lppi, day, rbar, mlt)
+    return EnvParams(
+        b0=b0,
+        iono_n0=iono_fit[0],
+        iono_decay=iono_fit[1],
+        iono_r0=iono_fit[2],
+        ps_weight=1.0 if plasmasphere_on else 0.0,
+        lppi=lppi,
+        lppo=lppo,
+        ne_lppi=ne_lppi,
+        ps_season=plasmasphere.season_coeff(day, rbar),
+        ps_trough=5800.0 + 300.0 * mlt,
+        de_weight=1.0 if de_correction else 0.0,
+    )
+
+
+def make_env_raymain():
+    """Medium of RayMain.jl: legacy B0, ionosphere only (RayMain.jl:150-154)."""
+    return make_env(b0=B0_2D, plasmasphere_on=False)
+
+
+def make_env_lat():
+    """Medium of RayTrace_lat.jl: legacy B0, ionosphere + CA1992."""
+    return make_env(b0=B0_2D, plasmasphere_on=True)
+
+
+def ne_total_m3(r, lat, env: EnvParams):
+    """Total electron density in m^-3 at (r [RE], lat [rad]).
+
+    ne = (ne_iono(r) + w_ps * DE?(ne_plasma(L))) * 1e6
+    Reference composition: RayTrace_lat.jl:70-83; DE variant
+    plasmasphere.jl:171."""
+    ne_i = ionosphere.ne_iono_cm3(r, env.iono_n0, env.iono_decay, env.iono_r0)
+    L = dipole.l_shell(r, lat)
+    ne_p = plasmasphere.ne_plasma_cm3(
+        L, env.lppi, env.lppo, env.ne_lppi, env.ps_season, env.ps_trough
+    )
+    de = plasmasphere.diffusive_equilibrium_factor(r)
+    ne_p = ne_p * (env.de_weight * de + (1.0 - env.de_weight))
+    return (ne_i + env.ps_weight * ne_p) * 1.0e6
+
+
+def b_mag(r, lat, env: EnvParams):
+    """Dipole field magnitude at (r [RE], lat [rad]) in Tesla."""
+    return dipole.b_mag_lat(r, lat, env.b0)

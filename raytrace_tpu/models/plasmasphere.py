@@ -1,0 +1,101 @@
+"""Carpenter & Anderson 1992 plasmasphere density model with plasmapause.
+
+Three-branch piecewise model in L-shell (reference: plasmasphere.jl:73-94,
+RayTrace_lat.jl:72-81):
+  (i)   L <= Lppi:        log10 ne = (-0.3145 L + 3.9043) + a_season exp((2-L)/1.5)
+  (ii)  Lppi < L <= Lppo: ne = ne(Lppi) * 10^((Lppi - L)/0.1)
+  (iii) L > Lppo:         ne = (5800 + 300 mlt) L^-4.5 + (1 - exp((2-L)/10))
+where a_season = 0.15 (cos(2 pi (d+9)/365) - 0.5 cos(4 pi (d+9)/365))
+                 + 0.00127 Rbar - 0.0635.
+
+The plasmapause outer limit Lppo is found by a host-side pre-solve that scans
+L over r in [RE, 10 RE] at 1 km resolution and takes the crossing of branches
+(ii) and (iii) (reference: plasmasphere.jl:48-71, RayTrace_lat.jl:21-41).
+Lppi = 5.6 - 0.46 Kp_max (plasmasphere.jl:43).
+
+On device the piecewise selection is branchless: all three branches are
+computed and combined with jnp.where (TPU-friendly; no control flow in the
+hot loop).
+
+Note: RayTrace_3D.jl:109 places the /365 outside the cosine arguments of the
+seasonal term -- a divergence from RayTrace_lat.jl:73 and plasmasphere.jl:85.
+We implement the corrected (inside-the-cosine) form everywhere.
+
+The diffusive-equilibrium correction (plasmasphere.jl:96-106, Balan et al
+1996) is available and composed the way plasmasphere.jl:171 composes it:
+ne_total = DE(r, ne_plasma(L)) + ne_iono(r).
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import RE
+
+# DE-model constants (reference: plasmasphere.jl:99-103)
+DE_TEMP_K = 2500.0
+DE_RBASE_M = 7.37e6
+# S = 1.506 T (rb[m]/7370)^2 / 4^(i-1) with i=1 (single ion species)
+DE_S = 1.506 * DE_TEMP_K * (DE_RBASE_M / 7370.0) ** 2
+
+
+def season_coeff(day, rbar):
+    """Seasonal/solar coefficient of CA1992 branch (i). Host-side scalar."""
+    return (
+        0.15
+        * (
+            math.cos(2.0 * math.pi * (day + 9.0) / 365.0)
+            - 0.5 * math.cos(4.0 * math.pi * (day + 9.0) / 365.0)
+        )
+        + 0.00127 * rbar
+        - 0.0635
+    )
+
+
+def lppi_from_kp(kp_max):
+    """Plasmapause inner limit. Reference: plasmasphere.jl:43."""
+    return 5.6 - 0.46 * kp_max
+
+
+def _branch1_log10(L, a_season):
+    return (-0.3145 * L + 3.9043) + a_season * np.exp((2.0 - L) / 1.5)
+
+
+def initialize_plasmasphere(lppi, day, rbar, mlt):
+    """Host-side pre-solve for (Lppo, ne_Lppi). Reference: plasmasphere.jl:48-71.
+
+    Scans L = r/RE for r in [RE, 10 RE] at 1 km steps (equatorial, lat=0) and
+    returns the L where branches (ii) and (iii) are closest, plus the branch
+    (i) density evaluated at Lppi. Pure NumPy float64 -- runs once per run.
+    """
+    a = season_coeff(day, rbar)
+    ne_lppi = 10.0 ** _branch1_log10(np.float64(lppi), a)
+    r = np.arange(RE, 10.0 * RE + 1.0, 1000.0, dtype=np.float64)
+    L = r / RE
+    ne2 = ne_lppi * 10.0 ** (-(L - lppi) / 0.1)
+    ne3 = (5800.0 + 300.0 * mlt) * L ** (-4.5) + (1.0 - np.exp((2.0 - L) / 10.0))
+    lppo = L[int(np.argmin(np.abs(ne2 - ne3)))]
+    return float(lppo), float(ne_lppi)
+
+
+def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c):
+    """CA1992 plasmasphere density (cm^-3), branchless on device.
+
+    trough_c = 5800 + 300 mlt. Reference: RayTrace_lat.jl:72-81."""
+    log_ne1 = (-0.3145 * L + 3.9043) + a_season * jnp.exp((2.0 - L) / 1.5)
+    ne1 = jnp.power(10.0, log_ne1)
+    ne2 = ne_lppi * jnp.power(10.0, (lppi - L) / 0.1)
+    Lsafe = jnp.maximum(L, 1e-6)
+    ne3 = trough_c * jnp.power(Lsafe, -4.5) + (1.0 - jnp.exp((2.0 - L) / 10.0))
+    return jnp.where(L <= lppi, ne1, jnp.where(L <= lppo, ne2, ne3))
+
+
+def diffusive_equilibrium_factor(r):
+    """Field-line density falloff factor sqrt(exp(-G/S)), r in RE.
+
+    Reference: plasmasphere.jl:96-106 (G = rb (1 - rb/r), single species,
+    alpha_i = 1)."""
+    r_m = r * RE
+    G = DE_RBASE_M * (1.0 - DE_RBASE_M / r_m)
+    return jnp.sqrt(jnp.exp(-G / DE_S))

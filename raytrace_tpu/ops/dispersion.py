@@ -1,0 +1,155 @@
+"""Cold-plasma (Stix) dispersion: phase refractive index for whistler waves.
+
+Solves A mu^4 - B mu^2 + C = 0 with
+  A = S sin^2 psi + P cos^2 psi
+  B = RL sin^2 psi + PS (1 + cos^2 psi)
+  C = PRL
+  F^2 = (RL - PS)^2 sin^4 psi + 4 (P D cos psi)^2,   mu^2 = (B +- F)/(2A)
+for a quasi-neutral electron-proton plasma (reference:
+RayMain.jl:125-264, RayTrace_lat.jl:44-194, RayTrace_3D.jl:93-219).
+The '+' root is the electron whistler mode (mu^2 -> R as psi -> 0,
+RayMain.jl:242-244); the '-' root is the EMIC mode.
+
+TPU-first design decisions:
+  - ratio form: X = f_p^2/f^2, Y = f_c/f instead of raw angular frequencies
+    (identical algebra, better float32 range).
+  - magnitude normalization: R, L, P are scaled by s = max(|R|,|L|,|P|)
+    before forming A, B, C, F; the quartic is scale-covariant
+    (mu^2(sR,sL,sP) = s mu^2(R,L,P)), so mu^2 = s * mu2_normalized. This
+    keeps intermediates like F^2 ~ O(1) instead of O(1e20), which is what
+    makes the float32 TPU path viable.
+  - numerically stable root via the product identity mu2+ * mu2- = C/A
+    (the Bortnik 2004 branch the reference left commented out,
+    RayMain.jl:204-209): when B < 0 the '+' root uses 2C/(B - F).
+  - evanescent regions (mu^2 < 0) produce mu = sqrt(|mu^2|) like the
+    reference's abs() guard (RayMain.jl:212-238), with the sign of mu^2
+    exposed so the integrator can flag EVANESCENT status instead of
+    crashing a batch.
+
+All functions are pure scalars, to be batched with jax.vmap and
+differentiated with jax.grad.
+"""
+
+import jax.numpy as jnp
+
+from ..constants import FCE_E, FCE_P, FPE2_E, FPE2_P
+from ..models import dipole, medium
+
+
+def stix_rlp(ne_m3, bmag, f):
+    """Stix R, L, P for a quasi-neutral e-p plasma.
+
+    ne_m3: electron (= proton) density, m^-3; bmag: |B| in T; f: Hz.
+    Reference: RayMain.jl:156-176 (written there with angular frequencies;
+    this is the same expression in X = fpe^2/f^2, Y = fce/f ratio form)."""
+    n_cm3 = ne_m3 * 1.0e-6
+    f2 = f * f
+    xe = FPE2_E * n_cm3 / f2
+    xp = FPE2_P * n_cm3 / f2
+    ye = FCE_E * bmag / f
+    yp = FCE_P * bmag / f
+    # R = 1 - Xe/(1 - Ye) - Xp/(1 + Yp);  L = 1 - Xe/(1 + Ye) - Xp/(1 - Yp)
+    r = 1.0 - xe / (1.0 - ye) - xp / (1.0 + yp)
+    l = 1.0 - xe / (1.0 + ye) - xp / (1.0 - yp)
+    p = 1.0 - xe - xp
+    return r, l, p
+
+
+def mu2_signed(r, l, p, psi, root=1.0):
+    """Signed mu^2 of the selected root at wave-normal angle psi.
+
+    root=+1: whistler branch (B+F); root=-1: EMIC branch (B-F).
+    Negative return value means the wave is evanescent there."""
+    s = jnp.maximum(jnp.maximum(jnp.abs(r), jnp.abs(l)), jnp.abs(p))
+    rn, ln, pn = r / s, l / s, p / s
+    dn = 0.5 * (rn - ln)
+    sn = 0.5 * (rn + ln)
+    sinpsi = jnp.sin(psi)
+    cospsi = jnp.cos(psi)
+    sin2 = sinpsi * sinpsi
+    cos2 = cospsi * cospsi
+    a = sn * sin2 + pn * cos2
+    b = rn * ln * sin2 + pn * sn * (1.0 + cos2)
+    c = pn * rn * ln
+    rl_ps = rn * ln - pn * sn
+    f2 = rl_ps * rl_ps * sin2 * sin2 + 4.0 * (pn * dn * cospsi) ** 2
+    fdisc = jnp.sqrt(f2)
+    # stable quadratic roots: direct form when it does not cancel, else
+    # the product identity 2C/(B -+ F)   (mu2+ mu2- = C/A)
+    direct = (b + root * fdisc) / (2.0 * a)
+    product = 2.0 * c / (b - root * fdisc)
+    mu2n = jnp.where(root * b >= 0.0, direct, product)
+    return s * mu2n
+
+
+def mu_from_mu2(mu2):
+    """mu = sqrt(|mu^2|) -- the reference's abs() guard (RayMain.jl:213)."""
+    return jnp.sqrt(jnp.abs(mu2))
+
+
+# --- 2D geometry: wave-normal angle from vertical-referenced chi ---
+
+
+def psi_lat(lat, chi):
+    """psi = pi/2 + dip + chi, dip = atan(2 tan lat).
+
+    Reference: RayTrace_lat.jl:47-50."""
+    return jnp.pi / 2.0 + dipole.dip_angle_lat(lat) + chi
+
+
+def psi_colat(theta, chi):
+    """psi = pi/2 + dip + chi, dip = atan(2 cot theta).
+
+    Reference: RayMain.jl:128-131."""
+    return jnp.pi / 2.0 + dipole.dip_angle_colat(theta) + chi
+
+
+# --- scalar refractive-index functions (vmap/grad targets) ---
+
+
+def mu_2d_lat(r, lat, chi, f, env: medium.EnvParams, root=1.0):
+    """Whistler phase refractive index at (r [RE], lat, chi, f [Hz]).
+
+    The single pure function replacing phase_refractive_index
+    (RayTrace_lat.jl:44-194). d(mu)/d(chi) of this function IS the
+    reference's analytic dmu/dpsi (psi = pi/2 + dip + chi)."""
+    psi = psi_lat(lat, chi)
+    ne = medium.ne_total_m3(r, lat, env)
+    b = medium.b_mag(r, lat, env)
+    rr, ll, pp = stix_rlp(ne, b, f)
+    return mu_from_mu2(mu2_signed(rr, ll, pp, psi, root))
+
+
+def mu_2d_colat(r, theta, chi, f, env: medium.EnvParams, root=1.0):
+    """Colatitude-frame variant (RayMain.jl:125-264)."""
+    psi = psi_colat(theta, chi)
+    lat = jnp.pi / 2.0 - theta
+    ne = medium.ne_total_m3(r, lat, env)
+    b = medium.b_mag(r, lat, env)
+    rr, ll, pp = stix_rlp(ne, b, f)
+    return mu_from_mu2(mu2_signed(rr, ll, pp, psi, root))
+
+
+def psi_3d(r, theta, phi, rho_r, rho_t, rho_p, env: medium.EnvParams):
+    """Wave-normal angle from the refractive-index vector rho and B.
+
+    cos psi = (B . rho)/(|B||rho|); reference: RayTrace_3D.jl:136-141."""
+    br, bt, bp = dipole.b_vec_colat(r, theta, phi, env.b0)
+    bmag = jnp.sqrt(br * br + bt * bt + bp * bp)
+    rmag = jnp.sqrt(rho_r * rho_r + rho_t * rho_t + rho_p * rho_p)
+    cospsi = (br * rho_r + bt * rho_t + bp * rho_p) / (bmag * rmag)
+    return jnp.arccos(jnp.clip(cospsi, -1.0, 1.0))
+
+
+def mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams, root=1.0):
+    """3D whistler refractive index (reference: RayTrace_3D.jl:93-219).
+
+    jax.grad of this w.r.t. (rho_r, rho_t, rho_p) replaces the reference's
+    analytic Kimura-1966 dmu/drho_k chain (RayTrace_3D.jl:261-311), and
+    w.r.t. (r, theta, phi) replaces its finite differences."""
+    psi = psi_3d(r, theta, phi, rho_r, rho_t, rho_p, env)
+    lat = jnp.pi / 2.0 - theta
+    ne = medium.ne_total_m3(r, lat, env)
+    b = medium.b_mag(r, lat, env)
+    rr, ll, pp = stix_rlp(ne, b, f)
+    return mu_from_mu2(mu2_signed(rr, ll, pp, psi, root))

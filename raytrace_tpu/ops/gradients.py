@@ -1,0 +1,82 @@
+"""Autodiff gradient layer: all partials of mu in one reverse-mode pass.
+
+Replaces the reference's 9 (2D) / 12 (3D) redundant dispersion evaluations
+per RHS call (finite differences, RayMain.jl:268-316; FD + analytic Kimura,
+RayTrace_3D.jl:223-323) with a single jax.value_and_grad -- one forward +
+one reverse sweep (~3 dispersion-eval cost), and no 1e-11 absolute-step
+cancellation hazard.
+
+Identities exploited:
+  - psi = pi/2 + dip(lat) + chi  =>  d(mu)/d(chi) == d(mu)/d(psi), so the
+    analytic dmu/dpsi the reference carries separately (RayMain.jl:246-254)
+    is just the chi-gradient here.
+  - the Kimura dmu/drho_k terms (RayTrace_3D.jl:261-311) are the
+    rho-gradients of mu_3d.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..models import medium
+from . import analytic, dispersion
+
+# grad_mode values:
+#   "autodiff"  -- every partial is the exact derivative of the traced
+#                  mu = sqrt(|mu^2_+|); self-consistent (default).
+#   "reference" -- dmu/dpsi is replaced by the reference's closed form
+#                  (RayMain.jl:246-254), which differs from the true
+#                  derivative in the abs-guarded regime (see
+#                  ops/analytic.py docstring); spatial/frequency partials
+#                  stay autodiff (they match the reference's central
+#                  differences of the abs-guarded mu to ~1e-6). Use for
+#                  trajectory parity with the Julia scripts.
+AUTODIFF = "autodiff"
+REFERENCE = "reference"
+
+
+def mu_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, grad_mode=AUTODIFF):
+    """(mu, dmu/dr, dmu/dlat, dmu/dpsi, dmu/df) at a latitude-frame state."""
+    mu, (dmudr, dmudlat, dmudchi, dmudf) = jax.value_and_grad(
+        dispersion.mu_2d_lat, argnums=(0, 1, 2, 3)
+    )(r, lat, chi, f, env)
+    if grad_mode == REFERENCE:
+        _, dmudchi = analytic.mu_dmudpsi_2d_lat(r, lat, chi, f, env)
+    return mu, dmudr, dmudlat, dmudchi, dmudf
+
+
+def mu_grads_2d_colat(r, theta, chi, f, env: medium.EnvParams, grad_mode=AUTODIFF):
+    """(mu, dmu/dr, dmu/dtheta, dmu/dpsi, dmu/df), colatitude frame."""
+    mu, (dmudr, dmudtheta, dmudchi, dmudf) = jax.value_and_grad(
+        dispersion.mu_2d_colat, argnums=(0, 1, 2, 3)
+    )(r, theta, chi, f, env)
+    if grad_mode == REFERENCE:
+        lat = jnp.pi / 2.0 - theta
+        _, dmudchi = analytic.mu_dmudpsi_2d_lat(r, lat, chi, f, env)
+    return mu, dmudr, dmudtheta, dmudchi, dmudf
+
+
+def mu_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams,
+                grad_mode=AUTODIFF):
+    """mu and all 7 partials (r, theta, phi, rho_r, rho_t, rho_p, f).
+
+    mode="reference" swaps the rho-partials for the reference's Kimura
+    chain driven by its closed-form dmu/dpsi (RayTrace_3D.jl:261-311 uses
+    refractive_index's dmudpsi output); spatial/frequency partials remain
+    autodiff (they match the reference's central differences)."""
+    mu, grads = jax.value_and_grad(
+        dispersion.mu_3d, argnums=(0, 1, 2, 3, 4, 5, 6)
+    )(r, theta, phi, rho_r, rho_t, rho_p, f, env)
+    if grad_mode == REFERENCE:
+        from ..models import dipole
+
+        psi = dispersion.psi_3d(r, theta, phi, rho_r, rho_t, rho_p, env)
+        lat = jnp.pi / 2.0 - theta
+        ne = medium.ne_total_m3(r, lat, env)
+        b = medium.b_mag(r, lat, env)
+        _, dmudpsi_ref = analytic.mu_and_dmudpsi(ne, b, f, psi)
+        bvec = dipole.b_vec_colat(r, theta, phi, env.b0)
+        kim = analytic.kimura_dmudrho(
+            mu, dmudpsi_ref, psi, bvec, (rho_r, rho_t, rho_p)
+        )
+        grads = (grads[0], grads[1], grads[2], *kim, grads[6])
+    return mu, grads

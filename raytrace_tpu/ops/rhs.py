@@ -1,0 +1,88 @@
+"""Haselgrove ray equations (ODE right-hand sides).
+
+Three variants, mirroring the reference workloads:
+  - 2D colatitude frame (RayMain.jl:321-367), state u = (r, theta, chi, T)
+  - 2D latitude frame  (RayTrace_lat.jl:251-296), state u = (r, lat, chi, T)
+  - 3D Kimura form     (RayTrace_3D.jl:327-359),
+    state u = (r, theta, phi, rho_r, rho_theta, rho_phi, T)
+
+Units: r in RE, the independent variable t is phase path length in RE, T is
+group delay in seconds. The Haselgrove equations are scale-invariant under
+(r, t) -> (r/RE, t/RE); only dT/dt picks up the factor RE/c
+(constants.RE_OVER_C).
+
+Frequency convention: f is a parameter (the RayTrace_3D.jl:334 convention).
+The 2D reference scripts instead initialize state[3] to f and integrate the
+group-delay equation into it, so "f" drifts by the accumulated group delay
+(RayMain.jl:328 vs :344 -- documented quirk, SURVEY.md section 3.1). Here
+state[3] is a dedicated group-delay channel T for all variants; pass
+legacy_freq_state=True to reproduce the reference quirk bit-for-bit in
+parity tests (freq read as f0 + T).
+"""
+
+import jax.numpy as jnp
+
+from ..constants import RE_OVER_C
+from ..models import medium
+from . import gradients
+
+
+def rhs_2d_lat(u, f, env: medium.EnvParams, legacy_freq_state=False,
+               grad_mode=gradients.AUTODIFF):
+    """du/dt for the latitude-frame 2D ray (RayTrace_lat.jl:270-273).
+
+    grad_mode="reference" reproduces the reference's mixed gradient set
+    (analytic dmu/dpsi, FD-consistent spatial grads) for trajectory parity;
+    see ops/gradients.py."""
+    r, lat, chi, T = u[0], u[1], u[2], u[3]
+    freq = f + T if legacy_freq_state else f
+    mu, dmudr, dmudlat, dmudpsi, dmudf = gradients.mu_grads_2d_lat(
+        r, lat, chi, freq, env, grad_mode
+    )
+    sinchi, coschi = jnp.sin(chi), jnp.cos(chi)
+    inv_mu2 = 1.0 / (mu * mu)
+    dr = inv_mu2 * (mu * coschi + dmudpsi * sinchi)
+    dlat = inv_mu2 / r * (mu * sinchi - dmudpsi * coschi)
+    dchi = inv_mu2 / r * (dmudlat * coschi - (r * dmudr + mu) * sinchi)
+    dT = RE_OVER_C * (1.0 + (freq / mu) * dmudf)
+    return jnp.stack([dr, dlat, dchi, dT])
+
+
+def rhs_2d_colat(u, f, env: medium.EnvParams, legacy_freq_state=False,
+                 grad_mode=gradients.AUTODIFF):
+    """du/dt for the colatitude-frame 2D ray (RayMain.jl:341-344).
+
+    Sign flips vs the latitude form reflect lat = pi/2 - theta."""
+    r, theta, chi, T = u[0], u[1], u[2], u[3]
+    freq = f + T if legacy_freq_state else f
+    mu, dmudr, dmudtheta, dmudpsi, dmudf = gradients.mu_grads_2d_colat(
+        r, theta, chi, freq, env, grad_mode
+    )
+    sinchi, coschi = jnp.sin(chi), jnp.cos(chi)
+    inv_mu2 = 1.0 / (mu * mu)
+    dr = inv_mu2 * (mu * coschi - dmudpsi * sinchi)
+    dtheta = inv_mu2 / r * (mu * sinchi + dmudpsi * coschi)
+    dchi = inv_mu2 / r * (dmudtheta * coschi - (r * dmudr + mu) * sinchi)
+    dT = RE_OVER_C * (1.0 + (freq / mu) * dmudf)
+    return jnp.stack([dr, dtheta, dchi, dT])
+
+
+def rhs_3d(u, f, env: medium.EnvParams):
+    """du/dt for the 3D ray (RayTrace_3D.jl:350-356), f a true parameter."""
+    r, theta, phi = u[0], u[1], u[2]
+    rho_r, rho_t, rho_p = u[3], u[4], u[5]
+    mu, (dmudr, dmudtheta, dmudphi, dmudrr, dmudrt, dmudrp, dmudf) = (
+        gradients.mu_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env)
+    )
+    sintheta, costheta = jnp.sin(theta), jnp.cos(theta)
+    inv_mu2 = 1.0 / (mu * mu)
+    dr = inv_mu2 * (rho_r - mu * dmudrr)
+    dtheta = inv_mu2 / r * (rho_t - mu * dmudrt)
+    dphi = inv_mu2 / (r * sintheta) * (rho_p - mu * dmudrp)
+    drho_r = dmudr / mu + rho_t * dtheta + rho_p * dphi * sintheta
+    drho_t = (dmudtheta / mu - rho_t * dr + r * rho_p * dphi * costheta) / r
+    drho_p = (
+        dmudphi / mu - rho_p * dr * sintheta - r * rho_p * dtheta * costheta
+    ) / (r * sintheta)
+    dT = RE_OVER_C * (1.0 + (f / mu) * dmudf)
+    return jnp.stack([dr, dtheta, dphi, drho_r, drho_t, drho_p, dT])

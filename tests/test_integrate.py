@@ -1,0 +1,171 @@
+"""Integrator tests: convergence on known ODEs, event localization, status
+machinery, and the end-to-end 2D whistler trace (SURVEY.md section 4d)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace_tpu.constants import RE
+from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
+from raytrace_tpu.integrate.steppers import dopri5_step, rk4_step
+from raytrace_tpu.models import medium
+from raytrace_tpu.ops import rhs
+
+R0 = (RE + 1.0e6) / RE
+
+
+def _oscillator(u, f):
+    # u = (x, v, pad, T); x'' = -x, plus a trivial T' = 1 channel
+    return jnp.stack([u[1], -u[0], jnp.zeros_like(u[0]), jnp.ones_like(u[0])])
+
+
+def test_rk4_order():
+    """Halving dt reduces global error ~16x on the harmonic oscillator."""
+    errs = []
+    for n in (100, 200):
+        dt = float(2.0 * np.pi / n)
+        u = jnp.array([1.0, 0.0, 0.0, 0.0])
+        k1 = _oscillator(u, 0.0)
+        for _ in range(n):
+            out = rk4_step(lambda x: _oscillator(x, 0.0), u, k1, dt)
+            u, k1 = out.u_new, out.k_end
+        errs.append(abs(float(u[0]) - 1.0))
+    # at least 4th-order convergence (the symmetric full-period oscillator
+    # superconverges to ~2^5 here)
+    assert errs[0] / errs[1] > 12.0
+
+
+def test_dopri5_error_estimate_scales():
+    u = jnp.array([1.0, 0.0, 0.0, 0.0])
+    k1 = _oscillator(u, 0.0)
+    out_big = dopri5_step(lambda x: _oscillator(x, 0.0), u, k1, 0.2, 1e-7, 1e-12)
+    out_small = dopri5_step(lambda x: _oscillator(x, 0.0), u, k1, 0.1, 1e-7, 1e-12)
+    assert float(out_big.err) > float(out_small.err)
+    # 5th-order local error: dt/2 => ~2^5 smaller estimate
+    assert float(out_big.err) / float(out_small.err) == pytest.approx(32.0, rel=0.5)
+
+
+def test_adaptive_oscillator_accuracy():
+    """Full adaptive driver on x'' = -x over 4 periods hits rtol-level error."""
+    u0 = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+    f = jnp.array([0.0])
+    res = trace(
+        _oscillator, u0, f,
+        cfg=SolverConfig(rtol=1e-7, atol=1e-10, dt0=1e-2, dt_max=1.0),
+        spec=StopSpec(r_floor=-2.0, t_max=8.0 * np.pi),
+        max_steps=4000,
+    )
+    assert int(res.status[0]) == events.MAX_PHASE_TIME
+    assert float(res.t[0]) == pytest.approx(8.0 * np.pi, rel=1e-9)
+    assert float(res.u[0, 0]) == pytest.approx(1.0, abs=1e-5)
+    assert float(res.u[0, 1]) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_event_localization_linear_decay():
+    """dr/dt = -1 from r = 2: crossing of r_floor=1 is localized at t = 1."""
+    def decay(u, f):
+        return jnp.stack(
+            [-jnp.ones_like(u[0]), jnp.zeros_like(u[0]),
+             jnp.zeros_like(u[0]), jnp.zeros_like(u[0])]
+        )
+
+    u0 = jnp.array([[2.0, 0.5, 0.0, 0.0]])
+    f = jnp.array([0.0])
+    res = trace(
+        decay, u0, f,
+        cfg=SolverConfig(dt0=0.3, dt_max=0.3),
+        spec=StopSpec(r_floor=1.0, t_max=10.0),
+        adaptive=False,
+        max_steps=100,
+    )
+    assert int(res.status[0]) == events.HIT_EARTH
+    assert float(res.t[0]) == pytest.approx(1.0, abs=1e-9)
+    assert float(res.u[0, 0]) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_equator_stop():
+    """lat decreasing through 0 triggers HIT_EQUATOR with refinement."""
+    def southward(u, f):
+        return jnp.stack(
+            [jnp.zeros_like(u[0]), -jnp.ones_like(u[0]),
+             jnp.zeros_like(u[0]), jnp.zeros_like(u[0])]
+        )
+
+    u0 = jnp.array([[2.0, 0.35, 0.0, 0.0]])
+    f = jnp.array([0.0])
+    res = trace(
+        southward, u0, f,
+        cfg=SolverConfig(dt0=0.1, dt_max=0.1),
+        spec=StopSpec(r_floor=1.0, t_max=10.0, stop_at_equator=1.0),
+        adaptive=False,
+        max_steps=100,
+    )
+    assert int(res.status[0]) == events.HIT_EQUATOR
+    assert float(res.u[0, 1]) == pytest.approx(0.0, abs=1e-9)
+    assert float(res.t[0]) == pytest.approx(0.35, abs=1e-9)
+
+
+def test_whistler_2d_end_to_end():
+    """Canonical RayTrace_lat config: r0 = RE + 1000 km, lat 45 deg, chi = 0,
+    f = 1000 Hz (RayTrace_lat.jl:333). The whistler must propagate, stay
+    above the surface initially, accumulate group delay, and terminate
+    (surface hit or budget) without NaNs."""
+    env = medium.make_env_lat()
+    u0 = jnp.array([[R0, np.pi / 4, 0.0, 0.0]])
+    f = jnp.array([1000.0])
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env),
+        u0, f,
+        cfg=SolverConfig(rtol=1e-7, atol=1e-12, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5.0e9 / RE),
+        max_steps=20000,
+    )
+    status = int(res.status[0])
+    assert status in (events.HIT_EARTH, events.MAX_PHASE_TIME)
+    assert bool(jnp.all(jnp.isfinite(res.u)))
+    assert float(res.u[0, 3]) > 0.0  # group delay advanced
+    assert int(res.n_accept[0]) > 10
+
+
+def test_batch_isolation():
+    """A ray driven to invalid state must not corrupt its neighbors."""
+    def mixed(u, f):
+        # ray with u[1] > 10 diverges to NaN via 1/(u[0]-u[0])
+        bad = u[1] > 10.0
+        dr = jnp.where(bad, jnp.nan, -0.1)
+        return jnp.stack(
+            [jnp.full_like(u[0], dr), jnp.zeros_like(u[0]),
+             jnp.zeros_like(u[0]), jnp.zeros_like(u[0])]
+        )
+
+    u0 = jnp.array([[2.0, 0.5, 0.0, 0.0], [2.0, 20.0, 0.0, 0.0]])
+    f = jnp.zeros((2,))
+    res = trace(
+        mixed, u0, f,
+        cfg=SolverConfig(dt0=0.5, dt_max=0.5),
+        spec=StopSpec(r_floor=1.0, t_max=100.0),
+        adaptive=False,
+        max_steps=64,
+    )
+    assert int(res.status[1]) == events.INVALID
+    assert int(res.status[0]) == events.HIT_EARTH
+    assert bool(jnp.all(jnp.isfinite(res.u[0])))
+
+
+def test_trajectory_mode_snapshots():
+    env = medium.make_env_lat()
+    u0 = jnp.array([[R0, np.pi / 4, 0.0, 0.0]])
+    f = jnp.array([1000.0])
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env),
+        u0, f,
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5.0e9 / RE),
+        max_steps=512,
+        save_every=32,
+    )
+    assert res.traj is not None
+    assert res.traj["u"].shape == (16, 1, 4)
+    # snapshot times are non-decreasing
+    ts = np.asarray(res.traj["t"][:, 0])
+    assert np.all(np.diff(ts) >= 0)

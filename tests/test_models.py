@@ -1,0 +1,149 @@
+"""Environment-model unit tests (SURVEY.md section 4a)."""
+
+import numpy as np
+import pytest
+
+from raytrace_tpu.constants import RE
+from raytrace_tpu.models import dipole, ionosphere, medium, plasmasphere
+
+
+def test_dipole_mag_lat_equator_surface():
+    # at r = 1 RE, lat = 0 the field is exactly b0
+    b0 = 3.12e-5
+    assert float(dipole.b_mag_lat(1.0, 0.0, b0)) == pytest.approx(b0)
+
+
+def test_dipole_mag_pole_factor():
+    # polar field is 2x equatorial at the same radius
+    b0 = 3.12e-5
+    bp = float(dipole.b_mag_lat(1.0, np.pi / 2 - 1e-12, b0))
+    assert bp == pytest.approx(2.0 * b0)
+
+
+def test_dipole_lat_colat_consistency():
+    b0 = 3.0696381e-5
+    for r, lat in [(1.2, 0.3), (2.5, -0.7), (4.0, 1.1)]:
+        assert float(dipole.b_mag_lat(r, lat, b0)) == pytest.approx(
+            float(dipole.b_mag_colat(r, np.pi / 2 - lat, b0)), rel=1e-12
+        )
+
+
+def test_dipole_vector_matches_magnitude():
+    b0 = 3.12e-5
+    for r, theta in [(2.0, np.pi / 4), (3.5, 1.9), (1.5, 0.6)]:
+        br, bt, bp = dipole.b_vec_colat(r, theta, 0.0, b0)
+        mag = np.sqrt(float(br) ** 2 + float(bt) ** 2 + float(bp) ** 2)
+        assert mag == pytest.approx(
+            float(dipole.b_mag_colat(r, theta, b0)), rel=1e-12
+        )
+
+
+def test_dip_angle_conventions():
+    # RayMain.jl:128 (colat) vs RayTrace_lat.jl:47 (lat) must agree
+    for lat in [0.1, 0.5, 1.0, -0.8]:
+        assert float(dipole.dip_angle_lat(lat)) == pytest.approx(
+            float(dipole.dip_angle_colat(np.pi / 2 - lat)), rel=1e-12
+        )
+
+
+def test_ionosphere_reference_value():
+    # 1000 km altitude: n = 1.8e5 exp(-4.183119 (r - 1.0471)) cm^-3
+    r = (RE + 1.0e6) / RE
+    expect = 1.8e5 * np.exp(-4.183119 * (r - 1.0471))
+    got = float(ionosphere.ne_iono_cm3(r, *ionosphere.TRACED_FIT))
+    assert got == pytest.approx(expect, rel=1e-12)
+
+
+def test_lppi_kp3():
+    # plasmasphere.jl:43: Lppi = 5.6 - 0.46*3 = 4.22
+    assert plasmasphere.lppi_from_kp(3.0) == pytest.approx(4.22)
+
+
+def test_plasmapause_initialization():
+    """Lppo from the branch-2/branch-3 crossing scan (plasmasphere.jl:48-71)."""
+    lppi = plasmasphere.lppi_from_kp(3.0)
+    lppo, ne_lppi = plasmasphere.initialize_plasmasphere(lppi, 0.0, 90.0, 2.0)
+    # crossing must be outside Lppi and inside the scan range
+    assert lppi < lppo < 10.0
+    # independent verification: branch densities really cross near lppo
+    a = plasmasphere.season_coeff(0.0, 90.0)
+    ne2 = ne_lppi * 10.0 ** ((lppi - lppo) / 0.1)
+    ne3 = (5800.0 + 300.0 * 2.0) * lppo ** (-4.5) + (
+        1.0 - np.exp((2.0 - lppo) / 10.0)
+    )
+    assert ne2 == pytest.approx(ne3, rel=0.05)
+    # ne_Lppi matches the branch-1 formula at Lppi
+    log_ne = (-0.3145 * lppi + 3.9043) + a * np.exp((2.0 - lppi) / 1.5)
+    assert ne_lppi == pytest.approx(10.0**log_ne, rel=1e-12)
+
+
+def test_plasmasphere_branch_selection():
+    env = medium.make_env()
+    lppi, lppo = env.lppi, env.lppo
+    for L, branch in [(2.0, 1), (4.0, 1), (0.5 * (lppi + lppo), 2), (8.0, 3)]:
+        got = float(
+            plasmasphere.ne_plasma_cm3(
+                L, lppi, lppo, env.ne_lppi, env.ps_season, env.ps_trough
+            )
+        )
+        if branch == 1:
+            expect = 10.0 ** (
+                (-0.3145 * L + 3.9043) + env.ps_season * np.exp((2.0 - L) / 1.5)
+            )
+        elif branch == 2:
+            expect = env.ne_lppi * 10.0 ** ((lppi - L) / 0.1)
+        else:
+            expect = env.ps_trough * L ** (-4.5) + (1.0 - np.exp((2.0 - L) / 10.0))
+        assert got == pytest.approx(expect, rel=1e-12)
+
+
+def test_plasmasphere_continuity_at_lppi():
+    # branches 1 and 2 agree at L = Lppi by construction
+    env = medium.make_env()
+    eps = 1e-9
+    lo = float(
+        plasmasphere.ne_plasma_cm3(
+            env.lppi - eps, env.lppi, env.lppo, env.ne_lppi,
+            env.ps_season, env.ps_trough,
+        )
+    )
+    hi = float(
+        plasmasphere.ne_plasma_cm3(
+            env.lppi + eps, env.lppi, env.lppo, env.ne_lppi,
+            env.ps_season, env.ps_trough,
+        )
+    )
+    assert lo == pytest.approx(hi, rel=1e-6)
+
+
+def test_diffusive_equilibrium_factor():
+    # at the model base r = rb the factor is exactly 1
+    rb = plasmasphere.DE_RBASE_M / RE
+    assert float(plasmasphere.diffusive_equilibrium_factor(rb)) == pytest.approx(1.0)
+    # decreases with altitude above the base
+    assert float(plasmasphere.diffusive_equilibrium_factor(3.0)) < 1.0
+
+
+def test_total_density_composition():
+    env = medium.make_env()
+    r, lat = 2.5, 0.3
+    L = float(dipole.l_shell(r, lat))
+    ne_i = 1.8e5 * np.exp(-4.183119 * (r - 1.0471))
+    ne_p = float(
+        plasmasphere.ne_plasma_cm3(
+            L, env.lppi, env.lppo, env.ne_lppi, env.ps_season, env.ps_trough
+        )
+    )
+    assert float(medium.ne_total_m3(r, lat, env)) == pytest.approx(
+        (ne_i + ne_p) * 1e6, rel=1e-10
+    )
+
+
+def test_raymain_env_has_no_plasmasphere():
+    env = medium.make_env_raymain()
+    r, lat = 2.5, 0.3
+    ne_i = 1.8e5 * np.exp(-4.183119 * (r - 1.0471))
+    assert float(medium.ne_total_m3(r, lat, env)) == pytest.approx(
+        ne_i * 1e6, rel=1e-12
+    )
+    assert env.b0 == pytest.approx(3.0696381e-5)
