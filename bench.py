@@ -1,0 +1,162 @@
+"""Headline benchmark: 10k-ray whistler ensemble throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ray-steps/sec/chip, "unit": "steps/s",
+   "vs_baseline": single_ray_cpu_f64_wallclock / ensemble_wallclock}
+
+The reference publishes no numbers (BASELINE.md), so the baseline proxy is
+what BASELINE.json specifies: a single canonical ray traced by the CPU
+float64 reference path (standing in for the Julia script's wall-clock).
+vs_baseline > 1 means the whole 10k-ray TPU ensemble finishes faster than
+one CPU reference ray -- the north-star target.
+
+The CPU baseline is measured in a subprocess (the axon plugin pins the
+main process's platform list) and cached in .bench_cpu_baseline.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
+
+N_LATS = 40
+N_CHIS = 16
+N_FREQS = 16  # 40*16*16 = 10240 rays
+MAX_STEPS = 20000
+
+
+def measure_cpu_single_ray():
+    """Wall-clock of one canonical ray on CPU float64 (post-compile)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytrace_tpu.constants import RE
+    from raytrace_tpu.integrate import SolverConfig, StopSpec, trace
+    from raytrace_tpu.models import make_env_lat
+    from raytrace_tpu.ops import rhs
+
+    env = make_env_lat()
+    u0 = jnp.array([[(RE + 1.0e6) / RE, np.pi / 4, 0.0, 0.0]])
+    f = jnp.array([1000.0])
+
+    def run():
+        res = trace(
+            lambda u, ff: rhs.rhs_2d_lat(u, ff, env), u0, f,
+            cfg=SolverConfig(rtol=1e-7, atol=1e-12, dt0=1e-4),
+            spec=StopSpec(r_floor=1.0, t_max=5.0e9 / RE),
+            max_steps=MAX_STEPS,
+        )
+        jax.block_until_ready(res.u)
+        return res
+
+    run()  # compile
+    t0 = time.perf_counter()
+    res = run()
+    wall = time.perf_counter() - t0
+    steps = int(res.n_accept[0]) + int(res.n_reject[0])
+    return {"wall_s": wall, "steps": steps}
+
+
+def cpu_baseline():
+    if os.path.exists(CACHE):
+        with open(CACHE) as fh:
+            return json.load(fh)
+    out = subprocess.run(
+        [sys.executable, __file__, "--cpu-baseline"],
+        capture_output=True, text=True, cwd=REPO, timeout=1200,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    data = json.loads(line)
+    with open(CACHE, "w") as fh:
+        json.dump(data, fh)
+    return data
+
+
+def measure_tpu_ensemble():
+    import jax
+    import numpy as np
+
+    from raytrace_tpu.constants import RE
+    from raytrace_tpu.integrate import SolverConfig, StopSpec
+    from raytrace_tpu.models import make_env_lat
+    from raytrace_tpu.parallel import (
+        LaunchSpec, build_launch, make_ensemble_tracer, make_ray_mesh,
+        pad_batch,
+    )
+
+    mesh = make_ray_mesh()
+    env = make_env_lat()
+    import jax.numpy as jnp
+
+    env = type(env)(*[jnp.float32(v) for v in env])
+    spec = LaunchSpec(
+        lats=tuple(np.linspace(0.45, 1.1, N_LATS)),
+        chis=tuple(np.linspace(-0.5, 0.5, N_CHIS)),
+        freqs=tuple(np.geomspace(500.0, 8000.0, N_FREQS)),
+    )
+    u0, f, valid = pad_batch(*build_launch(spec, np.float32), mesh)
+    tracer = make_ensemble_tracer(
+        env,
+        mesh=mesh,
+        cfg=SolverConfig(rtol=1e-5, atol=1e-8, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5.0e9 / RE),
+        max_steps=MAX_STEPS,
+        chunk=256,
+    )
+
+    res = tracer(u0, f)  # compile + run once
+    jax.block_until_ready(res.u)
+    t0 = time.perf_counter()
+    res = tracer(u0, f)
+    jax.block_until_ready(res.u)
+    wall = time.perf_counter() - t0
+    steps = int(np.sum(np.asarray(res.n_accept)[valid])) + int(
+        np.sum(np.asarray(res.n_reject)[valid])
+    )
+    return {
+        "wall_s": wall,
+        "rays": int(valid.sum()),
+        "ray_steps": steps,
+        "n_devices": mesh.devices.size,
+    }
+
+
+def main():
+    if "--cpu-baseline" in sys.argv:
+        print(json.dumps(measure_cpu_single_ray()))
+        return
+    base = cpu_baseline()
+    ens = measure_tpu_ensemble()
+    steps_per_sec = ens["ray_steps"] / ens["wall_s"] / ens["n_devices"]
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "ray-steps/sec/chip (10k-ray whistler ensemble); "
+                    "single-ray trace wall-clock"
+                ),
+                "value": round(steps_per_sec, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(base["wall_s"] / ens["wall_s"], 3),
+                "detail": {
+                    "ensemble_wall_s": round(ens["wall_s"], 3),
+                    "ensemble_rays": ens["rays"],
+                    "ensemble_ray_steps": ens["ray_steps"],
+                    "cpu_single_ray_wall_s": round(base["wall_s"], 3),
+                    "cpu_single_ray_steps": base["steps"],
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

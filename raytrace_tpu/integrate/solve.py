@@ -66,6 +66,7 @@ class TraceResult(NamedTuple):
     n_accept: jnp.ndarray   # (B,)
     n_reject: jnp.ndarray   # (B,)
     traj: Optional[Any] = None  # dict of stacked snapshots (traj mode)
+    carry: Optional[Any] = None  # full RayCarry batch (for checkpoint/resume)
 
 
 def init_carry(rhs_fn, u0, f, cfg: SolverConfig):
@@ -170,6 +171,7 @@ def trace(
     save_every: int = 0,
     save_fn=None,
     chunk: int = 64,
+    carry0: Optional[RayCarry] = None,
 ):
     """Integrate a batch of rays. u0: (B, n); f: (B,) frequencies in Hz.
 
@@ -179,13 +181,18 @@ def trace(
     save_fn(u, f) extras, e.g. the (mu, dmu/dpsi, dip, psi) diagnostics of
     the reference SavingCallback -- every save_every attempted steps, under
     lax.scan with fixed shapes.
+
+    carry0: resume from a previously checkpointed RayCarry batch instead of
+    initializing from (u0, f) (SURVEY.md section 5.4 -- the integrator is
+    deterministic, so resume is exact).
     """
     step = partial(
         _step_one, rhs_fn, cfg=cfg, spec=spec,
         group_idx=group_idx, adaptive=adaptive,
     )
     step_b = jax.vmap(step)
-    carry0 = jax.vmap(lambda u, ff: init_carry(rhs_fn, u, ff, cfg))(u0, f)
+    if carry0 is None:
+        carry0 = jax.vmap(lambda u, ff: init_carry(rhs_fn, u, ff, cfg))(u0, f)
 
     if save_every == 0:
         n_chunks = -(-max_steps // chunk)
@@ -216,4 +223,5 @@ def trace(
     return TraceResult(
         u=carry.u, t=carry.t, status=carry.status,
         n_accept=carry.n_accept, n_reject=carry.n_reject, traj=traj,
+        carry=carry,
     )

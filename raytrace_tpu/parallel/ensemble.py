@@ -1,0 +1,131 @@
+"""Launch grids and ICI-sharded ensemble tracing.
+
+The reference only ever *planned* ensembles ("loop over initial
+frequencies", design sketch RayMain.jl:32-52); its one vectorized call is a
+Julia broadcast over a psi sweep (RayTrace_lat.jl:395). Here the ensemble
+is first-class: a LaunchSpec builds the (latitude x wave-normal angle x
+frequency) cartesian grid, the batch is padded to the mesh, sharded over
+the 'rays' ICI axis, and traced in one jit. Ensemble statistics are jnp
+reductions on the sharded result -- XLA inserts the ICI collectives.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import RE
+from ..integrate import SolverConfig, StopSpec, events, trace
+from ..models import medium
+from ..ops import rhs as rhs_mod
+from . import mesh as mesh_mod
+
+# status code used for padding lanes (distinct from every events.* code)
+PAD_STATUS = 100
+
+
+class LaunchSpec(NamedTuple):
+    """Host-side launch grid: rays at every (lat0, chi0, freq) combination.
+
+    Mirrors the canonical ICs (RayTrace_lat.jl:333: r0 = RE + 1000 km,
+    lat0 = pi/4, chi0 = 0, f = 1000 Hz) generalized to a fan."""
+
+    r0: float = (RE + 1.0e6) / RE
+    lats: tuple = (np.pi / 4,)
+    chis: tuple = (0.0,)
+    freqs: tuple = (1000.0,)
+
+
+def build_launch(spec: LaunchSpec, dtype=np.float32):
+    """(u0 (N,4), f (N,)) for the 2D latitude-frame state."""
+    lat, chi, fr = np.meshgrid(
+        np.asarray(spec.lats, np.float64),
+        np.asarray(spec.chis, np.float64),
+        np.asarray(spec.freqs, np.float64),
+        indexing="ij",
+    )
+    n = lat.size
+    u0 = np.zeros((n, 4), dtype)
+    u0[:, 0] = spec.r0
+    u0[:, 1] = lat.ravel()
+    u0[:, 2] = chi.ravel()
+    return u0, fr.ravel().astype(dtype)
+
+
+def pad_batch(u0, f, mesh, multiple=8):
+    """Pad (u0, f) to the mesh-friendly size; returns (u0, f, valid_mask).
+
+    Padding rays copy ray 0's state (guaranteed-valid physics) and are
+    excluded from statistics via the mask."""
+    n = u0.shape[0]
+    n_pad = mesh_mod.pad_rays(n, mesh, multiple)
+    if n_pad != n:
+        u0 = np.concatenate([u0, np.repeat(u0[:1], n_pad - n, axis=0)])
+        f = np.concatenate([f, np.repeat(f[:1], n_pad - n)])
+    valid = np.arange(n_pad) < n
+    return u0, f, valid
+
+
+def make_ensemble_tracer(
+    env: medium.EnvParams,
+    *,
+    frame="2d_lat",
+    cfg: SolverConfig = SolverConfig(),
+    spec: StopSpec = StopSpec(),
+    adaptive: bool = True,
+    max_steps: int = 20000,
+    chunk: int = 64,
+    mesh=None,
+    grad_mode="autodiff",
+):
+    """Jitted (u0, f) -> TraceResult over the ray batch.
+
+    frame: '2d_lat' | '2d_colat' | '3d'. With a mesh, inputs/outputs are
+    sharded over the 'rays' axis (ICI data parallelism)."""
+    if frame == "2d_lat":
+        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_lat(u, ff, env, grad_mode=grad_mode)
+        group_idx = 3
+    elif frame == "2d_colat":
+        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_colat(u, ff, env, grad_mode=grad_mode)
+        group_idx = 3
+    elif frame == "3d":
+        rhs_fn = lambda u, ff: rhs_mod.rhs_3d(u, ff, env)
+        group_idx = 6
+    else:
+        raise ValueError(f"unknown frame {frame!r}")
+
+    def run(u0, f):
+        return trace(
+            rhs_fn, u0, f, cfg=cfg, spec=spec, group_idx=group_idx,
+            adaptive=adaptive, max_steps=max_steps, chunk=chunk,
+        )
+
+    if mesh is not None:
+        sh = mesh_mod.ray_sharding(mesh)
+        return jax.jit(run, in_shardings=(sh, sh))
+    return jax.jit(run)
+
+
+def ensemble_stats(result, valid):
+    """Summary statistics over a traced ensemble (jnp; collective-safe).
+
+    Returns a dict of scalars: per-status counts, mean/max group delay and
+    landing L-shell among surface hits, total accepted steps."""
+    valid = jnp.asarray(valid)
+    status = jnp.where(valid, result.status, PAD_STATUS)
+    out = {
+        f"n_{name.lower()}": jnp.sum(status == code)
+        for code, name in enumerate(events.STATUS_NAMES)
+    }
+    hit = status == events.HIT_EARTH
+    T = result.u[:, -1]
+    lat_land = result.u[:, 1]
+    l_land = result.u[:, 0] / jnp.cos(lat_land) ** 2
+    denom = jnp.maximum(jnp.sum(hit), 1)
+    out["mean_group_delay_s"] = jnp.sum(jnp.where(hit, T, 0.0)) / denom
+    out["mean_landing_l"] = jnp.sum(jnp.where(hit, l_land, 0.0)) / denom
+    out["total_accepted_steps"] = jnp.sum(jnp.where(valid, result.n_accept, 0))
+    out["total_rejected_steps"] = jnp.sum(jnp.where(valid, result.n_reject, 0))
+    return out

@@ -1,0 +1,110 @@
+"""Sharded-ensemble tests on the 8-virtual-device CPU mesh
+(SURVEY.md section 4c -- the standard JAX fake-backend idiom)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace_tpu.constants import RE
+from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
+from raytrace_tpu.models import make_env_lat
+from raytrace_tpu.ops import rhs
+from raytrace_tpu.parallel import (
+    LaunchSpec,
+    build_launch,
+    checkpoint,
+    ensemble_stats,
+    make_ensemble_tracer,
+    make_ray_mesh,
+    pad_batch,
+)
+
+R0 = (RE + 1.0e6) / RE
+
+
+def test_mesh_has_8_devices():
+    mesh = make_ray_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_build_launch_grid():
+    spec = LaunchSpec(lats=(0.5, 0.7), chis=(-0.2, 0.0, 0.2), freqs=(1e3, 5e3))
+    u0, f = build_launch(spec, np.float64)
+    assert u0.shape == (12, 4)
+    assert f.shape == (12,)
+    # every combination present exactly once
+    combos = {(round(u0[i, 1], 6), round(u0[i, 2], 6), f[i]) for i in range(12)}
+    assert len(combos) == 12
+
+
+def test_pad_batch_masks():
+    mesh = make_ray_mesh()
+    u0, f = build_launch(LaunchSpec(lats=(0.5, 0.6, 0.7)), np.float64)
+    u0p, fp, valid = pad_batch(u0, f, mesh)
+    assert u0p.shape[0] % 8 == 0
+    assert valid.sum() == 3
+
+
+def test_sharded_ensemble_matches_single_device():
+    """The same fan traced sharded-over-8-devices and unsharded must agree
+    bitwise-ish (same program, different partitioning)."""
+    env = make_env_lat()
+    spec = LaunchSpec(
+        lats=tuple(np.linspace(0.6, 0.9, 4)),
+        chis=(-0.1, 0.1),
+        freqs=(1000.0, 2000.0),
+    )
+    u0, f = build_launch(spec, np.float64)
+    mesh = make_ray_mesh()
+    u0p, fp, valid = pad_batch(u0, f, mesh)
+
+    kw = dict(
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE),
+        max_steps=1500,
+    )
+    sharded = make_ensemble_tracer(env, mesh=mesh, **kw)(u0p, fp)
+    local = make_ensemble_tracer(env, mesh=None, **kw)(u0p, fp)
+    np.testing.assert_allclose(
+        np.asarray(sharded.u), np.asarray(local.u), rtol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.status), np.asarray(local.status)
+    )
+    # stats reduce over the sharded result without host gathers
+    stats = jax.jit(lambda r: ensemble_stats(r, valid))(sharded)
+    total = sum(
+        int(stats[f"n_{name.lower()}"]) for name in events.STATUS_NAMES
+    )
+    assert total == int(valid.sum())
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    """Stop after N steps, checkpoint, resume: identical final state to an
+    uninterrupted run (deterministic integrator)."""
+    env = make_env_lat()
+    u0, f = build_launch(LaunchSpec(lats=(0.7, 0.8)), np.float64)
+    u0 = jnp.asarray(u0)
+    f = jnp.asarray(f)
+    rhs_fn = lambda u, ff: rhs.rhs_2d_lat(u, ff, env)
+    kw = dict(
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE),
+        chunk=16,
+    )
+    full = trace(rhs_fn, u0, f, max_steps=512, **kw)
+
+    part = trace(rhs_fn, u0, f, max_steps=256, **kw)
+    path = tmp_path / "ck.npz"
+    checkpoint.save_carry(path, part.carry, step=256)
+    carry, step, _ = checkpoint.load_carry(path)
+    assert step == 256
+    carry = jax.tree.map(jnp.asarray, carry)
+    resumed = trace(rhs_fn, u0, f, max_steps=256, carry0=carry, **kw)
+    np.testing.assert_allclose(
+        np.asarray(resumed.u), np.asarray(full.u), rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed.n_accept), np.asarray(full.n_accept)
+    )
