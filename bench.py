@@ -88,9 +88,9 @@ def measure_tpu_ensemble():
     from raytrace_tpu.integrate import SolverConfig, StopSpec
     from raytrace_tpu.models import make_env_lat
     from raytrace_tpu.parallel import (
-        LaunchSpec, build_launch, make_ensemble_tracer, make_ray_mesh,
-        pad_batch,
+        LaunchSpec, build_launch, make_ray_mesh, pad_batch,
     )
+    from raytrace_tpu.parallel.ensemble import make_rounds_tracer
 
     mesh = make_ray_mesh()
     env = make_env_lat()
@@ -103,20 +103,19 @@ def measure_tpu_ensemble():
         freqs=tuple(np.geomspace(500.0, 8000.0, N_FREQS)),
     )
     u0, f, valid = pad_batch(*build_launch(spec, np.float32), mesh)
-    tracer = make_ensemble_tracer(
+    tracer = make_rounds_tracer(
         env,
         mesh=mesh,
         cfg=SolverConfig(rtol=1e-5, atol=1e-8, dt0=1e-4),
         spec=StopSpec(r_floor=1.0, t_max=5.0e9 / RE),
         max_steps=MAX_STEPS,
+        round_steps=2048,
         chunk=256,
     )
 
-    res = tracer(u0, f)  # compile + run once
-    jax.block_until_ready(res.u)
+    tracer(u0, f, valid)  # compile every bucket + warm run
     t0 = time.perf_counter()
-    res = tracer(u0, f)
-    jax.block_until_ready(res.u)
+    res = tracer(u0, f, valid)
     wall = time.perf_counter() - t0
     steps = int(np.sum(np.asarray(res.n_accept)[valid])) + int(
         np.sum(np.asarray(res.n_reject)[valid])

@@ -47,7 +47,12 @@ class SolverConfig(NamedTuple):
 
 
 class RayCarry(NamedTuple):
-    """Per-ray integration state threaded through the scan."""
+    """Per-ray integration state threaded through the scan.
+
+    u_prev/dt_prev snapshot the step on which a terminal event fired, so
+    event localization (bisection on the Hermite interpolant) runs ONCE per
+    ray in a post-pass instead of 2 x 32 serialized iterations inside every
+    hot-loop step -- the single biggest step-cost win on TPU."""
 
     u: jnp.ndarray         # state vector (n,)
     t: jnp.ndarray         # phase path, scaled units
@@ -57,6 +62,8 @@ class RayCarry(NamedTuple):
     status: jnp.ndarray    # events.* status code, int32
     n_accept: jnp.ndarray  # int32
     n_reject: jnp.ndarray  # int32
+    u_prev: jnp.ndarray    # state at the start of the terminating step
+    dt_prev: jnp.ndarray   # size of the terminating step
 
 
 class TraceResult(NamedTuple):
@@ -81,6 +88,8 @@ def init_carry(rhs_fn, u0, f, cfg: SolverConfig):
         status=jnp.zeros((), jnp.int32),
         n_accept=jnp.zeros((), jnp.int32),
         n_reject=jnp.zeros((), jnp.int32),
+        u_prev=u0,
+        dt_prev=jnp.asarray(cfg.dt0, dtype),
     )
 
 
@@ -101,21 +110,11 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
 
     t1 = carry.t + dt_eff
     status1 = events.classify_step(carry.u, out.u_new, t1, spec, group_idx)
-
-    # localize terminal crossings on the cubic Hermite interpolant
-    tau_s, u_s = events.refine_crossing(
-        lambda uu: uu[0] - spec.r_floor,
-        carry.u, carry.k1, out.u_new, out.k_end, dt_eff,
-    )
-    tau_e, u_e = events.refine_crossing(
-        lambda uu: events.lat_of(uu, spec),
-        carry.u, carry.k1, out.u_new, out.k_end, dt_eff,
-    )
-    is_surf = status1 == events.HIT_EARTH
-    is_eq = status1 == events.HIT_EQUATOR
-    u_fin = jnp.where(is_surf, u_s, jnp.where(is_eq, u_e, out.u_new))
-    tau = jnp.where(is_surf, tau_s, jnp.where(is_eq, tau_e, 1.0))
-    t_fin = carry.t + tau * dt_eff
+    # terminal-crossing localization is deferred to refine_events() after
+    # the loop; here we only snapshot the terminating step's start state
+    terminal = (status1 == events.HIT_EARTH) | (status1 == events.HIT_EQUATOR)
+    u_fin = out.u_new
+    t_fin = t1
 
     # PI step-size controller
     if adaptive:
@@ -146,6 +145,7 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
         carry.status,
     ).astype(jnp.int32)
 
+    snap = adv & terminal
     return RayCarry(
         u=jnp.where(adv, u_fin, carry.u),
         t=jnp.where(adv, t_fin, carry.t),
@@ -155,7 +155,33 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
         status=status_new,
         n_accept=carry.n_accept + adv.astype(jnp.int32),
         n_reject=carry.n_reject + (active & ~accept).astype(jnp.int32),
+        u_prev=jnp.where(snap, carry.u, carry.u_prev),
+        dt_prev=jnp.where(snap, dt_eff, carry.dt_prev),
     )
+
+
+def refine_events(rhs_fn, carry: RayCarry, f, spec: StopSpec):
+    """One-shot post-pass event localization for a single ray.
+
+    For rays that ended on HIT_EARTH / HIT_EQUATOR, bisect the cubic
+    Hermite interpolant of the snapshotted terminating step. Endpoint
+    derivatives: k0 = rhs(u_prev) (one extra eval, once per ray), k1 is
+    the FSAL carry (= rhs at the unrefined end state)."""
+    is_surf = carry.status == events.HIT_EARTH
+    is_eq = carry.status == events.HIT_EQUATOR
+    k0 = rhs_fn(carry.u_prev, f)
+    tau_s, u_s = events.refine_crossing(
+        lambda uu: uu[0] - spec.r_floor,
+        carry.u_prev, k0, carry.u, carry.k1, carry.dt_prev,
+    )
+    tau_e, u_e = events.refine_crossing(
+        lambda uu: events.lat_of(uu, spec),
+        carry.u_prev, k0, carry.u, carry.k1, carry.dt_prev,
+    )
+    u_fin = jnp.where(is_surf, u_s, jnp.where(is_eq, u_e, carry.u))
+    tau = jnp.where(is_surf, tau_s, jnp.where(is_eq, tau_e, 1.0))
+    t_fin = carry.t - (1.0 - tau) * carry.dt_prev
+    return carry._replace(u=u_fin, t=t_fin)
 
 
 def trace(
@@ -220,6 +246,7 @@ def trace(
 
         carry, traj = jax.lax.scan(outer, carry0, None, length=n_outer)
 
+    carry = jax.vmap(lambda c, ff: refine_events(rhs_fn, c, ff, spec))(carry, f)
     return TraceResult(
         u=carry.u, t=carry.t, status=carry.status,
         n_accept=carry.n_accept, n_reject=carry.n_reject, traj=traj,
