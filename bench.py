@@ -65,6 +65,24 @@ def measure_cpu_single_ray():
     return {"wall_s": wall, "steps": steps}
 
 
+def measure_native_single_ray():
+    """Honest compiled-baseline: the C++ float64 oracle tracing the same
+    canonical ray (what a native CVODE-class integrator costs)."""
+    import numpy as np
+
+    from raytrace_tpu import native
+    from raytrace_tpu.constants import RE
+    from raytrace_tpu.models import make_env_lat
+
+    env = make_env_lat()
+    u0 = np.array([(RE + 1.0e6) / RE, np.pi / 4, 0.0, 0.0])
+    native.trace_2d_lat(u0, 1000.0, env, t_max=5e9 / RE)  # warm
+    t0 = time.perf_counter()
+    res = native.trace_2d_lat(u0, 1000.0, env, t_max=5e9 / RE)
+    wall = time.perf_counter() - t0
+    return {"wall_s": wall, "steps": res["n_accept"] + res["n_reject"]}
+
+
 def cpu_baseline():
     if os.path.exists(CACHE):
         with open(CACHE) as fh:
@@ -133,6 +151,7 @@ def main():
         print(json.dumps(measure_cpu_single_ray()))
         return
     base = cpu_baseline()
+    nat = measure_native_single_ray()
     ens = measure_tpu_ensemble()
     steps_per_sec = ens["ray_steps"] / ens["wall_s"] / ens["n_devices"]
     print(
@@ -151,6 +170,7 @@ def main():
                     "ensemble_ray_steps": ens["ray_steps"],
                     "cpu_single_ray_wall_s": round(base["wall_s"], 3),
                     "cpu_single_ray_steps": base["steps"],
+                    "native_cpp_single_ray_wall_s": round(nat["wall_s"], 4),
                 },
             }
         )

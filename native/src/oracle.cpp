@@ -1,0 +1,325 @@
+// Native float64 oracle for the whistler ray tracer.
+//
+// Plays the role Sundials CVODE plays for the Julia reference
+// (RayMain.jl:387 and SURVEY.md section 2, N1): an independent,
+// native-code adaptive integrator with event detection, used as
+//   (a) a cross-language correctness oracle for the JAX paths (the
+//       physics here is written from the published equations in raw
+//       angular-frequency form -- a different algebra AND a different
+//       language than the production ratio-form JAX code), and
+//   (b) an honest single-ray CPU wall-clock baseline for bench.py
+//       (a compiled integrator, like the CVODE the reference calls).
+//
+// Units match the JAX side: r in Earth radii, t = phase path in RE,
+// T = group delay in seconds, f in Hz.
+//
+// Build: make -C native    (produces native/liboracle.so)
+// Binding: raytrace_tpu/native.py (ctypes).
+
+#include <cmath>
+#include <cstdint>
+
+namespace {
+
+// physical constants (reference: RayMain.jl:110-116)
+constexpr double C_LIGHT = 2.99792458e8;
+constexpr double RE_M = 6.3712e6;
+constexpr double Q_E = 1.602e-19;
+constexpr double ME_KG = 9.1093e-31;
+constexpr double MP_KG = 1.6726219e-27;
+constexpr double EPS0 = 8.854e-12;
+constexpr double PI = 3.14159265358979323846;
+
+struct Env {
+  double b0;          // T
+  double iono_n0;     // cm^-3
+  double iono_decay;  // 1/RE
+  double iono_r0;     // RE
+  double ps_weight;
+  double lppi, lppo, ne_lppi;
+  double ps_season, ps_trough;
+  double de_weight;
+};
+
+// ---- environment (reference: RayTrace_lat.jl:66-84, plasmasphere.jl) ----
+
+double ne_total_m3(double r, double lat, const Env& e) {
+  double ne_i = e.iono_n0 * std::exp(-e.iono_decay * (r - e.iono_r0));
+  double cl = std::cos(lat);
+  double L = r / (cl * cl);
+  double ne_p;
+  if (L <= e.lppi) {
+    double log_ne = (-0.3145 * L + 3.9043) +
+                    e.ps_season * std::exp((2.0 - L) / 1.5);
+    ne_p = std::pow(10.0, log_ne);
+  } else if (L <= e.lppo) {
+    ne_p = e.ne_lppi * std::pow(10.0, (e.lppi - L) / 0.1);
+  } else {
+    ne_p = e.ps_trough * std::pow(L, -4.5) +
+           (1.0 - std::exp((2.0 - L) / 10.0));
+  }
+  if (e.de_weight > 0.5) {
+    // diffusive equilibrium (plasmasphere.jl:96-106)
+    double rb = 7.37e6, T = 2500.0;
+    double G = rb * (1.0 - rb / (r * RE_M));
+    double S = 1.506 * T * (rb / 7370.0) * (rb / 7370.0);
+    ne_p *= std::sqrt(std::exp(-G / S));
+  }
+  return (ne_i + e.ps_weight * ne_p) * 1.0e6;
+}
+
+double b_mag(double r, double lat, const Env& e) {
+  double s = std::sin(lat);
+  return e.b0 * std::sqrt(1.0 + 3.0 * s * s) / (r * r * r);
+}
+
+// ---- dispersion (reference algebra: RayTrace_lat.jl:44-194) ----
+
+// mu = sqrt(|mu2_plus|) and the reference's closed-form dmu/dpsi
+void mu_dmudpsi(double ne, double bm, double f, double psi, double* mu_out,
+                double* dmudpsi_out, double* mu2_out) {
+  double w = 2.0 * PI * f;
+  double we2 = ne * Q_E * Q_E / (EPS0 * ME_KG);
+  double wp2 = ne * Q_E * Q_E / (EPS0 * MP_KG);
+  double oe = Q_E * bm / ME_KG;
+  double op = Q_E * bm / MP_KG;
+  double R = 1.0 - (we2 / (w * w)) * (w / (w - oe)) -
+             (wp2 / (w * w)) * (w / (w + op));
+  double L = 1.0 - (we2 / (w * w)) * (w / (w + oe)) -
+             (wp2 / (w * w)) * (w / (w - op));
+  double P = 1.0 - we2 / (w * w) - wp2 / (w * w);
+  double D = 0.5 * (R - L), S = 0.5 * (R + L);
+  double sp = std::sin(psi), cp = std::cos(psi);
+  double s2 = sp * sp, c2 = cp * cp;
+  double A = S * s2 + P * c2;
+  double B = R * L * s2 + P * S * (1.0 + c2);
+  double rlps = R * L - P * S;
+  double F2 = rlps * rlps * s2 * s2 + 4.0 * std::pow(P * D * cp, 2);
+  double F = std::sqrt(F2);
+  double mu2 = (B + F) / (2.0 * A);
+  double mu = std::sqrt(std::fabs(mu2));
+  *mu_out = mu;
+  *mu2_out = mu2;
+  if (dmudpsi_out) {
+    double dA = 2.0 * (S - P) * sp * cp;
+    double dB = 2.0 * rlps * sp * cp;
+    double dF = 1.0 / (2.0 * F) *
+                (rlps * rlps * 4.0 * s2 * sp * cp -
+                 8.0 * (P * D) * (P * D) * sp * cp);
+    // reference form as written (RayMain.jl:252-254) -- NOT the true
+    // derivative of sqrt(|mu2|); see ops/analytic.py
+    *dmudpsi_out = 1.0 / (2.0 * mu) *
+                   ((dB + dF) / (2.0 * A) - 2.0 * dA * (B + F) / (2.0 * A * A));
+  }
+}
+
+double mu_2d_lat(double r, double lat, double chi, double f, const Env& e) {
+  double dip = std::atan(2.0 * std::tan(lat));
+  double psi = PI / 2.0 + dip + chi;
+  double mu, mu2;
+  mu_dmudpsi(ne_total_m3(r, lat, e), b_mag(r, lat, e), f, psi, &mu, nullptr,
+             &mu2);
+  return mu;
+}
+
+// ---- RHS (latitude frame, RayTrace_lat.jl:270-273) ----
+// grad_mode 0 = "autodiff-equivalent": all partials are relative-step
+//   central differences of the traced mu (independent check of autodiff).
+// grad_mode 1 = "reference": closed-form dmu/dpsi + dmu/dr == 0 (the
+//   reference's sub-ULP FD step), FD for lat/f.
+
+void rhs_2d_lat(const double* u, double f, const Env& e, int grad_mode,
+                double* du) {
+  double r = u[0], lat = u[1], chi = u[2];
+  double hr = 1e-7 * r, ha = 1e-7, hf = 1e-3 * f;
+  double mu, mu2, dmudpsi_ref;
+  double dip = std::atan(2.0 * std::tan(lat));
+  double psi = PI / 2.0 + dip + chi;
+  mu_dmudpsi(ne_total_m3(r, lat, e), b_mag(r, lat, e), f, psi, &mu,
+             &dmudpsi_ref, &mu2);
+  double dmudr, dmudlat, dmudpsi, dmudf;
+  dmudlat = (mu_2d_lat(r, lat + ha / 2, chi, f, e) -
+             mu_2d_lat(r, lat - ha / 2, chi, f, e)) / ha;
+  dmudf = (mu_2d_lat(r, lat, chi, f + hf / 2, e) -
+           mu_2d_lat(r, lat, chi, f - hf / 2, e)) / hf;
+  if (grad_mode == 1) {
+    dmudr = 0.0;
+    dmudpsi = dmudpsi_ref;
+  } else {
+    dmudr = (mu_2d_lat(r + hr / 2, lat, chi, f, e) -
+             mu_2d_lat(r - hr / 2, lat, chi, f, e)) / hr;
+    dmudpsi = (mu_2d_lat(r, lat, chi + ha / 2, f, e) -
+               mu_2d_lat(r, lat, chi - ha / 2, f, e)) / ha;
+  }
+  double sc = std::sin(chi), cc = std::cos(chi);
+  double im2 = 1.0 / (mu * mu);
+  du[0] = im2 * (mu * cc + dmudpsi * sc);
+  du[1] = im2 / r * (mu * sc - dmudpsi * cc);
+  du[2] = im2 / r * (dmudlat * cc - (r * dmudr + mu) * sc);
+  du[3] = (RE_M / C_LIGHT) * (1.0 + (f / mu) * dmudf);
+}
+
+// ---- Dormand-Prince 5(4) with PI controller and surface event ----
+
+constexpr double A21 = 0.2;
+constexpr double A31 = 3.0 / 40.0, A32 = 9.0 / 40.0;
+constexpr double A41 = 44.0 / 45.0, A42 = -56.0 / 15.0, A43 = 32.0 / 9.0;
+constexpr double A51 = 19372.0 / 6561.0, A52 = -25360.0 / 2187.0,
+                 A53 = 64448.0 / 6561.0, A54 = -212.0 / 729.0;
+constexpr double A61 = 9017.0 / 3168.0, A62 = -355.0 / 33.0,
+                 A63 = 46732.0 / 5247.0, A64 = 49.0 / 176.0,
+                 A65 = -5103.0 / 18656.0;
+constexpr double B1 = 35.0 / 384.0, B3 = 500.0 / 1113.0, B4 = 125.0 / 192.0,
+                 B5 = -2187.0 / 6784.0, B6 = 11.0 / 84.0;
+constexpr double E1 = 35.0 / 384.0 - 5179.0 / 57600.0;
+constexpr double E3 = 500.0 / 1113.0 - 7571.0 / 16695.0;
+constexpr double E4 = 125.0 / 192.0 - 393.0 / 640.0;
+constexpr double E5 = -2187.0 / 6784.0 + 92097.0 / 339200.0;
+constexpr double E6 = 11.0 / 84.0 - 187.0 / 2100.0;
+constexpr double E7 = -1.0 / 40.0;
+
+struct TraceOut {
+  double u[4];
+  double t;
+  int32_t status;
+  int32_t n_accept;
+  int32_t n_reject;
+};
+
+// status codes match raytrace_tpu.integrate.events
+enum { ACTIVE = 0, HIT_EARTH = 1, MAX_PHASE_TIME = 2, DT_UNDERFLOW = 7 };
+
+void hermite(double tau, const double* u0, const double* k0, const double* u1,
+             const double* k1, double dt, double* out) {
+  double t2 = tau * tau, t3 = t2 * tau;
+  double h00 = 2 * t3 - 3 * t2 + 1, h10 = t3 - 2 * t2 + tau;
+  double h01 = -2 * t3 + 3 * t2, h11 = t3 - t2;
+  for (int i = 0; i < 4; i++)
+    out[i] = h00 * u0[i] + h10 * dt * k0[i] + h01 * u1[i] + h11 * dt * k1[i];
+}
+
+void trace_2d_lat_impl(const double* u0, double f, const Env& e, int grad_mode,
+                       double rtol, double atol, double t_max, double dt0,
+                       double dt_min, double dt_max, int max_steps,
+                       double r_floor, TraceOut* out) {
+  double u[4] = {u0[0], u0[1], u0[2], u0[3]};
+  double k1[4], k2[4], k3[4], k4[4], k5[4], k6[4], k7[4], utmp[4], unew[4];
+  rhs_2d_lat(u, f, e, grad_mode, k1);
+  double t = 0.0, dt = dt0, errold = 1e-4;
+  int na = 0, nr = 0;
+  int32_t status = ACTIVE;
+  for (int step = 0; step < max_steps && status == ACTIVE; step++) {
+    double dte = dt;
+    if (t + dte > t_max) dte = t_max - t;
+    for (int i = 0; i < 4; i++) utmp[i] = u[i] + dte * A21 * k1[i];
+    rhs_2d_lat(utmp, f, e, grad_mode, k2);
+    for (int i = 0; i < 4; i++)
+      utmp[i] = u[i] + dte * (A31 * k1[i] + A32 * k2[i]);
+    rhs_2d_lat(utmp, f, e, grad_mode, k3);
+    for (int i = 0; i < 4; i++)
+      utmp[i] = u[i] + dte * (A41 * k1[i] + A42 * k2[i] + A43 * k3[i]);
+    rhs_2d_lat(utmp, f, e, grad_mode, k4);
+    for (int i = 0; i < 4; i++)
+      utmp[i] = u[i] + dte * (A51 * k1[i] + A52 * k2[i] + A53 * k3[i] +
+                              A54 * k4[i]);
+    rhs_2d_lat(utmp, f, e, grad_mode, k5);
+    for (int i = 0; i < 4; i++)
+      utmp[i] = u[i] + dte * (A61 * k1[i] + A62 * k2[i] + A63 * k3[i] +
+                              A64 * k4[i] + A65 * k5[i]);
+    rhs_2d_lat(utmp, f, e, grad_mode, k6);
+    for (int i = 0; i < 4; i++)
+      unew[i] = u[i] + dte * (B1 * k1[i] + B3 * k3[i] + B4 * k4[i] +
+                              B5 * k5[i] + B6 * k6[i]);
+    rhs_2d_lat(unew, f, e, grad_mode, k7);
+    double err = 0.0;
+    for (int i = 0; i < 4; i++) {
+      double ei = dte * (E1 * k1[i] + E3 * k3[i] + E4 * k4[i] + E5 * k5[i] +
+                         E6 * k6[i] + E7 * k7[i]);
+      double sc = atol + rtol * std::max(std::fabs(u[i]), std::fabs(unew[i]));
+      err += (ei / sc) * (ei / sc);
+    }
+    err = std::sqrt(err / 4.0);
+    bool accept = err <= 1.0;
+    if (accept) {
+      na++;
+      double t1 = t + dte;
+      if (unew[0] <= r_floor) {
+        // bisection on the Hermite interpolant (matches the JAX path)
+        double lo = 0.0, hi = 1.0, uu[4];
+        double sign0 = (u[0] - r_floor) > 0 ? 1.0 : -1.0;
+        for (int it = 0; it < 64; it++) {
+          double mid = 0.5 * (lo + hi);
+          hermite(mid, u, k1, unew, k7, dte, uu);
+          if (((uu[0] - r_floor) > 0 ? 1.0 : -1.0) == sign0) lo = mid;
+          else hi = mid;
+        }
+        double tau = 0.5 * (lo + hi);
+        hermite(tau, u, k1, unew, k7, dte, uu);
+        for (int i = 0; i < 4; i++) u[i] = uu[i];
+        t = t + tau * dte;
+        status = HIT_EARTH;
+        break;
+      }
+      for (int i = 0; i < 4; i++) { u[i] = unew[i]; k1[i] = k7[i]; }
+      t = t1;
+      if (t >= t_max) { status = MAX_PHASE_TIME; break; }
+      double eclip = std::max(err, 1e-10);
+      double fac = 0.9 * std::pow(eclip, -0.7 / 5.0) *
+                   std::pow(errold, 0.4 / 5.0);
+      fac = std::min(5.0, std::max(0.2, fac));
+      dt = std::min(dt_max, std::max(dt_min, dte * fac));
+      errold = std::max(eclip, 1e-4);
+    } else {
+      nr++;
+      double eclip = std::max(err, 1e-10);
+      double fac = std::min(1.0, std::max(0.2, 0.9 * std::pow(eclip, -0.2)));
+      dt = dte * fac;
+      if (dt <= dt_min * (1.0 + 1e-6)) { status = DT_UNDERFLOW; break; }
+    }
+  }
+  for (int i = 0; i < 4; i++) out->u[i] = u[i];
+  out->t = t;
+  out->status = status;
+  out->n_accept = na;
+  out->n_reject = nr;
+}
+
+}  // namespace
+
+extern "C" {
+
+// batch evaluation of mu for parity tests
+void rt_mu_2d_lat_batch(const double* r, const double* lat, const double* chi,
+                        const double* f, int n, const double* env11,
+                        double* mu_out) {
+  Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
+           env11[6], env11[7], env11[8], env11[9], env11[10]};
+  for (int i = 0; i < n; i++)
+    mu_out[i] = mu_2d_lat(r[i], lat[i], chi[i], f[i], e);
+}
+
+void rt_rhs_2d_lat(const double* u, double f, const double* env11,
+                   int grad_mode, double* du) {
+  Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
+           env11[6], env11[7], env11[8], env11[9], env11[10]};
+  rhs_2d_lat(u, f, e, grad_mode, du);
+}
+
+// full single-ray trace; out layout: [u0..u3, t, status, n_accept, n_reject]
+void rt_trace_2d_lat(const double* u0, double f, const double* env11,
+                     int grad_mode, double rtol, double atol, double t_max,
+                     double dt0, double dt_min, double dt_max, int max_steps,
+                     double r_floor, double* out8) {
+  Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
+           env11[6], env11[7], env11[8], env11[9], env11[10]};
+  TraceOut o;
+  trace_2d_lat_impl(u0, f, e, grad_mode, rtol, atol, t_max, dt0, dt_min,
+                    dt_max, max_steps, r_floor, &o);
+  for (int i = 0; i < 4; i++) out8[i] = o.u[i];
+  out8[4] = o.t;
+  out8[5] = static_cast<double>(o.status);
+  out8[6] = static_cast<double>(o.n_accept);
+  out8[7] = static_cast<double>(o.n_reject);
+}
+
+}  // extern "C"

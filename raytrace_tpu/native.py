@@ -1,0 +1,96 @@
+"""ctypes binding to the native float64 oracle (native/liboracle.so).
+
+The native tier plays the role Sundials CVODE plays for the reference
+(SURVEY.md section 2, N1): an independent compiled integrator used as a
+correctness oracle and as the honest single-ray CPU baseline. Built on
+demand with `make -C native` (g++; no external dependencies).
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "liboracle.so")
+_lib = None
+
+GRAD_AUTODIFF_EQUIV = 0   # relative-step FD of the traced mu
+GRAD_REFERENCE = 1        # reference closed-form dmu/dpsi + dmu/dr == 0
+
+
+def ensure_built():
+    """Build liboracle.so if missing; returns the loaded library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    d = ctypes.POINTER(ctypes.c_double)
+    lib.rt_mu_2d_lat_batch.argtypes = [d, d, d, d, ctypes.c_int, d, d]
+    lib.rt_rhs_2d_lat.argtypes = [d, ctypes.c_double, d, ctypes.c_int, d]
+    lib.rt_trace_2d_lat.argtypes = [
+        d, ctypes.c_double, d, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int, ctypes.c_double, d,
+    ]
+    _lib = lib
+    return lib
+
+
+def _env_array(env):
+    return np.asarray([float(x) for x in env], np.float64)
+
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def mu_2d_lat_batch(r, lat, chi, f, env):
+    """Native mu over batched inputs (broadcast to a common shape)."""
+    lib = ensure_built()
+    r, lat, chi, f = np.broadcast_arrays(
+        *[np.asarray(x, np.float64) for x in (r, lat, chi, f)]
+    )
+    r = np.ascontiguousarray(r.ravel())
+    lat = np.ascontiguousarray(lat.ravel())
+    chi = np.ascontiguousarray(chi.ravel())
+    f = np.ascontiguousarray(f.ravel())
+    out = np.empty_like(r)
+    lib.rt_mu_2d_lat_batch(
+        _ptr(r), _ptr(lat), _ptr(chi), _ptr(f), len(r),
+        _ptr(_env_array(env)), _ptr(out),
+    )
+    return out
+
+
+def rhs_2d_lat(u, f, env, grad_mode=GRAD_AUTODIFF_EQUIV):
+    lib = ensure_built()
+    u = np.ascontiguousarray(np.asarray(u, np.float64))
+    du = np.empty(4, np.float64)
+    lib.rt_rhs_2d_lat(_ptr(u), float(f), _ptr(_env_array(env)), grad_mode,
+                      _ptr(du))
+    return du
+
+
+def trace_2d_lat(u0, f, env, *, grad_mode=GRAD_AUTODIFF_EQUIV, rtol=1e-7,
+                 atol=1e-12, t_max=np.inf, dt0=1e-4, dt_min=1e-8 / 6.3712e6,
+                 dt_max=1e6 / 6.3712e6, max_steps=100000, r_floor=1.0):
+    """Single-ray native trace; returns dict(u, t, status, n_accept, n_reject)."""
+    lib = ensure_built()
+    u0 = np.ascontiguousarray(np.asarray(u0, np.float64))
+    out = np.empty(8, np.float64)
+    lib.rt_trace_2d_lat(
+        _ptr(u0), float(f), _ptr(_env_array(env)), grad_mode, rtol, atol,
+        float(t_max), dt0, dt_min, dt_max, max_steps, r_floor, _ptr(out),
+    )
+    return {
+        "u": out[:4].copy(),
+        "t": float(out[4]),
+        "status": int(out[5]),
+        "n_accept": int(out[6]),
+        "n_reject": int(out[7]),
+    }

@@ -23,13 +23,20 @@ from . import analytic, dispersion
 # grad_mode values:
 #   "autodiff"  -- every partial is the exact derivative of the traced
 #                  mu = sqrt(|mu^2_+|); self-consistent (default).
-#   "reference" -- dmu/dpsi is replaced by the reference's closed form
-#                  (RayMain.jl:246-254), which differs from the true
-#                  derivative in the abs-guarded regime (see
-#                  ops/analytic.py docstring); spatial/frequency partials
-#                  stay autodiff (they match the reference's central
-#                  differences of the abs-guarded mu to ~1e-6). Use for
-#                  trajectory parity with the Julia scripts.
+#   "reference" -- reproduces the gradient set the reference *actually*
+#                  integrates:
+#                    * dmu/dpsi from its closed form (RayMain.jl:246-254),
+#                      which differs from the true derivative in the
+#                      abs-guarded regime (see ops/analytic.py);
+#                    * dmu/dr == 0 EXACTLY: the reference's central
+#                      difference uses an absolute step dr = 1e-11 m
+#                      (RayMain.jl:270) on r ~ 7.4e6 m, which is below
+#                      half a float64 ULP, so r +- dr/2 rounds back to r
+#                      and (mu_r - mu_l)/dr is identically zero in all
+#                      three scripts;
+#                    * angle/frequency partials stay autodiff (the
+#                      reference's theta/chi/f steps are representable
+#                      and its FD matches autodiff to ~1e-6).
 AUTODIFF = "autodiff"
 REFERENCE = "reference"
 
@@ -41,6 +48,7 @@ def mu_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, grad_mode=AUTODIFF):
     )(r, lat, chi, f, env)
     if grad_mode == REFERENCE:
         _, dmudchi = analytic.mu_dmudpsi_2d_lat(r, lat, chi, f, env)
+        dmudr = jnp.zeros_like(dmudr)
     return mu, dmudr, dmudlat, dmudchi, dmudf
 
 
@@ -52,6 +60,7 @@ def mu_grads_2d_colat(r, theta, chi, f, env: medium.EnvParams, grad_mode=AUTODIF
     if grad_mode == REFERENCE:
         lat = jnp.pi / 2.0 - theta
         _, dmudchi = analytic.mu_dmudpsi_2d_lat(r, lat, chi, f, env)
+        dmudr = jnp.zeros_like(dmudr)
     return mu, dmudr, dmudtheta, dmudchi, dmudf
 
 
@@ -78,5 +87,6 @@ def mu_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams,
         kim = analytic.kimura_dmudrho(
             mu, dmudpsi_ref, psi, bvec, (rho_r, rho_t, rho_p)
         )
-        grads = (grads[0], grads[1], grads[2], *kim, grads[6])
+        # dmu/dr == 0 for the same sub-ULP FD step reason as in 2D
+        grads = (jnp.zeros_like(grads[0]), grads[1], grads[2], *kim, grads[6])
     return mu, grads
