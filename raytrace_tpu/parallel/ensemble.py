@@ -79,7 +79,7 @@ def make_ensemble_tracer(
     max_steps: int = 20000,
     chunk: int = 64,
     mesh=None,
-    grad_mode="autodiff",
+    grad_mode="fused",
 ):
     """Jitted (u0, f) -> TraceResult over the ray batch.
 
@@ -128,7 +128,7 @@ def make_rounds_tracer(
     max_steps: int = 20000,
     round_steps: int = 2048,
     chunk: int = 256,
-    grad_mode="autodiff",
+    grad_mode="fused",
 ):
     """Ensemble tracer with host-side bucketed re-batching.
 

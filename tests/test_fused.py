@@ -1,0 +1,43 @@
+"""Fused hand-derived gradient chain vs reverse-mode autodiff (float64)."""
+
+import numpy as np
+import pytest
+
+from raytrace_tpu.constants import RE
+from raytrace_tpu.models import make_env, make_env_lat, make_env_raymain
+from raytrace_tpu.ops import fused, gradients
+
+R0 = (RE + 1.0e6) / RE
+
+
+@pytest.mark.parametrize(
+    "env_fn", [make_env_lat, make_env_raymain,
+               lambda: make_env(de_correction=True)],
+    ids=["lat", "raymain", "de"],
+)
+def test_fused_matches_autodiff(env_fn):
+    env = env_fn()
+    rng = np.random.default_rng(11)
+    for _ in range(100):
+        r = float(rng.uniform(R0, 5.0))
+        lat = float(rng.uniform(-1.2, 1.2))
+        chi = float(rng.uniform(-2.0, 2.0))
+        f = float(rng.uniform(500.0, 2.0e4))
+        ad = gradients.mu_grads_2d_lat(r, lat, chi, f, env,
+                                       grad_mode=gradients.AUTODIFF)
+        fz = fused.mu_and_grads_2d_lat(r, lat, chi, f, env)
+        for i, (a, b) in enumerate(zip(ad, fz)):
+            assert float(b) == pytest.approx(float(a), rel=1e-9, abs=1e-12), (
+                i, r, lat, chi, f,
+            )
+
+
+def test_fused_colat_sign():
+    env = make_env_lat()
+    r, theta, chi, f = 2.0, np.pi / 3, 0.4, 1500.0
+    a = gradients.mu_grads_2d_colat(r, theta, chi, f, env,
+                                    grad_mode=gradients.AUTODIFF)
+    b = gradients.mu_grads_2d_colat(r, theta, chi, f, env,
+                                    grad_mode=gradients.FUSED)
+    for x, y in zip(a, b):
+        assert float(y) == pytest.approx(float(x), rel=1e-9)
