@@ -21,6 +21,8 @@ class StepOut(NamedTuple):
     u_new: jnp.ndarray      # proposed state at t + dt
     k_end: jnp.ndarray      # du/dt at (t + dt, u_new)  [FSAL]
     err: jnp.ndarray        # scalar error norm (adaptive; 0.0 for rk4)
+    incr: jnp.ndarray       # the raw increment u_new - u (for compensated
+                            # accumulation in the solve loop)
 
 
 def rk4_step(rhs_fn, u, k1, dt):
@@ -28,9 +30,10 @@ def rk4_step(rhs_fn, u, k1, dt):
     k2 = rhs_fn(u + 0.5 * dt * k1)
     k3 = rhs_fn(u + 0.5 * dt * k2)
     k4 = rhs_fn(u + dt * k3)
-    u_new = u + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+    incr = (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+    u_new = u + incr
     k_end = rhs_fn(u_new)
-    return StepOut(u_new, k_end, jnp.zeros_like(dt))
+    return StepOut(u_new, k_end, jnp.zeros_like(dt), incr)
 
 
 # Dormand-Prince 5(4) tableau (Hairer, Norsett & Wanner, table II.5.2)
@@ -64,11 +67,12 @@ def dopri5_step(rhs_fn, u, k1, dt, rtol, atol):
             acc = acc + a_ij * k_j
         ks.append(rhs_fn(u + dt * acc))
     # ks[6] was evaluated at u + dt * (b5 . k) == u_new  (FSAL)
-    u_new = u + dt * sum(a_ij * k_j for a_ij, k_j in zip(_DP_A[-1], ks[:-1]))
+    incr = dt * sum(a_ij * k_j for a_ij, k_j in zip(_DP_A[-1], ks[:-1]))
+    u_new = u + incr
     k7 = ks[6]
     err_vec = dt * sum(
         (b5 - b4) * k_j for b5, b4, k_j in zip(_DP_B5, _DP_B4, ks)
     )
     scale = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u_new))
     err = jnp.sqrt(jnp.mean(jnp.square(err_vec / scale)))
-    return StepOut(u_new, k7, err)
+    return StepOut(u_new, k7, err, incr)
