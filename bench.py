@@ -146,13 +146,49 @@ def measure_tpu_ensemble():
     }
 
 
+LAST_GOOD = os.path.join(REPO, ".bench_last_good.json")
+
+
+def tpu_ensemble_with_retries(attempts=4, timeout_s=900):
+    """Run the TPU measurement in a subprocess with timeout + retry.
+
+    The tunneled compile service for this environment intermittently hangs
+    on large-program compiles (reproduced on trivial programs too); a
+    fresh process gets a fresh chance, and a successful measurement is
+    cached so a later full outage still yields an honest (marked stale)
+    number instead of a hung driver."""
+    for _ in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--tpu-ensemble"],
+                capture_output=True, text=True, cwd=REPO, timeout=timeout_s,
+            )
+            for line in reversed(out.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    ens = json.loads(line)
+                    with open(LAST_GOOD, "w") as fh:
+                        json.dump(ens, fh)
+                    return ens
+        except subprocess.TimeoutExpired:
+            continue
+    if os.path.exists(LAST_GOOD):
+        with open(LAST_GOOD) as fh:
+            ens = json.load(fh)
+        ens["stale"] = True
+        return ens
+    raise RuntimeError("TPU ensemble measurement failed every attempt")
+
+
 def main():
     if "--cpu-baseline" in sys.argv:
         print(json.dumps(measure_cpu_single_ray()))
         return
+    if "--tpu-ensemble" in sys.argv:
+        print(json.dumps(measure_tpu_ensemble()))
+        return
     base = cpu_baseline()
     nat = measure_native_single_ray()
-    ens = measure_tpu_ensemble()
+    ens = tpu_ensemble_with_retries()
     steps_per_sec = ens["ray_steps"] / ens["wall_s"] / ens["n_devices"]
     print(
         json.dumps(
@@ -171,6 +207,7 @@ def main():
                     "cpu_single_ray_wall_s": round(base["wall_s"], 3),
                     "cpu_single_ray_steps": base["steps"],
                     "native_cpp_single_ray_wall_s": round(nat["wall_s"], 4),
+                    **({"stale_tpu_measurement": True} if ens.get("stale") else {}),
                 },
             }
         )

@@ -1,0 +1,165 @@
+"""Run configuration: one JSON-serializable description of a whole run.
+
+Replaces the reference's per-file copy-pasted globals and its never-built
+RayParam.jl / ray_param.dat / ray_start.dat parameter files (README.md:8-12,
+SURVEY.md section 5.6). A RunConfig fully determines a run: medium, solver,
+stop conditions, launch grid, frame, precision, outputs.
+
+The five canonical configs of BASELINE.json are provided as presets:
+  raymain      -- RayMain.jl single whistler ray (2D colat, iono-only medium)
+  lat_fan      -- RayTrace_lat.jl latitude/wave-normal fan (vmapped 2D)
+  knee         -- adaptive DP5 rays through the plasmapause knee
+  3d           -- RayTrace_3D.jl full 3D state
+  ensemble10k  -- multi-frequency 10k+ ray ensemble, ICI-sharded
+"""
+
+import dataclasses
+import json
+from typing import Optional
+
+import numpy as np
+
+from .constants import B0_2D, B0_3D, RE
+from .integrate import SolverConfig, StopSpec
+from .models import make_env
+from .models.ionosphere import IRI_DAYSIDE_FIT, TRACED_FIT
+from .parallel.ensemble import LaunchSpec
+
+
+@dataclasses.dataclass
+class MediumConfig:
+    b0: float = B0_3D
+    iono_fit: str = "traced"        # "traced" | "iri_dayside"
+    plasmasphere: bool = True
+    kp_max: float = 3.0
+    day: float = 0.0
+    rbar: float = 90.0
+    mlt: float = 2.0
+    de_correction: bool = False
+
+    def build(self):
+        fit = TRACED_FIT if self.iono_fit == "traced" else IRI_DAYSIDE_FIT
+        return make_env(
+            b0=self.b0, iono_fit=fit, plasmasphere_on=self.plasmasphere,
+            kp_max=self.kp_max, day=self.day, rbar=self.rbar, mlt=self.mlt,
+            de_correction=self.de_correction,
+        )
+
+
+@dataclasses.dataclass
+class RunConfig:
+    name: str = "run"
+    frame: str = "2d_lat"           # "2d_lat" | "2d_colat" | "3d"
+    medium: MediumConfig = dataclasses.field(default_factory=MediumConfig)
+    # launch
+    r0: float = (RE + 1.0e6) / RE
+    lats: tuple = (np.pi / 4,)
+    chis: tuple = (0.0,)
+    freqs: tuple = (1000.0,)
+    rho0: tuple = (1.0, 1.0, 0.0)   # 3D initial refractive-index vector
+    # solver
+    rtol: float = 1.0e-7
+    atol: float = 1.0e-12
+    dt0: float = 1.0e-4
+    adaptive: bool = True
+    max_steps: int = 20000
+    grad_mode: str = "fused"
+    # stop conditions
+    t_max: float = 5.0e9 / RE
+    r_floor: float = 1.0
+    r_ceil: float = float("inf")
+    group_time_max: float = float("inf")
+    stop_at_equator: bool = False
+    # execution
+    dtype: str = "float32"          # "float32" (TPU) | "float64" (CPU oracle)
+    use_rounds: bool = True         # bucketed re-batching
+    save_every: int = 0             # >0: record trajectory snapshots
+    save_diagnostics: bool = False  # also record (mu, dmudpsi, dip, psi)
+
+    def solver(self):
+        return SolverConfig(rtol=self.rtol, atol=self.atol, dt0=self.dt0)
+
+    def stop(self):
+        lat_sign, lat_offset = (
+            (1.0, 0.0) if self.frame == "2d_lat" else (-1.0, np.pi / 2)
+        )
+        return StopSpec(
+            r_floor=self.r_floor, r_ceil=self.r_ceil, t_max=self.t_max,
+            group_time_max=self.group_time_max,
+            stop_at_equator=1.0 if self.stop_at_equator else 0.0,
+            lat_sign=lat_sign, lat_offset=lat_offset,
+        )
+
+    def launch(self):
+        return LaunchSpec(
+            r0=self.r0, lats=tuple(self.lats), chis=tuple(self.chis),
+            freqs=tuple(self.freqs),
+        )
+
+    def to_json(self, path=None):
+        d = dataclasses.asdict(self)
+        s = json.dumps(d, indent=2, default=list)
+        if path:
+            with open(path, "w") as fh:
+                fh.write(s)
+        return s
+
+    @classmethod
+    def from_json(cls, src):
+        if isinstance(src, str) and src.lstrip().startswith("{"):
+            d = json.loads(src)
+        else:
+            with open(src) as fh:
+                d = json.load(fh)
+        med = MediumConfig(**d.pop("medium", {}))
+        for key in ("lats", "chis", "freqs", "rho0"):
+            if key in d:
+                d[key] = tuple(d[key])
+        return cls(medium=med, **d)
+
+
+def preset(name, **overrides):
+    """The five canonical BASELINE.json configs by name."""
+    presets = {
+        # config 1: RayMain.jl single ray (RayMain.jl:382-387)
+        "raymain": dict(
+            name="raymain", frame="2d_colat",
+            medium=MediumConfig(b0=B0_2D, plasmasphere=False),
+            lats=(np.pi / 4,), chis=(0.0,), freqs=(5000.0,),
+        ),
+        # config 2: RayTrace_lat.jl fan (RayTrace_lat.jl:333-338)
+        "lat_fan": dict(
+            name="lat_fan", frame="2d_lat",
+            medium=MediumConfig(b0=B0_2D),
+            lats=tuple(np.linspace(0.5, 1.0, 16)),
+            chis=tuple(np.linspace(-0.3, 0.3, 8)),
+            freqs=(1000.0,),
+        ),
+        # config 3: adaptive rays through the plasmapause knee --
+        # launch fans that traverse L ~ Lppi..Lppo
+        "knee": dict(
+            name="knee", frame="2d_lat",
+            medium=MediumConfig(b0=B0_2D),
+            lats=tuple(np.linspace(0.9, 1.15, 16)),
+            chis=tuple(np.linspace(-0.2, 0.2, 8)),
+            freqs=(500.0, 1000.0, 2000.0),
+        ),
+        # config 4: RayTrace_3D.jl (RayTrace_3D.jl:390-395)
+        "3d": dict(
+            name="3d", frame="3d",
+            medium=MediumConfig(b0=B0_3D),
+            lats=(np.pi / 4,), freqs=(1000.0,), rho0=(1.0, 1.0, 0.0),
+        ),
+        # config 5: the 10k multi-frequency ensemble (headline bench)
+        "ensemble10k": dict(
+            name="ensemble10k", frame="2d_lat",
+            medium=MediumConfig(b0=B0_2D),
+            lats=tuple(np.linspace(0.45, 1.1, 40)),
+            chis=tuple(np.linspace(-0.5, 0.5, 16)),
+            freqs=tuple(np.geomspace(500.0, 8000.0, 16)),
+            rtol=1.0e-5, atol=1.0e-8,
+        ),
+    }
+    d = presets[name]
+    d.update(overrides)
+    return RunConfig(**d)

@@ -1,0 +1,149 @@
+"""High-level runner: RunConfig in, traced ensemble + artifacts out.
+
+The user-facing replacement for executing the reference's script cells:
+build the medium, build the launch grid, trace on whatever devices exist
+(sharded over 'rays' if more than one), then persist final states,
+optional trajectories, a JSON run record, and optional plots.
+"""
+
+import os
+
+import numpy as np
+
+from .config import RunConfig
+from .integrate import events, trace
+from .integrate.saving import make_save_fn_2d_lat
+from .models import medium as medium_mod
+from .ops import rhs as rhs_mod
+from .parallel import (
+    build_launch,
+    ensemble_stats,
+    make_ray_mesh,
+    pad_batch,
+)
+from .parallel.ensemble import make_ensemble_tracer, make_rounds_tracer
+from .utils import write_run_record
+
+
+def _build_u0(config: RunConfig, dtype):
+    """Launch states for the configured frame."""
+    import itertools
+
+    if config.frame in ("2d_lat", "2d_colat"):
+        u0, f = build_launch(config.launch(), dtype)
+        return u0, f
+    rows = []
+    fs = []
+    for lat, fr in itertools.product(config.lats, config.freqs):
+        rows.append(
+            [config.r0, lat, 0.0, *config.rho0, 0.0]
+        )
+        fs.append(fr)
+    return np.asarray(rows, dtype), np.asarray(fs, dtype)
+
+
+def run(config: RunConfig, out_dir=None, plots=False):
+    """Execute a RunConfig. Returns dict(result, stats, valid, paths)."""
+    import jax
+    import jax.numpy as jnp
+
+    env = config.medium.build()
+    dtype = np.float32 if config.dtype == "float32" else np.float64
+    # pass env as traced device scalars (not python-float constants): the
+    # compiled program is then independent of the medium parameters, so
+    # one compile serves every env -- and re-runs hit the compile cache
+    env = type(env)(*[jnp.asarray(v, dtype) for v in env])
+    mesh = make_ray_mesh()
+    u0, f = _build_u0(config, dtype)
+    u0, f, valid = pad_batch(u0, f, mesh)
+
+    cfg = config.solver()
+    spec = config.stop()
+    common = dict(
+        frame=config.frame, cfg=cfg, spec=spec, adaptive=config.adaptive,
+        max_steps=config.max_steps, grad_mode=config.grad_mode,
+    )
+
+    if config.save_every > 0:
+        # trajectory mode: plain scan tracer (fixed shapes)
+        rhs_fn, group_idx = _rhs_for(config, env)
+        save_fn = (
+            make_save_fn_2d_lat(env)
+            if (config.save_diagnostics and config.frame == "2d_lat")
+            else None
+        )
+        result = trace(
+            rhs_fn, jnp.asarray(u0), jnp.asarray(f), cfg=cfg, spec=spec,
+            group_idx=group_idx, adaptive=config.adaptive,
+            max_steps=config.max_steps, save_every=config.save_every,
+            save_fn=save_fn,
+        )
+    elif config.use_rounds:
+        tracer = make_rounds_tracer(env, mesh=mesh, **common)
+        result = tracer(u0, f, valid)
+    else:
+        tracer = make_ensemble_tracer(env, mesh=mesh, **common)
+        result = tracer(jnp.asarray(u0), jnp.asarray(f))
+
+    stats = {k: np.asarray(v) for k, v in ensemble_stats(result, valid).items()}
+    paths = {}
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        fs_path = os.path.join(out_dir, f"{config.name}_final.npz")
+        np.savez(
+            fs_path,
+            u=np.asarray(result.u), t=np.asarray(result.t),
+            status=np.asarray(result.status),
+            n_accept=np.asarray(result.n_accept),
+            n_reject=np.asarray(result.n_reject),
+            valid=np.asarray(valid), f=np.asarray(f),
+        )
+        paths["final"] = fs_path
+        if result.traj is not None:
+            tr_path = os.path.join(out_dir, f"{config.name}_traj.npz")
+            np.savez(
+                tr_path,
+                **{k: np.asarray(v) for k, v in result.traj.items()},
+            )
+            paths["traj"] = tr_path
+        rec_path = os.path.join(out_dir, f"{config.name}_record.json")
+        write_run_record(
+            rec_path, env=env, cfg=cfg, spec=spec, launch=config.launch(),
+            result=result, stats=stats,
+            extra={"config": config.to_json(), "dtype": config.dtype},
+        )
+        paths["record"] = rec_path
+        if plots and result.traj is not None:
+            from .viz import plot_ray_paths
+
+            p = os.path.join(out_dir, f"{config.name}_rays.png")
+            plot_ray_paths(result.traj["u"], frame=config.frame, path=p)
+            paths["rays_png"] = p
+    return {"result": result, "stats": stats, "valid": valid, "paths": paths}
+
+
+def _rhs_for(config: RunConfig, env: medium_mod.EnvParams):
+    if config.frame == "2d_lat":
+        return (
+            lambda u, ff: rhs_mod.rhs_2d_lat(u, ff, env,
+                                             grad_mode=config.grad_mode),
+            3,
+        )
+    if config.frame == "2d_colat":
+        return (
+            lambda u, ff: rhs_mod.rhs_2d_colat(u, ff, env,
+                                               grad_mode=config.grad_mode),
+            3,
+        )
+    return (lambda u, ff: rhs_mod.rhs_3d(u, ff, env), 6)
+
+
+def summarize(result, valid):
+    """Human-readable status summary line."""
+    status = np.asarray(result.status)[np.asarray(valid)]
+    parts = []
+    for code, name in enumerate(events.STATUS_NAMES):
+        n = int((status == code).sum())
+        if n:
+            parts.append(f"{name}={n}")
+    return " ".join(parts)
