@@ -64,6 +64,7 @@ class RunConfig:
     adaptive: bool = True
     max_steps: int = 20000
     grad_mode: str = "fused"
+    wave_mode: str = "whistler"     # "whistler" (+ root) | "emic" (- root)
     # stop conditions
     t_max: float = 5.0e9 / RE
     r_floor: float = 1.0
@@ -75,6 +76,10 @@ class RunConfig:
     use_rounds: bool = True         # bucketed re-batching
     save_every: int = 0             # >0: record trajectory snapshots
     save_diagnostics: bool = False  # also record (mu, dmudpsi, dip, psi)
+
+    @property
+    def root(self):
+        return 1.0 if self.wave_mode == "whistler" else -1.0
 
     def solver(self):
         return SolverConfig(rtol=self.rtol, atol=self.atol, dt0=self.dt0)

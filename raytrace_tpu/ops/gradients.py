@@ -46,22 +46,27 @@ REFERENCE = "reference"
 FUSED = "fused"
 
 
-def mu_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, grad_mode=FUSED):
-    """(mu, dmu/dr, dmu/dlat, dmu/dpsi, dmu/df) at a latitude-frame state."""
+def mu_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, grad_mode=FUSED,
+                    root=1.0):
+    """(mu, dmu/dr, dmu/dlat, dmu/dpsi, dmu/df) at a latitude-frame state.
+
+    root=+1.0 traces the whistler branch (B+F)/2A; root=-1.0 the EMIC
+    branch the reference leaves commented out (RayMain.jl:243)."""
     if grad_mode == FUSED:
         from . import fused
 
-        return fused.mu_and_grads_2d_lat(r, lat, chi, f, env)
+        return fused.mu_and_grads_2d_lat(r, lat, chi, f, env, root)
     mu, (dmudr, dmudlat, dmudchi, dmudf) = jax.value_and_grad(
         dispersion.mu_2d_lat, argnums=(0, 1, 2, 3)
-    )(r, lat, chi, f, env)
+    )(r, lat, chi, f, env, root)
     if grad_mode == REFERENCE:
         _, dmudchi = analytic.mu_dmudpsi_2d_lat(r, lat, chi, f, env)
         dmudr = jnp.zeros_like(dmudr)
     return mu, dmudr, dmudlat, dmudchi, dmudf
 
 
-def mu_grads_2d_colat(r, theta, chi, f, env: medium.EnvParams, grad_mode=FUSED):
+def mu_grads_2d_colat(r, theta, chi, f, env: medium.EnvParams, grad_mode=FUSED,
+                      root=1.0):
     """(mu, dmu/dr, dmu/dtheta, dmu/dpsi, dmu/df), colatitude frame.
 
     dip(theta) == dip(lat = pi/2 - theta), so the fused latitude chain
@@ -71,12 +76,12 @@ def mu_grads_2d_colat(r, theta, chi, f, env: medium.EnvParams, grad_mode=FUSED):
 
         lat = jnp.pi / 2.0 - theta
         mu, dmudr, dmudlat, dmudpsi, dmudf = fused.mu_and_grads_2d_lat(
-            r, lat, chi, f, env
+            r, lat, chi, f, env, root
         )
         return mu, dmudr, -dmudlat, dmudpsi, dmudf
     mu, (dmudr, dmudtheta, dmudchi, dmudf) = jax.value_and_grad(
         dispersion.mu_2d_colat, argnums=(0, 1, 2, 3)
-    )(r, theta, chi, f, env)
+    )(r, theta, chi, f, env, root)
     if grad_mode == REFERENCE:
         lat = jnp.pi / 2.0 - theta
         _, dmudchi = analytic.mu_dmudpsi_2d_lat(r, lat, chi, f, env)
@@ -85,7 +90,7 @@ def mu_grads_2d_colat(r, theta, chi, f, env: medium.EnvParams, grad_mode=FUSED):
 
 
 def mu_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams,
-                grad_mode=AUTODIFF):
+                grad_mode=AUTODIFF, root=1.0):
     """mu and all 7 partials (r, theta, phi, rho_r, rho_t, rho_p, f).
 
     mode="reference" swaps the rho-partials for the reference's Kimura
@@ -94,7 +99,7 @@ def mu_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams,
     autodiff (they match the reference's central differences)."""
     mu, grads = jax.value_and_grad(
         dispersion.mu_3d, argnums=(0, 1, 2, 3, 4, 5, 6)
-    )(r, theta, phi, rho_r, rho_t, rho_p, f, env)
+    )(r, theta, phi, rho_r, rho_t, rho_p, f, env, root)
     if grad_mode == REFERENCE:
         from ..models import dipole
 

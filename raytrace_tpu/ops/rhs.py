@@ -28,7 +28,7 @@ from . import gradients
 
 
 def rhs_2d_lat(u, f, env: medium.EnvParams, legacy_freq_state=False,
-               grad_mode=gradients.FUSED):
+               grad_mode=gradients.FUSED, root=1.0):
     """du/dt for the latitude-frame 2D ray (RayTrace_lat.jl:270-273).
 
     grad_mode="reference" reproduces the reference's mixed gradient set
@@ -37,7 +37,7 @@ def rhs_2d_lat(u, f, env: medium.EnvParams, legacy_freq_state=False,
     r, lat, chi, T = u[0], u[1], u[2], u[3]
     freq = f + T if legacy_freq_state else f
     mu, dmudr, dmudlat, dmudpsi, dmudf = gradients.mu_grads_2d_lat(
-        r, lat, chi, freq, env, grad_mode
+        r, lat, chi, freq, env, grad_mode, root
     )
     sinchi, coschi = jnp.sin(chi), jnp.cos(chi)
     inv_mu2 = 1.0 / (mu * mu)
@@ -49,14 +49,14 @@ def rhs_2d_lat(u, f, env: medium.EnvParams, legacy_freq_state=False,
 
 
 def rhs_2d_colat(u, f, env: medium.EnvParams, legacy_freq_state=False,
-                 grad_mode=gradients.FUSED):
+                 grad_mode=gradients.FUSED, root=1.0):
     """du/dt for the colatitude-frame 2D ray (RayMain.jl:341-344).
 
     Sign flips vs the latitude form reflect lat = pi/2 - theta."""
     r, theta, chi, T = u[0], u[1], u[2], u[3]
     freq = f + T if legacy_freq_state else f
     mu, dmudr, dmudtheta, dmudpsi, dmudf = gradients.mu_grads_2d_colat(
-        r, theta, chi, freq, env, grad_mode
+        r, theta, chi, freq, env, grad_mode, root
     )
     sinchi, coschi = jnp.sin(chi), jnp.cos(chi)
     inv_mu2 = 1.0 / (mu * mu)
@@ -67,12 +67,14 @@ def rhs_2d_colat(u, f, env: medium.EnvParams, legacy_freq_state=False,
     return jnp.stack([dr, dtheta, dchi, dT])
 
 
-def rhs_3d(u, f, env: medium.EnvParams):
+def rhs_3d(u, f, env: medium.EnvParams, grad_mode=gradients.AUTODIFF,
+           root=1.0):
     """du/dt for the 3D ray (RayTrace_3D.jl:350-356), f a true parameter."""
     r, theta, phi = u[0], u[1], u[2]
     rho_r, rho_t, rho_p = u[3], u[4], u[5]
     mu, (dmudr, dmudtheta, dmudphi, dmudrr, dmudrt, dmudrp, dmudf) = (
-        gradients.mu_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env)
+        gradients.mu_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env,
+                              grad_mode, root)
     )
     sintheta, costheta = jnp.sin(theta), jnp.cos(theta)
     inv_mu2 = 1.0 / (mu * mu)

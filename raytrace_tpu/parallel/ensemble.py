@@ -80,19 +80,22 @@ def make_ensemble_tracer(
     chunk: int = 64,
     mesh=None,
     grad_mode="fused",
+    root=1.0,
 ):
     """Jitted (u0, f) -> TraceResult over the ray batch.
 
     frame: '2d_lat' | '2d_colat' | '3d'. With a mesh, inputs/outputs are
     sharded over the 'rays' axis (ICI data parallelism)."""
     if frame == "2d_lat":
-        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_lat(u, ff, env, grad_mode=grad_mode)
+        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_lat(
+            u, ff, env, grad_mode=grad_mode, root=root)
         group_idx = 3
     elif frame == "2d_colat":
-        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_colat(u, ff, env, grad_mode=grad_mode)
+        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_colat(
+            u, ff, env, grad_mode=grad_mode, root=root)
         group_idx = 3
     elif frame == "3d":
-        rhs_fn = lambda u, ff: rhs_mod.rhs_3d(u, ff, env)
+        rhs_fn = lambda u, ff: rhs_mod.rhs_3d(u, ff, env, root=root)
         group_idx = 6
     else:
         raise ValueError(f"unknown frame {frame!r}")
@@ -129,6 +132,7 @@ def make_rounds_tracer(
     round_steps: int = 2048,
     chunk: int = 256,
     grad_mode="fused",
+    root=1.0,
 ):
     """Ensemble tracer with host-side bucketed re-batching.
 
@@ -143,13 +147,15 @@ def make_rounds_tracer(
     start/continue programs, compiled once per bucket size and reused
     across rounds and calls."""
     if frame == "2d_lat":
-        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_lat(u, ff, env, grad_mode=grad_mode)
+        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_lat(
+            u, ff, env, grad_mode=grad_mode, root=root)
         group_idx = 3
     elif frame == "2d_colat":
-        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_colat(u, ff, env, grad_mode=grad_mode)
+        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_colat(
+            u, ff, env, grad_mode=grad_mode, root=root)
         group_idx = 3
     elif frame == "3d":
-        rhs_fn = lambda u, ff: rhs_mod.rhs_3d(u, ff, env)
+        rhs_fn = lambda u, ff: rhs_mod.rhs_3d(u, ff, env, root=root)
         group_idx = 6
     else:
         raise ValueError(f"unknown frame {frame!r}")

@@ -62,6 +62,7 @@ def run(config: RunConfig, out_dir=None, plots=False):
     common = dict(
         frame=config.frame, cfg=cfg, spec=spec, adaptive=config.adaptive,
         max_steps=config.max_steps, grad_mode=config.grad_mode,
+        root=config.root,
     )
 
     if config.save_every > 0:
@@ -125,17 +126,17 @@ def run(config: RunConfig, out_dir=None, plots=False):
 def _rhs_for(config: RunConfig, env: medium_mod.EnvParams):
     if config.frame == "2d_lat":
         return (
-            lambda u, ff: rhs_mod.rhs_2d_lat(u, ff, env,
-                                             grad_mode=config.grad_mode),
+            lambda u, ff: rhs_mod.rhs_2d_lat(
+                u, ff, env, grad_mode=config.grad_mode, root=config.root),
             3,
         )
     if config.frame == "2d_colat":
         return (
-            lambda u, ff: rhs_mod.rhs_2d_colat(u, ff, env,
-                                               grad_mode=config.grad_mode),
+            lambda u, ff: rhs_mod.rhs_2d_colat(
+                u, ff, env, grad_mode=config.grad_mode, root=config.root),
             3,
         )
-    return (lambda u, ff: rhs_mod.rhs_3d(u, ff, env), 6)
+    return (lambda u, ff: rhs_mod.rhs_3d(u, ff, env, root=config.root), 6)
 
 
 def summarize(result, valid):

@@ -1,0 +1,163 @@
+"""Feature coverage: EMIC branch, legacy freq-state parity vs the native
+oracle, toy-ODE solver sanity (the reference's scratch.jl:516-529 Lorenz
+check, C26), debug gates, config round-trip, CLI runner."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace_tpu import native
+from raytrace_tpu.config import RunConfig, preset
+from raytrace_tpu.constants import RE
+from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
+from raytrace_tpu.models import make_env_lat
+from raytrace_tpu.ops import dispersion, rhs
+from raytrace_tpu.run import run
+from raytrace_tpu.utils.debug import checked_mu_2d_lat
+
+R0 = (RE + 1.0e6) / RE
+
+
+def test_emic_branch_selects_minus_root():
+    """root=-1 must produce mu = sqrt(|mu2_minus|) (RayMain.jl:201,243)."""
+    env = make_env_lat()
+    r, lat, chi, f = 2.0, 0.5, 0.3, 1500.0
+    rlp = dispersion.stix_rlp(
+        __import__("raytrace_tpu.models.medium", fromlist=["x"]).ne_total_m3(r, lat, env),
+        __import__("raytrace_tpu.models.medium", fromlist=["x"]).b_mag(r, lat, env),
+        f,
+    )
+    psi = dispersion.psi_lat(lat, chi)
+    mu2m = float(dispersion.mu2_signed(*rlp, psi, root=-1.0))
+    mu_emic = float(dispersion.mu_2d_lat(r, lat, chi, f, env, root=-1.0))
+    assert mu_emic == pytest.approx(np.sqrt(abs(mu2m)), rel=1e-12)
+    # both branches trace without NaN
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env, root=-1.0),
+        jnp.array([[R0, np.pi / 4, 0.0, 0.0]]), jnp.array([1000.0]),
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=1e8 / RE), max_steps=2000,
+    )
+    assert bool(jnp.all(jnp.isfinite(res.u)))
+
+
+def test_legacy_freq_state_drifts_frequency():
+    """The RayMain quirk: state[3] integrated with the group-delay equation
+    IS fed back as frequency (SURVEY.md 3.1). With the flag, the effective
+    frequency after tracing differs from f0 by the accumulated group delay,
+    and the trajectory differs measurably from the corrected convention."""
+    env = make_env_lat()
+    u0 = jnp.array([[R0, np.pi / 4, 0.0, 0.0]])
+    f = jnp.array([1000.0])
+    kw = dict(
+        cfg=SolverConfig(rtol=1e-7, atol=1e-12, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e9 / RE), max_steps=30000,
+    )
+    a = trace(lambda u, ff: rhs.rhs_2d_lat(u, ff, env), u0, f, **kw)
+    b = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env, legacy_freq_state=True),
+        u0, f, **kw,
+    )
+    # both terminate at the surface; trajectories differ but only slightly
+    # (the drift is seconds-scale against f0 = 1000 Hz)
+    assert int(a.status[0]) == int(b.status[0]) == events.HIT_EARTH
+    la, lb = float(a.u[0, 1]), float(b.u[0, 1])
+    assert la != lb
+    assert abs(la - lb) < 0.05
+
+
+def test_lorenz_attractor_sanity():
+    """Known-good toy ODE (the reference uses the Lorenz system as its
+    solver sanity check, scratch.jl:516-529): verify chaotic-but-bounded
+    behavior and adaptive-step accuracy against a fine fixed-step run."""
+    def lorenz(u, f):
+        x, y, z = u[0], u[1], u[2]
+        return jnp.stack([
+            10.0 * (y - x), x * (28.0 - z) - y, x * y - (8.0 / 3.0) * z,
+            jnp.ones_like(x),
+        ])
+
+    u0 = jnp.array([[1.0, 1.0, 1.0, 0.0]])
+    f = jnp.array([0.0])
+    spec = StopSpec(r_floor=-1e6, t_max=5.0)
+    adaptive = trace(
+        lorenz, u0, f,
+        cfg=SolverConfig(rtol=1e-10, atol=1e-12, dt0=1e-3, dt_max=0.1),
+        spec=spec, max_steps=20000,
+    )
+    fixed = trace(
+        lorenz, u0, f,
+        cfg=SolverConfig(dt0=1e-4, dt_max=1e-4, dt_min=1e-4),
+        spec=spec, adaptive=False, max_steps=50001,
+    )
+    assert int(adaptive.status[0]) == events.MAX_PHASE_TIME
+    np.testing.assert_allclose(
+        np.asarray(adaptive.u[0, :3]), np.asarray(fixed.u[0, :3]),
+        rtol=1e-3,
+    )
+    assert float(jnp.max(jnp.abs(adaptive.u))) < 100.0
+
+
+def test_checked_mu_reports_evanescence():
+    env = make_env_lat()
+    # canonical whistler point: the traced '+' root is evanescent (mu2<0)
+    err, mu = checked_mu_2d_lat(R0, np.pi / 4, 0.0, 5000.0, env)
+    with pytest.raises(Exception):
+        err.throw()
+    # the '-' root is propagating there: no error
+    err2, mu2 = checked_mu_2d_lat(R0, np.pi / 4, 0.0, 5000.0, env, root=-1.0)
+    err2.throw()
+    assert float(mu2) > 1.0
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = preset("knee", rtol=3e-6, wave_mode="emic")
+    path = tmp_path / "cfg.json"
+    cfg.to_json(str(path))
+    loaded = RunConfig.from_json(str(path))
+    assert loaded.rtol == 3e-6
+    assert loaded.root == -1.0
+    assert loaded.medium.b0 == cfg.medium.b0
+    assert tuple(loaded.lats) == tuple(cfg.lats)
+
+
+def test_runner_end_to_end_cpu(tmp_path):
+    cfg = preset("lat_fan", max_steps=512, dtype="float64")
+    cfg.lats = tuple(np.linspace(0.6, 0.8, 4))
+    cfg.chis = (0.0,)
+    out = run(cfg, out_dir=str(tmp_path))
+    assert (tmp_path / "lat_fan_final.npz").exists()
+    assert (tmp_path / "lat_fan_record.json").exists()
+    total = int(out["stats"]["total_accepted_steps"])
+    assert total > 100
+
+
+def test_runner_3d_frame(tmp_path):
+    cfg = preset("3d", max_steps=256, dtype="float64")
+    out = run(cfg, out_dir=str(tmp_path))
+    u = np.asarray(out["result"].u)
+    assert u.shape[1] == 7
+    assert np.all(np.isfinite(u[np.asarray(out["valid"])]))
+
+
+def test_native_legacy_freq_vs_jax():
+    """grad_mode parity run in reference mode at tight tolerance: the
+    native C++ reference-mode trajectory matches the JAX reference-mode
+    trajectory (both with dmudpsi quirk + dmudr == 0)."""
+    env = make_env_lat()
+    u0 = np.array([R0, np.pi / 4, 0.0, 0.0])
+    t_max = 2e8 / RE  # short leg: reference dynamics run to budget
+    res_n = native.trace_2d_lat(
+        u0, 1000.0, env, grad_mode=native.GRAD_REFERENCE, rtol=1e-9,
+        atol=1e-14, t_max=t_max, max_steps=100000,
+    )
+    res_j = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env, grad_mode="reference"),
+        jnp.asarray(u0)[None], jnp.array([1000.0]),
+        cfg=SolverConfig(rtol=1e-9, atol=1e-14, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=t_max), max_steps=100000,
+        chunk=256,
+    )
+    np.testing.assert_allclose(
+        res_n["u"], np.asarray(res_j.u[0]), rtol=2e-5,
+    )
