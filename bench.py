@@ -114,7 +114,9 @@ def measure_tpu_ensemble():
     env = make_env_lat()
     import jax.numpy as jnp
 
-    env = type(env)(*[jnp.float32(v) for v in env])
+    from raytrace_tpu.models import cast_env
+
+    env = cast_env(env, jnp.float32)
     spec = LaunchSpec(
         lats=tuple(np.linspace(0.45, 1.1, N_LATS)),
         chis=tuple(np.linspace(-0.5, 0.5, N_CHIS)),

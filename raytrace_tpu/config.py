@@ -36,13 +36,14 @@ class MediumConfig:
     rbar: float = 90.0
     mlt: float = 2.0
     de_correction: bool = False
+    ps_smooth: float = 0.0          # sigmoid plasmapause blend width (L)
 
     def build(self):
         fit = TRACED_FIT if self.iono_fit == "traced" else IRI_DAYSIDE_FIT
         return make_env(
             b0=self.b0, iono_fit=fit, plasmasphere_on=self.plasmasphere,
             kp_max=self.kp_max, day=self.day, rbar=self.rbar, mlt=self.mlt,
-            de_correction=self.de_correction,
+            de_correction=self.de_correction, ps_smooth=self.ps_smooth,
         )
 
 

@@ -4,6 +4,7 @@ from . import dipole, ionosphere, plasmasphere
 from .medium import (
     EnvParams,
     b_mag,
+    cast_env,
     make_env,
     make_env_lat,
     make_env_raymain,
@@ -13,6 +14,7 @@ from .medium import (
 __all__ = [
     "EnvParams",
     "b_mag",
+    "cast_env",
     "dipole",
     "ionosphere",
     "make_env",

@@ -32,6 +32,7 @@ class EnvParams(NamedTuple):
     ps_season: float                 # CA1992 seasonal/solar coefficient
     ps_trough: float                 # 5800 + 300 mlt
     de_weight: float                 # 1.0 = diffusive-equilibrium correction
+    ps_smooth: float = 0.0           # >0: sigmoid-blend width at Lppi/Lppo
 
 
 def make_env(
@@ -43,6 +44,7 @@ def make_env(
     rbar=90.0,
     mlt=2.0,
     de_correction=False,
+    ps_smooth=0.0,
 ):
     """Build EnvParams; runs the host-side plasmapause pre-solve.
 
@@ -62,7 +64,24 @@ def make_env(
         ps_season=plasmasphere.season_coeff(day, rbar),
         ps_trough=5800.0 + 300.0 * mlt,
         de_weight=1.0 if de_correction else 0.0,
+        ps_smooth=ps_smooth,
     )
+
+
+# fields that gate code paths at trace time -- keep python floats when
+# casting an EnvParams to device values
+STATIC_FIELDS = ("ps_weight", "de_weight", "ps_smooth")
+
+
+def cast_env(env: EnvParams, dtype):
+    """EnvParams with continuous scalars as dtype device values and the
+    structural flags left static (see run.py for why)."""
+    import jax.numpy as jnp_
+
+    return env._replace(**{
+        name: jnp_.asarray(getattr(env, name), dtype)
+        for name in env._fields if name not in STATIC_FIELDS
+    })
 
 
 def make_env_raymain():
@@ -84,7 +103,8 @@ def ne_total_m3(r, lat, env: EnvParams):
     ne_i = ionosphere.ne_iono_cm3(r, env.iono_n0, env.iono_decay, env.iono_r0)
     L = dipole.l_shell(r, lat)
     ne_p = plasmasphere.ne_plasma_cm3(
-        L, env.lppi, env.lppo, env.ne_lppi, env.ps_season, env.ps_trough
+        L, env.lppi, env.lppo, env.ne_lppi, env.ps_season, env.ps_trough,
+        env.ps_smooth,
     )
     de = plasmasphere.diffusive_equilibrium_factor(r)
     ne_p = ne_p * (env.de_weight * de + (1.0 - env.de_weight))

@@ -82,12 +82,21 @@ def initialize_plasmasphere(lppi, day, rbar, mlt):
 LN10 = 2.302585092994046
 
 
-def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c):
+def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c, smooth=0.0):
     """CA1992 plasmasphere density (cm^-3), branchless on device.
 
     trough_c = 5800 + 300 mlt. Reference: RayTrace_lat.jl:72-81.
     Powers are written as exp/log so the function lowers in Pallas/Mosaic
-    (no pow primitive) -- identical values to within 1 ulp."""
+    (no pow primitive) -- identical values to within 1 ulp.
+
+    smooth > 0 replaces the hard branch boundaries with sigmoid blends of
+    width `smooth` (in L) -- a physically reasonable option (the real
+    plasmapause is a finite gradient) that makes the medium C-infinity.
+    Note: measured rejection rates on the knee stress config are unchanged
+    by smoothing (~77% either way) -- that stiffness lives in the ray
+    dynamics near reflection points (which is why the reference reaches
+    for CVODE_BDF), not in the density model's C0 seams.
+    Default 0.0 = reference-exact."""
     log_ne1 = (-0.3145 * L + 3.9043) + a_season * jnp.exp((2.0 - L) / 1.5)
     ne1 = jnp.exp(LN10 * log_ne1)
     ne2 = ne_lppi * jnp.exp(LN10 * (lppi - L) / 0.1)
@@ -95,7 +104,30 @@ def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c):
     ne3 = trough_c * jnp.exp(-4.5 * jnp.log(Lsafe)) + (
         1.0 - jnp.exp((2.0 - L) / 10.0)
     )
-    return jnp.where(L <= lppi, ne1, jnp.where(L <= lppo, ne2, ne3))
+    if not isinstance(smooth, (int, float)):
+        raise TypeError(
+            "ps_smooth must be a static python float (it selects a code "
+            "path at trace time); got a traced value. Keep it out of any "
+            "jnp-cast of EnvParams."
+        )
+    hard = jnp.where(L <= lppi, ne1, jnp.where(L <= lppo, ne2, ne3))
+    if smooth == 0.0:
+        return hard
+    # blend in LOG space: branch 2 grows like 10^((lppi-L)/0.1) toward
+    # small L, so a linear-space sigmoid blend leaks huge branch-2 values
+    # through its tail; in log space the leakage is additive in logs and
+    # vanishes. All branches are positive.
+    w1 = jax_sigmoid((lppi - L) / smooth)
+    w2 = jax_sigmoid((lppo - L) / smooth)
+    ln1 = LN10 * log_ne1
+    ln2 = jnp.log(ne2)
+    ln3 = jnp.log(ne3)
+    return jnp.exp(w1 * ln1 + (1.0 - w1) * (w2 * ln2 + (1.0 - w2) * ln3))
+
+
+def jax_sigmoid(x):
+    # logistic in exp/log form (Pallas-lowerable)
+    return 1.0 / (1.0 + jnp.exp(-x))
 
 
 def diffusive_equilibrium_factor(r):

@@ -61,10 +61,35 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
     e3 = jnp.exp((2.0 - L) / 10.0)
     ne3 = p3 + (1.0 - e3)
     dne3 = -4.5 * p3 / Ls + e3 / 10.0
-    in1 = L <= env.lppi
-    in2 = L <= env.lppo
-    ne_p = jnp.where(in1, ne1, jnp.where(in2, ne2, ne3))
-    dne_p = jnp.where(in1, dne1, jnp.where(in2, dne2, dne3))
+    smooth_on = not (
+        isinstance(env.ps_smooth, float) and env.ps_smooth == 0.0
+    )
+    if smooth_on:
+        # log-space sigmoid blends (see models/plasmasphere.py):
+        # value and d/dL together
+        inv_w = 1.0 / env.ps_smooth
+        s1 = 1.0 / (1.0 + jnp.exp(-(env.lppi - L) * inv_w))
+        s2 = 1.0 / (1.0 + jnp.exp(-(env.lppo - L) * inv_w))
+        ds1 = -s1 * (1.0 - s1) * inv_w     # d s1/dL
+        ds2 = -s2 * (1.0 - s2) * inv_w
+        ln1 = LN10 * g1
+        dln1 = dne1 / ne1
+        ln2 = jnp.log(ne2)
+        dln2 = -(LN10 / 0.1)
+        ln3 = jnp.log(ne3)
+        dln3 = dne3 / ne3
+        inner = s2 * ln2 + (1.0 - s2) * ln3
+        dinner = ds2 * (ln2 - ln3) + s2 * dln2 + (1.0 - s2) * dln3
+        lns = s1 * ln1 + (1.0 - s1) * inner
+        ne_p = jnp.exp(lns)
+        dne_p = ne_p * (
+            ds1 * (ln1 - inner) + s1 * dln1 + (1.0 - s1) * dinner
+        )
+    else:
+        in1 = L <= env.lppi
+        in2 = L <= env.lppo
+        ne_p = jnp.where(in1, ne1, jnp.where(in2, ne2, ne3))
+        dne_p = jnp.where(in1, dne1, jnp.where(in2, dne2, dne3))
 
     de_on = not (isinstance(env.de_weight, float) and env.de_weight == 0.0)
     if de_on:

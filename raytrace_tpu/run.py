@@ -49,10 +49,14 @@ def run(config: RunConfig, out_dir=None, plots=False):
 
     env = config.medium.build()
     dtype = np.float32 if config.dtype == "float32" else np.float64
-    # pass env as traced device scalars (not python-float constants): the
-    # compiled program is then independent of the medium parameters, so
-    # one compile serves every env -- and re-runs hit the compile cache
-    env = type(env)(*[jnp.asarray(v, dtype) for v in env])
+    # pass the continuous medium scalars as traced device values (not
+    # python-float constants): the compiled program is then independent of
+    # the medium parameters, so one compile serves every env and re-runs
+    # hit the compile cache. The STRUCTURAL fields (ps_weight, de_weight,
+    # ps_smooth) stay python floats: they gate code paths at trace time,
+    # and tracing ps_smooth=0.0 would send the smooth-blend path a zero
+    # width (1/0 -> NaN gradients).
+    env = medium_mod.cast_env(env, dtype)
     mesh = make_ray_mesh()
     u0, f = _build_u0(config, dtype)
     u0, f, valid = pad_batch(u0, f, mesh)

@@ -157,6 +157,15 @@ def plot_environment(env: medium.EnvParams, path=None, extent=4.0, n=400):
     fig.colorbar(im2, ax=axes[1], label="log10 |B| (T)")
     axes[1].add_patch(plt.Circle((0, 0), 1.0, color="k"))
     axes[1].set_title("dipole field magnitude")
+    # day/night terminator: nightside semicircle overlay
+    # (plasmasphere.jl:208-233)
+    th = np.linspace(np.pi / 2, 3 * np.pi / 2, 100)
+    for ax in axes:
+        ax.fill(
+            np.concatenate([0.95 * np.cos(th), [0.0]]),
+            np.concatenate([0.95 * np.sin(th), [0.0]]),
+            color="w", alpha=0.9, zorder=3,
+        )
     for ax in axes:
         ax.set_aspect("equal")
         ax.set_xlabel("x (RE)")

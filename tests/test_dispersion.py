@@ -105,7 +105,7 @@ def test_float32_conditioning():
     This is the property that makes the TPU compute path viable; the naive
     unnormalized formula loses many more digits (F^2 ~ 1e20)."""
     env64 = medium.make_env_raymain()
-    env32 = medium.EnvParams(*[jnp.float32(x) for x in env64])
+    env32 = medium.cast_env(env64, jnp.float32)
     rng = np.random.default_rng(0)
     for _ in range(200):
         r = float(rng.uniform(R0, 5.0))
