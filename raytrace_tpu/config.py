@@ -63,6 +63,7 @@ class RunConfig:
     atol: float = 1.0e-12
     dt0: float = 1.0e-4
     adaptive: bool = True
+    stepper: str = "dopri5"         # "dopri5" | "ros2" (stiff tier)
     max_steps: int = 20000
     grad_mode: str = "fused"
     wave_mode: str = "whistler"     # "whistler" (+ root) | "emic" (- root)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..constants import RE
 from . import events
 from .events import StopSpec
-from .steppers import dopri5_step, rk4_step
+from .steppers import dopri5_step, rk4_step, ros2_step
 
 
 class SolverConfig(NamedTuple):
@@ -118,19 +118,29 @@ def _sel(cond, a, b):
 
 
 def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
-              group_idx: int, adaptive: bool):
-    """One attempted step for one ray; no-op when the ray is not ACTIVE."""
+              group_idx: int, adaptive: bool, stepper: str = "dopri5"):
+    """One attempted step for one ray; no-op when the ray is not ACTIVE.
+
+    stepper: "dopri5" (adaptive explicit, default) | "ros2" (adaptive
+    linearly implicit L-stable -- the stiff tier) | "rk4" (fixed step,
+    selected by adaptive=False). Controller exponents scale with the
+    stepper's order."""
     active = carry.status == events.ACTIVE
     rhs1 = lambda u: rhs_fn(u, f)
     # do not overshoot the phase-path budget (CVODE integrates to tstop)
     dt_eff = jnp.minimum(carry.dt, jnp.maximum(spec.t_max - carry.t, cfg.dt_min))
 
-    if adaptive:
-        out = dopri5_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
-        accept = out.err <= 1.0
-    else:
+    order = 5.0
+    if not adaptive:
         out = rk4_step(rhs1, carry.u, carry.k1, dt_eff)
         accept = jnp.asarray(True)
+    elif stepper == "ros2":
+        order = 2.0
+        out = ros2_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
+        accept = out.err <= 1.0
+    else:
+        out = dopri5_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
+        accept = out.err <= 1.0
 
     t1 = carry.t + dt_eff
     status1 = events.classify_step(carry.u, out.u_new, t1, spec, group_idx)
@@ -145,13 +155,17 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
     if adaptive:
         err = jnp.maximum(out.err, 1.0e-10)
         log_err = jnp.log(err)
+        scale5 = 5.0 / order  # PI exponents tuned per stepper order
         fac_cap = jnp.where(carry.rejected > 0, 1.0, cfg.fac_max)
         fac_acc = jnp.clip(
             cfg.safety
-            * jnp.exp(-cfg.pi_alpha * log_err + cfg.pi_beta * jnp.log(carry.errold)),
+            * jnp.exp(scale5 * (-cfg.pi_alpha * log_err
+                                + cfg.pi_beta * jnp.log(carry.errold))),
             cfg.fac_min, fac_cap,
         )
-        fac_rej = jnp.clip(cfg.safety * jnp.exp(-0.2 * log_err), cfg.fac_min, 1.0)
+        fac_rej = jnp.clip(
+            cfg.safety * jnp.exp(-log_err / order), cfg.fac_min, 1.0
+        )
         dt_next = jnp.clip(
             dt_eff * jnp.where(accept, fac_acc, fac_rej),
             cfg.dt_min, cfg.dt_max,
@@ -231,6 +245,7 @@ def trace(
     spec: StopSpec = StopSpec(),
     group_idx: int = 3,
     adaptive: bool = True,
+    stepper: str = "dopri5",
     max_steps: int = 20000,
     save_every: int = 0,
     save_fn=None,
@@ -252,7 +267,7 @@ def trace(
     """
     step = partial(
         _step_one, rhs_fn, cfg=cfg, spec=spec,
-        group_idx=group_idx, adaptive=adaptive,
+        group_idx=group_idx, adaptive=adaptive, stepper=stepper,
     )
     step_b = jax.vmap(step)
     if carry0 is None:

@@ -14,6 +14,7 @@ derivatives with zero extra RHS evaluations (integrate/events.py).
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -53,6 +54,41 @@ _DP_B5 = (35.0 / 384.0, 0.0, 500.0 / 1113.0, 125.0 / 192.0,
           -2187.0 / 6784.0, 11.0 / 84.0, 0.0)
 _DP_B4 = (5179.0 / 57600.0, 0.0, 7571.0 / 16695.0, 393.0 / 640.0,
           -92097.0 / 339200.0, 187.0 / 2100.0, 1.0 / 40.0)
+
+
+def ros2_step(rhs_fn, u, k1, dt, rtol, atol):
+    """L-stable 2-stage Rosenbrock (ROS2) step -- the stiff tier.
+
+    The linearly implicit answer to the reference's CVODE_BDF
+    (RayMain.jl:387): no Newton iteration, one Jacobian (via jax.jacfwd)
+    and two linear solves per step. Derivation (order-2 conditions for a
+    2-stage ROW method, b1 = b2 = 1/2, a21 = 1, c21 = -2*gamma; any gamma
+    satisfies them, and gamma = 1 + 1/sqrt(2) makes it L-stable):
+
+        (I - h g J) k1 = h f(u)
+        (I - h g J) k2 = h f(u + k1) - 2 g h J k1
+        u+ = u + (k1 + k2)/2
+
+    Embedded order-1 solution u + k1 (linearly implicit Euler) gives the
+    error estimate (k2 - k1)/2. k1 argument is the FSAL carry f(u) --
+    reused as the stage-1 right-hand side. Cost ~ one DP5 step, but stable
+    at any dt for stiff modes (whistler reflection points, the plasmapause
+    knee) where explicit DP5 pays rejection storms."""
+    gamma = 1.0 + 0.7071067811865476  # 1 + 1/sqrt(2)
+    n = u.shape[0]
+    J = jax.jacfwd(rhs_fn)(u)
+    W = jnp.eye(n, dtype=u.dtype) - (dt * gamma) * J
+    s1 = jnp.linalg.solve(W, dt * k1)
+    f2 = rhs_fn(u + s1)
+    rhs2 = dt * f2 - (2.0 * gamma * dt) * (J @ s1)
+    s2 = jnp.linalg.solve(W, rhs2)
+    u_new = u + 0.5 * (s1 + s2)
+    k_end = rhs_fn(u_new)
+    err_vec = 0.5 * (s2 - s1)
+    scale = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u_new))
+    err = jnp.sqrt(jnp.mean(jnp.square(err_vec / scale)))
+    incr = 0.5 * (s1 + s2)
+    return StepOut(u_new, k_end, err, incr)
 
 
 def dopri5_step(rhs_fn, u, k1, dt, rtol, atol):

@@ -76,6 +76,7 @@ def make_ensemble_tracer(
     cfg: SolverConfig = SolverConfig(),
     spec: StopSpec = StopSpec(),
     adaptive: bool = True,
+    stepper: str = "dopri5",
     max_steps: int = 20000,
     chunk: int = 64,
     mesh=None,
@@ -103,7 +104,8 @@ def make_ensemble_tracer(
     def run(u0, f):
         return trace(
             rhs_fn, u0, f, cfg=cfg, spec=spec, group_idx=group_idx,
-            adaptive=adaptive, max_steps=max_steps, chunk=chunk,
+            adaptive=adaptive, stepper=stepper, max_steps=max_steps,
+            chunk=chunk,
         )
 
     if mesh is not None:
@@ -128,6 +130,7 @@ def make_rounds_tracer(
     cfg: SolverConfig = SolverConfig(),
     spec: StopSpec = StopSpec(),
     adaptive: bool = True,
+    stepper: str = "dopri5",
     max_steps: int = 20000,
     round_steps: int = 2048,
     chunk: int = 256,
@@ -162,7 +165,8 @@ def make_rounds_tracer(
 
     kw = dict(
         cfg=cfg, spec=spec, group_idx=group_idx, adaptive=adaptive,
-        max_steps=round_steps, chunk=min(chunk, round_steps),
+        stepper=stepper, max_steps=round_steps,
+        chunk=min(chunk, round_steps),
     )
 
     @jax.jit

@@ -65,8 +65,8 @@ def run(config: RunConfig, out_dir=None, plots=False):
     spec = config.stop()
     common = dict(
         frame=config.frame, cfg=cfg, spec=spec, adaptive=config.adaptive,
-        max_steps=config.max_steps, grad_mode=config.grad_mode,
-        root=config.root,
+        stepper=config.stepper, max_steps=config.max_steps,
+        grad_mode=config.grad_mode, root=config.root,
     )
 
     if config.save_every > 0:
@@ -80,8 +80,8 @@ def run(config: RunConfig, out_dir=None, plots=False):
         result = trace(
             rhs_fn, jnp.asarray(u0), jnp.asarray(f), cfg=cfg, spec=spec,
             group_idx=group_idx, adaptive=config.adaptive,
-            max_steps=config.max_steps, save_every=config.save_every,
-            save_fn=save_fn,
+            stepper=config.stepper, max_steps=config.max_steps,
+            save_every=config.save_every, save_fn=save_fn,
         )
     elif config.use_rounds:
         tracer = make_rounds_tracer(env, mesh=mesh, **common)

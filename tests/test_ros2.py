@@ -1,0 +1,101 @@
+"""ROS2 stiff-tier stepper: order, L-stability, stiff-problem efficiency.
+
+The order conditions were derived by hand (see steppers.ros2_step); these
+tests verify them numerically rather than trusting the derivation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace_tpu.constants import RE
+from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
+from raytrace_tpu.integrate.steppers import ros2_step
+from raytrace_tpu.models import make_env_lat
+from raytrace_tpu.ops import rhs
+
+
+def test_ros2_order_two():
+    """y' = -y^2, y(0)=1 (exact 1/(1+t)): halving dt -> error / 4."""
+    def f(u):
+        return -u * u
+
+    errs = []
+    for n in (50, 100):
+        dt = 1.0 / n
+        u = jnp.array([1.0])
+        k1 = f(u)
+        for _ in range(n):
+            out = ros2_step(f, u, k1, dt, 1e-8, 1e-12)
+            u, k1 = out.u_new, out.k_end
+        errs.append(abs(float(u[0]) - 0.5))
+    assert errs[0] / errs[1] == pytest.approx(4.0, rel=0.15)
+
+
+def test_ros2_l_stability():
+    """y' = lambda y with h*lambda = -1e8: one step must crush the mode
+    (|R(z)| -> 0 as z -> -inf); explicit steppers explode here."""
+    lam = -1.0e8
+
+    def f(u):
+        return lam * u
+
+    u = jnp.array([1.0])
+    out = ros2_step(f, u, f(u), 1.0, 1e-6, 1e-12)
+    assert abs(float(out.u_new[0])) < 1e-6
+
+
+def test_ros2_stiff_decay_accuracy():
+    """Stiff relaxation y' = -1e5 (y - cos t): ROS2 tracks the slow
+    manifold with large steps and finishes in a few hundred steps; DP5 is
+    stability-limited to dt ~ 3e-5 and exhausts a 4000-step budget."""
+    LAM = 1.0e5
+
+    def f(u, ff):
+        return jnp.stack([
+            -LAM * (u[0] - jnp.cos(u[3])), jnp.zeros_like(u[0]),
+            jnp.zeros_like(u[0]), jnp.ones_like(u[0]),
+        ])
+
+    u0 = jnp.array([[0.0, 0.0, 0.0, 0.0]])
+    fr = jnp.array([0.0])
+    # rtol 1e-4: a 2(1) pair controls the order-1 embedded error, so its
+    # dt scales as sqrt(rtol) -- realistic stiff-solver tolerances
+    kw = dict(
+        cfg=SolverConfig(rtol=1e-4, atol=1e-7, dt0=1e-3, dt_max=10.0),
+        spec=StopSpec(r_floor=-10.0, t_max=3.0),
+    )
+    ros = trace(f, u0, fr, stepper="ros2", max_steps=4000, **kw)
+    dp5 = trace(f, u0, fr, stepper="dopri5", max_steps=4000, **kw)
+    exact = float(
+        (LAM**2 * np.cos(3.0) + LAM * np.sin(3.0)) / (LAM**2 + 1.0)
+    )
+    assert int(ros.status[0]) == events.MAX_PHASE_TIME
+    assert float(ros.u[0, 0]) == pytest.approx(exact, abs=1e-3)
+    assert int(ros.n_accept[0]) < 1500
+    # DP5 cannot finish: stability limits dt to ~3.3/LAM, needing ~90k
+    # steps for t=3 -- it exhausts the 4000-step budget
+    assert int(dp5.status[0]) == events.ACTIVE
+
+
+def test_ros2_whistler_trace():
+    """The canonical whistler leg integrates correctly under ROS2 and
+    agrees with DP5 (both at tight tolerance, fixed leg)."""
+    env = make_env_lat()
+    u0 = jnp.array([[(RE + 1e6) / RE, np.pi / 4, 0.0, 0.0]])
+    f = jnp.array([1000.0])
+    kw = dict(
+        spec=StopSpec(r_floor=1.0, t_max=2e7 / RE),
+        max_steps=100000,
+    )
+    ros = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env), u0, f, stepper="ros2",
+        cfg=SolverConfig(rtol=1e-8, atol=1e-12, dt0=1e-4), **kw,
+    )
+    dp5 = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env), u0, f, stepper="dopri5",
+        cfg=SolverConfig(rtol=1e-10, atol=1e-14, dt0=1e-4), **kw,
+    )
+    assert int(ros.status[0]) == events.MAX_PHASE_TIME
+    np.testing.assert_allclose(
+        np.asarray(ros.u[0]), np.asarray(dp5.u[0]), rtol=2e-5, atol=1e-9
+    )
