@@ -129,7 +129,7 @@ def measure_tpu_ensemble():
         cfg=SolverConfig(rtol=1e-5, atol=1e-8, dt0=1e-4),
         spec=StopSpec(r_floor=1.0, t_max=5.0e9 / RE),
         max_steps=MAX_STEPS,
-        round_steps=2048,
+        round_steps=4096,
         chunk=256,
     )
 

@@ -159,6 +159,44 @@ void rhs_2d_lat(const double* u, double f, const Env& e, int grad_mode,
   du[3] = (RE_M / C_LIGHT) * (1.0 + (f / mu) * dmudf);
 }
 
+// ---- RHS (colatitude frame, RayMain.jl:341-344) ----
+// state u = (r, theta, chi, T); dip(theta) == dip(lat = pi/2 - theta) so
+// mu evaluates through the latitude helpers; the sign conventions of the
+// colatitude Haselgrove form differ from the latitude form (C15 vs C16).
+
+void rhs_2d_colat(const double* u, double f, const Env& e, int grad_mode,
+                  double* du) {
+  double r = u[0], theta = u[1], chi = u[2];
+  double lat = PI / 2.0 - theta;
+  double hr = 1e-7 * r, ha = 1e-7, hf = 1e-3 * f;
+  double mu, mu2, dmudpsi_ref;
+  double dip = std::atan(2.0 * std::tan(lat));
+  double psi = PI / 2.0 + dip + chi;
+  mu_dmudpsi(ne_total_m3(r, lat, e), b_mag(r, lat, e), f, psi, &mu,
+             &dmudpsi_ref, &mu2);
+  double dmudr, dmudtheta, dmudpsi, dmudf;
+  // d/dtheta = -d/dlat
+  dmudtheta = -(mu_2d_lat(r, lat + ha / 2, chi, f, e) -
+                mu_2d_lat(r, lat - ha / 2, chi, f, e)) / ha;
+  dmudf = (mu_2d_lat(r, lat, chi, f + hf / 2, e) -
+           mu_2d_lat(r, lat, chi, f - hf / 2, e)) / hf;
+  if (grad_mode == 1) {
+    dmudr = 0.0;
+    dmudpsi = dmudpsi_ref;
+  } else {
+    dmudr = (mu_2d_lat(r + hr / 2, lat, chi, f, e) -
+             mu_2d_lat(r - hr / 2, lat, chi, f, e)) / hr;
+    dmudpsi = (mu_2d_lat(r, lat, chi + ha / 2, f, e) -
+               mu_2d_lat(r, lat, chi - ha / 2, f, e)) / ha;
+  }
+  double sc = std::sin(chi), cc = std::cos(chi);
+  double im2 = 1.0 / (mu * mu);
+  du[0] = im2 * (mu * cc - dmudpsi * sc);
+  du[1] = im2 / r * (mu * sc + dmudpsi * cc);
+  du[2] = im2 / r * (dmudtheta * cc - (r * dmudr + mu) * sc);
+  du[3] = (RE_M / C_LIGHT) * (1.0 + (f / mu) * dmudf);
+}
+
 // ---- Dormand-Prince 5(4) with PI controller and surface event ----
 
 constexpr double A21 = 0.2;
@@ -198,13 +236,19 @@ void hermite(double tau, const double* u0, const double* k0, const double* u1,
     out[i] = h00 * u0[i] + h10 * dt * k0[i] + h01 * u1[i] + h11 * dt * k1[i];
 }
 
+void rhs_dispatch(int frame, const double* u, double f, const Env& e,
+                  int grad_mode, double* du) {
+  if (frame == 1) rhs_2d_colat(u, f, e, grad_mode, du);
+  else rhs_2d_lat(u, f, e, grad_mode, du);
+}
+
 void trace_2d_lat_impl(const double* u0, double f, const Env& e, int grad_mode,
                        double rtol, double atol, double t_max, double dt0,
                        double dt_min, double dt_max, int max_steps,
-                       double r_floor, TraceOut* out) {
+                       double r_floor, TraceOut* out, int frame = 0) {
   double u[4] = {u0[0], u0[1], u0[2], u0[3]};
   double k1[4], k2[4], k3[4], k4[4], k5[4], k6[4], k7[4], utmp[4], unew[4];
-  rhs_2d_lat(u, f, e, grad_mode, k1);
+  rhs_dispatch(frame, u, f, e, grad_mode, k1);
   double t = 0.0, dt = dt0, errold = 1e-4;
   int na = 0, nr = 0;
   int32_t status = ACTIVE;
@@ -212,25 +256,25 @@ void trace_2d_lat_impl(const double* u0, double f, const Env& e, int grad_mode,
     double dte = dt;
     if (t + dte > t_max) dte = t_max - t;
     for (int i = 0; i < 4; i++) utmp[i] = u[i] + dte * A21 * k1[i];
-    rhs_2d_lat(utmp, f, e, grad_mode, k2);
+    rhs_dispatch(frame, utmp, f, e, grad_mode, k2);
     for (int i = 0; i < 4; i++)
       utmp[i] = u[i] + dte * (A31 * k1[i] + A32 * k2[i]);
-    rhs_2d_lat(utmp, f, e, grad_mode, k3);
+    rhs_dispatch(frame, utmp, f, e, grad_mode, k3);
     for (int i = 0; i < 4; i++)
       utmp[i] = u[i] + dte * (A41 * k1[i] + A42 * k2[i] + A43 * k3[i]);
-    rhs_2d_lat(utmp, f, e, grad_mode, k4);
+    rhs_dispatch(frame, utmp, f, e, grad_mode, k4);
     for (int i = 0; i < 4; i++)
       utmp[i] = u[i] + dte * (A51 * k1[i] + A52 * k2[i] + A53 * k3[i] +
                               A54 * k4[i]);
-    rhs_2d_lat(utmp, f, e, grad_mode, k5);
+    rhs_dispatch(frame, utmp, f, e, grad_mode, k5);
     for (int i = 0; i < 4; i++)
       utmp[i] = u[i] + dte * (A61 * k1[i] + A62 * k2[i] + A63 * k3[i] +
                               A64 * k4[i] + A65 * k5[i]);
-    rhs_2d_lat(utmp, f, e, grad_mode, k6);
+    rhs_dispatch(frame, utmp, f, e, grad_mode, k6);
     for (int i = 0; i < 4; i++)
       unew[i] = u[i] + dte * (B1 * k1[i] + B3 * k3[i] + B4 * k4[i] +
                               B5 * k5[i] + B6 * k6[i]);
-    rhs_2d_lat(unew, f, e, grad_mode, k7);
+    rhs_dispatch(frame, unew, f, e, grad_mode, k7);
     double err = 0.0;
     for (int i = 0; i < 4; i++) {
       double ei = dte * (E1 * k1[i] + E3 * k3[i] + E4 * k4[i] + E5 * k5[i] +
@@ -306,20 +350,36 @@ void rt_rhs_2d_lat(const double* u, double f, const double* env11,
 }
 
 // full single-ray trace; out layout: [u0..u3, t, status, n_accept, n_reject]
-void rt_trace_2d_lat(const double* u0, double f, const double* env11,
-                     int grad_mode, double rtol, double atol, double t_max,
-                     double dt0, double dt_min, double dt_max, int max_steps,
-                     double r_floor, double* out8) {
+// frame: 0 = latitude (RayTrace_lat), 1 = colatitude (RayMain)
+void rt_trace_2d(const double* u0, double f, const double* env11,
+                 int grad_mode, int frame, double rtol, double atol,
+                 double t_max, double dt0, double dt_min, double dt_max,
+                 int max_steps, double r_floor, double* out8) {
   Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
            env11[6], env11[7], env11[8], env11[9], env11[10]};
   TraceOut o;
   trace_2d_lat_impl(u0, f, e, grad_mode, rtol, atol, t_max, dt0, dt_min,
-                    dt_max, max_steps, r_floor, &o);
+                    dt_max, max_steps, r_floor, &o, frame);
   for (int i = 0; i < 4; i++) out8[i] = o.u[i];
   out8[4] = o.t;
   out8[5] = static_cast<double>(o.status);
   out8[6] = static_cast<double>(o.n_accept);
   out8[7] = static_cast<double>(o.n_reject);
+}
+
+void rt_trace_2d_lat(const double* u0, double f, const double* env11,
+                     int grad_mode, double rtol, double atol, double t_max,
+                     double dt0, double dt_min, double dt_max, int max_steps,
+                     double r_floor, double* out8) {
+  rt_trace_2d(u0, f, env11, grad_mode, 0, rtol, atol, t_max, dt0, dt_min,
+              dt_max, max_steps, r_floor, out8);
+}
+
+void rt_rhs_2d_colat(const double* u, double f, const double* env11,
+                     int grad_mode, double* du) {
+  Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
+           env11[6], env11[7], env11[8], env11[9], env11[10]};
+  rhs_2d_colat(u, f, e, grad_mode, du);
 }
 
 }  // extern "C"

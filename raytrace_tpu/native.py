@@ -37,6 +37,12 @@ def ensure_built():
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_int, ctypes.c_double, d,
     ]
+    lib.rt_trace_2d.argtypes = [
+        d, ctypes.c_double, d, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int, ctypes.c_double, d,
+    ]
+    lib.rt_rhs_2d_colat.argtypes = [d, ctypes.c_double, d, ctypes.c_int, d]
     _lib = lib
     return lib
 
@@ -76,16 +82,23 @@ def rhs_2d_lat(u, f, env, grad_mode=GRAD_AUTODIFF_EQUIV):
     return du
 
 
-def trace_2d_lat(u0, f, env, *, grad_mode=GRAD_AUTODIFF_EQUIV, rtol=1e-7,
-                 atol=1e-12, t_max=np.inf, dt0=1e-4, dt_min=1e-8 / 6.3712e6,
-                 dt_max=1e6 / 6.3712e6, max_steps=100000, r_floor=1.0):
-    """Single-ray native trace; returns dict(u, t, status, n_accept, n_reject)."""
+FRAME_LAT = 0
+FRAME_COLAT = 1
+
+
+def trace_2d(u0, f, env, *, frame=FRAME_LAT, grad_mode=GRAD_AUTODIFF_EQUIV,
+             rtol=1e-7, atol=1e-12, t_max=np.inf, dt0=1e-4,
+             dt_min=1e-8 / 6.3712e6, dt_max=1e6 / 6.3712e6,
+             max_steps=100000, r_floor=1.0):
+    """Single-ray native trace in either 2D frame;
+    returns dict(u, t, status, n_accept, n_reject)."""
     lib = ensure_built()
     u0 = np.ascontiguousarray(np.asarray(u0, np.float64))
     out = np.empty(8, np.float64)
-    lib.rt_trace_2d_lat(
-        _ptr(u0), float(f), _ptr(_env_array(env)), grad_mode, rtol, atol,
-        float(t_max), dt0, dt_min, dt_max, max_steps, r_floor, _ptr(out),
+    lib.rt_trace_2d(
+        _ptr(u0), float(f), _ptr(_env_array(env)), grad_mode, frame, rtol,
+        atol, float(t_max), dt0, dt_min, dt_max, max_steps, r_floor,
+        _ptr(out),
     )
     return {
         "u": out[:4].copy(),
@@ -94,3 +107,16 @@ def trace_2d_lat(u0, f, env, *, grad_mode=GRAD_AUTODIFF_EQUIV, rtol=1e-7,
         "n_accept": int(out[6]),
         "n_reject": int(out[7]),
     }
+
+
+def trace_2d_lat(u0, f, env, **kw):
+    return trace_2d(u0, f, env, frame=FRAME_LAT, **kw)
+
+
+def rhs_2d_colat(u, f, env, grad_mode=GRAD_AUTODIFF_EQUIV):
+    lib = ensure_built()
+    u = np.ascontiguousarray(np.asarray(u, np.float64))
+    du = np.empty(4, np.float64)
+    lib.rt_rhs_2d_colat(_ptr(u), float(f), _ptr(_env_array(env)), grad_mode,
+                        _ptr(du))
+    return du

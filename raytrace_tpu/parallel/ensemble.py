@@ -136,6 +136,7 @@ def make_rounds_tracer(
     chunk: int = 256,
     grad_mode="fused",
     root=1.0,
+    bucket_floor: int = 1024,
 ):
     """Ensemble tracer with host-side bucketed re-batching.
 
@@ -177,7 +178,10 @@ def make_rounds_tracer(
     def cont(carry, ff):
         return trace(rhs_fn, carry.u, ff, carry0=carry, **kw)
 
-    floor = (mesh.devices.size if mesh is not None else 1) * 8
+    # small buckets are latency-bound on TPU (10k lanes ~ 80 VPU tiles
+    # already borderline); keep at least bucket_floor lanes per round
+    floor = max((mesh.devices.size if mesh is not None else 1) * 8,
+                bucket_floor)
 
     def run(u0, f, valid):
         n = u0.shape[0]

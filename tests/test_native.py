@@ -80,3 +80,36 @@ def test_native_trace_parity(env):
     l_j = float(res_j.u[0, 0]) / np.cos(lat_j) ** 2
     assert abs(l_n / l_j - 1.0) < 1e-4
     assert res_n["u"][3] == pytest.approx(float(res_j.u[0, 3]), rel=1e-5)
+
+
+def test_native_colat_rhs_parity(env):
+    """C++ colatitude-frame RHS vs JAX (the RayMain config frame)."""
+    u = np.array([2.3, np.pi / 2 - 0.4, 0.6, 0.0])
+    du_n = native.rhs_2d_colat(u, 1500.0, env)
+    du_j = np.asarray(rhs.rhs_2d_colat(jnp.asarray(u), 1500.0, env))
+    np.testing.assert_allclose(du_n, du_j, rtol=5e-6)
+
+
+def test_native_colat_trace_parity():
+    """RayMain canonical config: native colat trace vs JAX colat trace."""
+    from raytrace_tpu.models import make_env_raymain
+
+    env = make_env_raymain()
+    u0 = np.array([R0, np.pi / 4, 0.0, 0.0])
+    t_max = 5.0e9 / RE
+    res_n = native.trace_2d(
+        u0, 5000.0, env, frame=native.FRAME_COLAT, rtol=1e-9, atol=1e-14,
+        t_max=t_max, max_steps=200000,
+    )
+    res_j = trace(
+        lambda u, ff: rhs.rhs_2d_colat(u, ff, env),
+        jnp.asarray(u0)[None], jnp.array([5000.0]),
+        cfg=SolverConfig(rtol=1e-9, atol=1e-14, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=t_max),
+        max_steps=200000, chunk=256,
+    )
+    assert res_n["status"] == int(res_j.status[0])
+    np.testing.assert_allclose(
+        res_n["u"][:2], np.asarray(res_j.u[0, :2]), rtol=1e-3
+    )
+    assert res_n["u"][3] == pytest.approx(float(res_j.u[0, 3]), rel=1e-4)
