@@ -28,6 +28,54 @@ def make_save_fn_2d_lat(env: medium.EnvParams):
     return save_fn
 
 
+def stream_trajectory(
+    rhs_fn,
+    u0,
+    f,
+    *,
+    cfg,
+    spec,
+    group_idx=3,
+    adaptive=True,
+    stepper="dopri5",
+    chunk_steps=1024,
+    n_chunks=32,
+    save_every=16,
+    save_fn=None,
+):
+    """Long-trajectory capture with bounded device memory (SURVEY.md 5.7).
+
+    Device memory holds only ONE chunk of snapshots at a time
+    (chunk_steps/save_every frames); each chunk is fetched to host and the
+    integration resumes exactly from the chunk's RayCarry. This is the
+    framework's answer to 'scaling the long axis' for trajectory output
+    (the reference keeps everything in the REPL; tspans up to 5e10 at
+    scratch.jl:390 would not fit a device trajectory buffer).
+
+    Returns (final TraceResult, host dict of concatenated snapshots)."""
+    import numpy as np
+
+    from .solve import trace
+
+    carry = None
+    chunks = []
+    result = None
+    for _ in range(n_chunks):
+        result = trace(
+            rhs_fn, u0, f, cfg=cfg, spec=spec, group_idx=group_idx,
+            adaptive=adaptive, stepper=stepper, max_steps=chunk_steps,
+            save_every=save_every, save_fn=save_fn, carry0=carry,
+        )
+        carry = result.carry
+        chunks.append({k: np.asarray(v) for k, v in result.traj.items()})
+        if not bool((np.asarray(carry.status) == 0).any()):
+            break
+    traj = {
+        k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]
+    }
+    return result, traj
+
+
 def trajectory_xy(traj_u, frame="2d_lat"):
     """(x, y) in RE for plotting: x = r cos(lat), y = r sin(lat)
     (RayTrace_lat.jl:351-352); colatitude frame uses x = r sin(theta),

@@ -132,7 +132,7 @@ def make_rounds_tracer(
     adaptive: bool = True,
     stepper: str = "dopri5",
     max_steps: int = 20000,
-    round_steps: int = 2048,
+    round_steps=2048,
     chunk: int = 256,
     grad_mode="fused",
     root=1.0,
@@ -164,31 +164,43 @@ def make_rounds_tracer(
     else:
         raise ValueError(f"unknown frame {frame!r}")
 
-    kw = dict(
-        cfg=cfg, spec=spec, group_idx=group_idx, adaptive=adaptive,
-        stepper=stepper, max_steps=round_steps,
-        chunk=min(chunk, round_steps),
+    # round_steps: int (uniform) or a schedule tuple -- short early rounds
+    # retire the fast majority cheaply, long late rounds amortize per-round
+    # overhead for the stragglers; the last entry repeats.
+    schedule = (
+        tuple(round_steps) if isinstance(round_steps, (tuple, list))
+        else (int(round_steps),)
     )
 
-    @jax.jit
-    def start(u, ff):
-        return trace(rhs_fn, u, ff, **kw)
+    def make_kw(n):
+        return dict(
+            cfg=cfg, spec=spec, group_idx=group_idx, adaptive=adaptive,
+            stepper=stepper, max_steps=n, chunk=min(chunk, n),
+        )
 
-    @jax.jit
-    def cont(carry, ff):
-        return trace(rhs_fn, carry.u, ff, carry0=carry, **kw)
+    @partial(jax.jit, static_argnums=2)
+    def start(u, ff, n):
+        return trace(rhs_fn, u, ff, **make_kw(n))
+
+    @partial(jax.jit, static_argnums=2)
+    def cont(carry, ff, n):
+        return trace(rhs_fn, carry.u, ff, carry0=carry, **make_kw(n))
 
     # small buckets are latency-bound on TPU (10k lanes ~ 80 VPU tiles
     # already borderline); keep at least bucket_floor lanes per round
     floor = max((mesh.devices.size if mesh is not None else 1) * 8,
                 bucket_floor)
 
+    def round_len(i):
+        return schedule[min(i, len(schedule) - 1)]
+
     def run(u0, f, valid):
         n = u0.shape[0]
-        res = start(jnp.asarray(u0), jnp.asarray(f))
+        res = start(jnp.asarray(u0), jnp.asarray(f), round_len(0))
         final = jax.tree.map(lambda a: np.asarray(a).copy(), res.carry)
 
-        steps_done = round_steps
+        steps_done = round_len(0)
+        i = 1
         while steps_done < max_steps:
             active = (final.status == events.ACTIVE) & np.asarray(valid)
             idx = np.nonzero(active)[0]
@@ -197,12 +209,14 @@ def make_rounds_tracer(
             b = _bucket_size(idx.size, n, floor)
             sel = np.concatenate([idx, np.repeat(idx[:1], b - idx.size)])
             sub = jax.tree.map(lambda a: jnp.asarray(a[sel]), final)
-            r = cont(sub, jnp.asarray(np.asarray(f)[sel]))
+            nr = min(round_len(i), max_steps - steps_done)
+            r = cont(sub, jnp.asarray(np.asarray(f)[sel]), nr)
             sub_new = jax.tree.map(np.asarray, r.carry)
             take = np.arange(idx.size)
             for name in final._fields:
                 getattr(final, name)[idx] = getattr(sub_new, name)[take]
-            steps_done += round_steps
+            steps_done += nr
+            i += 1
 
         return TraceResult(
             u=final.u, t=final.t, status=final.status,

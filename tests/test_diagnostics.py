@@ -93,3 +93,31 @@ def test_run_record(tmp_path):
     assert loaded["result"]["n_rays"] == 1
     assert loaded["extra"]["note"] == "test"
     assert rec["backend"] == "cpu"
+
+
+def test_stream_trajectory_matches_single_shot():
+    """Chunked host-offloaded trajectory == one-shot trajectory (exact
+    resume from the carry), with device memory bounded per chunk."""
+    from raytrace_tpu.integrate.saving import stream_trajectory
+    from raytrace_tpu.integrate import SolverConfig, StopSpec
+
+    env = make_env_lat()
+    u0 = jnp.array([[R0, np.pi / 4, 0.0, 0.0]])
+    f = jnp.array([1000.0])
+    cfg = SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4)
+    spec = StopSpec(r_floor=1.0, t_max=5e8 / RE)
+    from raytrace_tpu.ops import rhs as rhs_mod
+
+    rhs_fn = lambda u, ff: rhs_mod.rhs_2d_lat(u, ff, env)
+    one = trace(rhs_fn, u0, f, cfg=cfg, spec=spec, max_steps=512,
+                save_every=16)
+    res, traj = stream_trajectory(
+        rhs_fn, u0, f, cfg=cfg, spec=spec, chunk_steps=128, n_chunks=4,
+        save_every=16,
+    )
+    np.testing.assert_allclose(
+        traj["u"], np.asarray(one.traj["u"]), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.u), np.asarray(one.u), rtol=1e-12
+    )
