@@ -15,7 +15,6 @@ The five canonical configs of BASELINE.json are provided as presets:
 
 import dataclasses
 import json
-from typing import Optional
 
 import numpy as np
 

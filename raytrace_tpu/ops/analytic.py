@@ -10,7 +10,7 @@ the reference SavingCallback (RayTrace_lat.jl:318-327).
 
 import jax.numpy as jnp
 
-from ..models import dipole, medium
+from ..models import medium
 from . import dispersion
 
 

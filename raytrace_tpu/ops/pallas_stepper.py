@@ -14,7 +14,6 @@ by construction and tested to bitwise-level tolerances.
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -44,7 +44,6 @@ def _build_u0(config: RunConfig, dtype):
 
 def run(config: RunConfig, out_dir=None, plots=False):
     """Execute a RunConfig. Returns dict(result, stats, valid, paths)."""
-    import jax
     import jax.numpy as jnp
 
     env = config.medium.build()

@@ -14,7 +14,6 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
-from ..constants import RE  # noqa: E402
 from ..models import dipole, medium  # noqa: E402
 from ..ops import dispersion  # noqa: E402
 
