@@ -90,13 +90,21 @@ def mu_grads_2d_colat(r, theta, chi, f, env: medium.EnvParams, grad_mode=FUSED,
 
 
 def mu_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams,
-                grad_mode=AUTODIFF, root=1.0):
+                grad_mode=FUSED, root=1.0):
     """mu and all 7 partials (r, theta, phi, rho_r, rho_t, rho_p, f).
 
+    mode="fused" (default): the hand-derived closed-form chain
+    (ops/fused.py::mu_and_grads_3d), matching autodiff to ~3e-13.
     mode="reference" swaps the rho-partials for the reference's Kimura
     chain driven by its closed-form dmu/dpsi (RayTrace_3D.jl:261-311 uses
     refractive_index's dmudpsi output); spatial/frequency partials remain
     autodiff (they match the reference's central differences)."""
+    if grad_mode == FUSED:
+        from . import fused
+
+        return fused.mu_and_grads_3d(
+            r, theta, phi, rho_r, rho_t, rho_p, f, env, root
+        )
     mu, grads = jax.value_and_grad(
         dispersion.mu_3d, argnums=(0, 1, 2, 3, 4, 5, 6)
     )(r, theta, phi, rho_r, rho_t, rho_p, f, env, root)

@@ -67,7 +67,7 @@ def rhs_2d_colat(u, f, env: medium.EnvParams, legacy_freq_state=False,
     return jnp.stack([dr, dtheta, dchi, dT])
 
 
-def rhs_3d(u, f, env: medium.EnvParams, grad_mode=gradients.AUTODIFF,
+def rhs_3d(u, f, env: medium.EnvParams, grad_mode=gradients.FUSED,
            root=1.0):
     """du/dt for the 3D ray (RayTrace_3D.jl:350-356), f a true parameter."""
     r, theta, phi = u[0], u[1], u[2]

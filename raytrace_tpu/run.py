@@ -83,10 +83,10 @@ def run(config: RunConfig, out_dir=None, plots=False):
             save_every=config.save_every, save_fn=save_fn,
         )
     elif config.use_rounds:
-        tracer = make_rounds_tracer(env, mesh=mesh, **common)
+        tracer = _cached_tracer(config, env, mesh, common, rounds=True)
         result = tracer(u0, f, valid)
     else:
-        tracer = make_ensemble_tracer(env, mesh=mesh, **common)
+        tracer = _cached_tracer(config, env, mesh, common, rounds=False)
         result = tracer(jnp.asarray(u0), jnp.asarray(f))
 
     stats = {k: np.asarray(v) for k, v in ensemble_stats(result, valid).items()}
@@ -124,6 +124,24 @@ def run(config: RunConfig, out_dir=None, plots=False):
             plot_ray_paths(result.traj["u"], frame=config.frame, path=p)
             paths["rays_png"] = p
     return {"result": result, "stats": stats, "valid": valid, "paths": paths}
+
+
+# tracers hold their compiled programs; rebuild only when the run
+# description actually changes (repeat run() calls then measure execution,
+# not compilation)
+_TRACER_CACHE = {}
+
+
+def _cached_tracer(config: RunConfig, env, mesh, common, rounds):
+    key = (
+        rounds, config.to_json(),
+        tuple(float(v) for v in env),
+        mesh.devices.size,
+    )
+    if key not in _TRACER_CACHE:
+        maker = make_rounds_tracer if rounds else make_ensemble_tracer
+        _TRACER_CACHE[key] = maker(env, mesh=mesh, **common)
+    return _TRACER_CACHE[key]
 
 
 def _rhs_for(config: RunConfig, env: medium_mod.EnvParams):

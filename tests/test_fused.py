@@ -41,3 +41,23 @@ def test_fused_colat_sign():
                                     grad_mode=gradients.FUSED)
     for x, y in zip(a, b):
         assert float(y) == pytest.approx(float(x), rel=1e-9)
+
+
+def test_fused_3d_matches_autodiff():
+    """3D fused chain (closed-form geometry partials) vs value_and_grad."""
+    env = make_env(b0=3.12e-5)
+    rng = np.random.default_rng(23)
+    for _ in range(60):
+        r = float(rng.uniform(1.2, 6.0))
+        th = float(rng.uniform(0.3, 2.8))
+        ph = float(rng.uniform(-1.0, 1.0))
+        rr, rt, rp = (float(x) for x in rng.normal(size=3))
+        f = float(rng.uniform(500.0, 1.0e4))
+        mu_a, g_a = gradients.mu_grads_3d(
+            r, th, ph, rr, rt, rp, f, env, grad_mode=gradients.AUTODIFF
+        )
+        mu_b, g_b = fused.mu_and_grads_3d(r, th, ph, rr, rt, rp, f, env)
+        assert float(mu_b) == pytest.approx(float(mu_a), rel=1e-10)
+        for i, (a, b) in enumerate(zip(g_a, g_b)):
+            assert float(b) == pytest.approx(float(a), rel=1e-8,
+                                             abs=1e-11), i
