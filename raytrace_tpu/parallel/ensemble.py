@@ -132,7 +132,7 @@ def make_rounds_tracer(
     adaptive: bool = True,
     stepper: str = "dopri5",
     max_steps: int = 20000,
-    round_steps=2048,
+    round_steps=4096,
     chunk: int = 256,
     grad_mode="fused",
     root=1.0,
