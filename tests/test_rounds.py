@@ -1,0 +1,77 @@
+"""Rounds-tracer features: stall detection, schedules, bucket floor."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytrace_tpu.constants import RE
+from raytrace_tpu.integrate import SolverConfig, StopSpec, events
+from raytrace_tpu.models import cast_env, make_env_lat
+from raytrace_tpu.parallel import LaunchSpec, build_launch, make_ray_mesh, pad_batch
+from raytrace_tpu.parallel.ensemble import make_rounds_tracer
+
+R0 = (RE + 1.0e6) / RE
+
+
+def _setup(lats, chis=(0.0,), freqs=(1000.0,), dtype=np.float64):
+    mesh = make_ray_mesh()
+    env = cast_env(make_env_lat(), dtype)
+    u0, f = build_launch(LaunchSpec(lats=lats, chis=chis, freqs=freqs),
+                         dtype)
+    u0, f, valid = pad_batch(u0, f, mesh)
+    return mesh, env, u0, f, valid
+
+
+def test_rounds_matches_single_shot_statuses():
+    """Bucketed rounds vs plain tracer: same final states for completed
+    rays (the carry hand-off is exact)."""
+    from raytrace_tpu.parallel.ensemble import make_ensemble_tracer
+
+    mesh, env, u0, f, valid = _setup(tuple(np.linspace(0.6, 0.9, 8)))
+    kw = dict(
+        mesh=mesh, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE), max_steps=2048,
+    )
+    rounds = make_rounds_tracer(env, round_steps=512, bucket_floor=8,
+                                stall_progress=0.0, **kw)(u0, f, valid)
+    single = make_ensemble_tracer(env, **kw)(jnp.asarray(u0), jnp.asarray(f))
+    np.testing.assert_array_equal(
+        np.asarray(rounds.status), np.asarray(single.status)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rounds.u), np.asarray(single.u), rtol=1e-12
+    )
+
+
+def test_rounds_schedule_tuple():
+    mesh, env, u0, f, valid = _setup((0.7, 0.8))
+    res = make_rounds_tracer(
+        env, mesh=mesh, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE), max_steps=1024,
+        round_steps=(128, 256, 512), bucket_floor=8,
+    )(u0, f, valid)
+    total = np.asarray(res.n_accept) + np.asarray(res.n_reject)
+    assert total[np.asarray(valid)].max() <= 1024
+
+
+def test_stall_detection_flags_wedged_rays():
+    """A 500 Hz high-latitude ray (the measured Zeno regime -- float32,
+    where the wedge occurs) gets flagged DT_UNDERFLOW instead of burning
+    the whole budget."""
+    lats = tuple(np.linspace(0.45, 1.1, 10)[6:8])   # 0.883, 0.956
+    chis = tuple(np.linspace(-0.5, 0.5, 8)[2:4])    # -0.214, -0.071
+    mesh, env, u0, f, valid = _setup(
+        lats, chis=chis, freqs=(500.0,), dtype=np.float32
+    )
+    res = make_rounds_tracer(
+        env, mesh=mesh, cfg=SolverConfig(rtol=1e-5, atol=1e-8, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e9 / RE), max_steps=8192,
+        round_steps=1024, bucket_floor=8,
+    )(u0, f, valid)
+    st = np.asarray(res.status)[np.asarray(valid)]
+    assert (st == events.DT_UNDERFLOW).sum() >= 1
+    # and the flagged rays stopped early (did not burn the budget)
+    total = (np.asarray(res.n_accept) + np.asarray(res.n_reject))[
+        np.asarray(valid)
+    ]
+    wedged = st == events.DT_UNDERFLOW
+    assert total[wedged].max() < 8192
