@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..constants import RE
 from . import events
 from .events import StopSpec
-from .steppers import dopri5_step, rk4_step, ros2_step
+from .steppers import dopri5_step, rk4_step, ros2_step, ros2x_step
 
 
 class SolverConfig(NamedTuple):
@@ -139,10 +139,10 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
               group_idx: int, adaptive: bool, stepper: str = "dopri5"):
     """One attempted step for one ray; no-op when the ray is not ACTIVE.
 
-    stepper: "dopri5" (adaptive explicit, default) | "ros2" (adaptive
-    linearly implicit L-stable -- the stiff tier) | "rk4" (fixed step,
-    selected by adaptive=False). Controller exponents scale with the
-    stepper's order."""
+    stepper: "dopri5" (adaptive explicit, default) | "ros2" / "ros2x"
+    (adaptive linearly implicit L-stable, orders 2 / 3 -- the stiff tier)
+    | "rk4" (fixed step, selected by adaptive=False). Controller
+    exponents scale with the stepper's order."""
     active = carry.status == events.ACTIVE
     rhs1 = lambda u: rhs_fn(u, f)
     # do not overshoot the phase-path budget (CVODE integrates to tstop)
@@ -155,6 +155,10 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
     elif stepper == "ros2":
         order = 2.0
         out = ros2_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
+        accept = out.err <= cfg.accept_tol
+    elif stepper == "ros2x":
+        order = 3.0
+        out = ros2x_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
         accept = out.err <= cfg.accept_tol
     else:
         out = dopri5_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)

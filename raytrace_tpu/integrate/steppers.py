@@ -91,6 +91,47 @@ def ros2_step(rhs_fn, u, k1, dt, rtol, atol):
     return StepOut(u_new, k_end, err, incr)
 
 
+def _ros2_sub(rhs_fn, u, f0, J, dt, gamma):
+    """One raw ROS2 advance with a supplied Jacobian (W-method: the order-2
+    conditions hold for an ARBITRARY matrix in place of the exact J --
+    verified symbolically in ros2x_step's docstring derivation -- so J can
+    be shared across sub-steps)."""
+    n = u.shape[0]
+    W = jnp.eye(n, dtype=u.dtype) - (dt * gamma) * J
+    s1 = jnp.linalg.solve(W, dt * f0)
+    f2 = rhs_fn(u + s1)
+    s2 = jnp.linalg.solve(W, dt * f2 - (2.0 * gamma * dt) * (J @ s1))
+    return u + 0.5 * (s1 + s2)
+
+
+def ros2x_step(rhs_fn, u, k1, dt, rtol, atol):
+    """Order-3 L-stable stiff step: Richardson-extrapolated ROS2.
+
+    One full ROS2 step and two half steps share a single Jacobian (legal:
+    with b1 = b2 = 1/2, a21 = 1, the zero-th order-2 condition on the
+    Jacobian term reads gamma + b2*c21 = 0 for ANY matrix T substituted
+    for J, giving c21 = -2 gamma -- ROS2 is a W-method, so a stale/shared
+    J costs no order). The leading local error C h^3 then cancels in
+    u_ex = (4 u_halves - u_full)/3, giving local O(h^4)/global order 3;
+    (u_halves - u_full)/3 is the embedded estimate. The extrapolated
+    stability function (4 R(z/2)^2 - R(z))/3 inherits R(inf) = 0.
+    Cost ~ 1 jacfwd + 6 solves + 6 RHS: about 2x a DP5 step, for
+    unconditional stiff stability at order 3."""
+    gamma = 1.0 + 0.7071067811865476
+    J = jax.jacfwd(rhs_fn)(u)
+    h2 = 0.5 * dt
+    u_full = _ros2_sub(rhs_fn, u, k1, J, dt, gamma)
+    u_h = _ros2_sub(rhs_fn, u, k1, J, h2, gamma)
+    k1b = rhs_fn(u_h)
+    u_hh = _ros2_sub(rhs_fn, u_h, k1b, J, h2, gamma)
+    u_new = (4.0 * u_hh - u_full) / 3.0
+    k_end = rhs_fn(u_new)
+    err_vec = (u_hh - u_full) / 3.0
+    scale = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u_new))
+    err = jnp.sqrt(jnp.mean(jnp.square(err_vec / scale)))
+    return StepOut(u_new, k_end, err, u_new - u)
+
+
 def dopri5_step(rhs_fn, u, k1, dt, rtol, atol):
     """One DP5(4) attempt. Returns proposed state, FSAL k7, RMS error norm.
 

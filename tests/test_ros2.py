@@ -99,3 +99,60 @@ def test_ros2_whistler_trace():
     np.testing.assert_allclose(
         np.asarray(ros.u[0]), np.asarray(dp5.u[0]), rtol=2e-5, atol=1e-9
     )
+
+
+def test_ros2x_order_three():
+    """Extrapolated ROS2: halving dt -> global error / 8."""
+    from raytrace_tpu.integrate.steppers import ros2x_step
+
+    def f(u):
+        return -u * u
+
+    errs = []
+    for n in (40, 80):
+        dt = 1.0 / n
+        u = jnp.array([1.0])
+        k1 = f(u)
+        for _ in range(n):
+            out = ros2x_step(f, u, k1, dt, 1e-10, 1e-14)
+            u, k1 = out.u_new, out.k_end
+        errs.append(abs(float(u[0]) - 0.5))
+    assert errs[0] / errs[1] == pytest.approx(8.0, rel=0.25)
+
+
+def test_ros2x_l_stability():
+    from raytrace_tpu.integrate.steppers import ros2x_step
+
+    lam = -1.0e8
+
+    def f(u):
+        return lam * u
+
+    u = jnp.array([1.0])
+    out = ros2x_step(f, u, f(u), 1.0, 1e-6, 1e-12)
+    assert abs(float(out.u_new[0])) < 1e-5
+
+
+def test_ros2x_stiff_efficiency_vs_ros2():
+    """At tight tolerance the order-3 pair needs far fewer steps than the
+    order-2 pair on the stiff relaxation problem."""
+    LAM = 1.0e4
+
+    def f(u, ff):
+        return jnp.stack([
+            -LAM * (u[0] - jnp.cos(u[3])), jnp.zeros_like(u[0]),
+            jnp.zeros_like(u[0]), jnp.ones_like(u[0]),
+        ])
+
+    u0 = jnp.array([[0.0, 0.0, 0.0, 0.0]])
+    fr = jnp.array([0.0])
+    kw = dict(
+        cfg=SolverConfig(rtol=1e-7, atol=1e-10, dt0=1e-3, dt_max=10.0),
+        spec=StopSpec(r_floor=-10.0, t_max=3.0), max_steps=20000,
+    )
+    r2 = trace(f, u0, fr, stepper="ros2", **kw)
+    r3 = trace(f, u0, fr, stepper="ros2x", **kw)
+    exact = float((LAM**2 * np.cos(3.0) + LAM * np.sin(3.0)) / (LAM**2 + 1.0))
+    assert int(r3.status[0]) == events.MAX_PHASE_TIME
+    assert float(r3.u[0, 0]) == pytest.approx(exact, abs=1e-5)
+    assert int(r3.n_accept[0]) * 2 < int(r2.n_accept[0])
