@@ -53,7 +53,9 @@ class RunConfig:
     medium: MediumConfig = dataclasses.field(default_factory=MediumConfig)
     # launch
     r0: float = (RE + 1.0e6) / RE
-    lats: tuple = (np.pi / 4,)
+    lats: tuple = (np.pi / 4,)      # magnetic latitudes (rad) in EVERY
+                                    # frame; colatitude frames convert to
+                                    # theta = pi/2 - lat at launch build
     chis: tuple = (0.0,)
     freqs: tuple = (1000.0,)
     rho0: tuple = (1.0, 1.0, 0.0)   # 3D initial refractive-index vector

@@ -48,6 +48,14 @@ def ensure_built():
 
 
 def _env_array(env):
+    # the C++ Env reads the first 11 fields only; ps_smooth (field 12) has
+    # no native implementation, so a smoothed-plasmapause env would be
+    # silently compared against the hard-branch model -- refuse instead
+    if float(env.ps_smooth) != 0.0:
+        raise ValueError(
+            "native oracle implements the hard-branch plasmapause only; "
+            f"got ps_smooth={float(env.ps_smooth)}"
+        )
     return np.asarray([float(x) for x in env], np.float64)
 
 

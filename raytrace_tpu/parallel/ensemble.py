@@ -206,10 +206,11 @@ def make_rounds_tracer(
 
     def run(u0, f, valid):
         n = u0.shape[0]
-        res = start(jnp.asarray(u0), jnp.asarray(f), round_len(0))
+        first = min(round_len(0), max_steps)
+        res = start(jnp.asarray(u0), jnp.asarray(f), first)
         final = jax.tree.map(lambda a: np.asarray(a).copy(), res.carry)
 
-        steps_done = round_len(0)
+        steps_done = first
         i = 1
         while steps_done < max_steps:
             active = (final.status == events.ACTIVE) & np.asarray(valid)
@@ -244,11 +245,16 @@ def make_rounds_tracer(
     return run
 
 
-def ensemble_stats(result, valid):
+def ensemble_stats(result, valid, lat_sign=1.0, lat_offset=0.0):
     """Summary statistics over a traced ensemble (jnp; collective-safe).
 
     Returns a dict of scalars: per-status counts, mean/max group delay and
-    landing L-shell among surface hits, total accepted steps."""
+    landing L-shell among surface hits, total accepted steps.
+
+    lat_sign/lat_offset map state[1] to magnetic latitude (the StopSpec
+    convention): (+1, 0) for the latitude frame, (-1, pi/2) for the
+    colatitude frames (2d_colat and 3d), where state[1] is colatitude
+    theta and L = r / cos^2(lat) = r / sin^2(theta)."""
     valid = jnp.asarray(valid)
     status = jnp.where(valid, result.status, PAD_STATUS)
     out = {
@@ -257,7 +263,7 @@ def ensemble_stats(result, valid):
     }
     hit = status == events.HIT_EARTH
     T = result.u[:, -1]
-    lat_land = result.u[:, 1]
+    lat_land = lat_sign * result.u[:, 1] + lat_offset
     l_land = result.u[:, 0] / jnp.cos(lat_land) ** 2
     denom = jnp.maximum(jnp.sum(hit), 1)
     out["mean_group_delay_s"] = jnp.sum(jnp.where(hit, T, 0.0)) / denom

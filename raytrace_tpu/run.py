@@ -31,12 +31,16 @@ def _build_u0(config: RunConfig, dtype):
 
     if config.frame in ("2d_lat", "2d_colat"):
         u0, f = build_launch(config.launch(), dtype)
+        if config.frame == "2d_colat":
+            # launch grids are specified as latitudes in every frame;
+            # state slot 1 of the colatitude frame is theta = pi/2 - lat
+            u0[:, 1] = np.pi / 2 - u0[:, 1]
         return u0, f
     rows = []
     fs = []
     for lat, fr in itertools.product(config.lats, config.freqs):
         rows.append(
-            [config.r0, lat, 0.0, *config.rho0, 0.0]
+            [config.r0, np.pi / 2 - lat, 0.0, *config.rho0, 0.0]
         )
         fs.append(fr)
     return np.asarray(rows, dtype), np.asarray(fs, dtype)
@@ -89,7 +93,12 @@ def run(config: RunConfig, out_dir=None, plots=False):
         tracer = _cached_tracer(config, env, mesh, common, rounds=False)
         result = tracer(jnp.asarray(u0), jnp.asarray(f))
 
-    stats = {k: np.asarray(v) for k, v in ensemble_stats(result, valid).items()}
+    stats = {
+        k: np.asarray(v)
+        for k, v in ensemble_stats(
+            result, valid, lat_sign=spec.lat_sign, lat_offset=spec.lat_offset
+        ).items()
+    }
     paths = {}
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

@@ -80,6 +80,46 @@ def test_sharded_ensemble_matches_single_device():
     assert total == int(valid.sum())
 
 
+def test_ensemble_stats_colat_frame_landing_l():
+    """mean_landing_l must use lat = lat_sign*u[:,1] + lat_offset: for the
+    colatitude frames state[1] is theta, so L = r/sin^2(theta), not
+    r/cos^2(theta) (round-1 bug: stats were garbage for 2d_colat and 3d)."""
+    from raytrace_tpu.integrate.solve import TraceResult
+
+    theta = 0.9
+    r_land = 1.0
+    u = np.zeros((4, 4))
+    u[:, 0] = r_land
+    u[:, 1] = theta
+    res = TraceResult(
+        u=jnp.asarray(u),
+        t=jnp.zeros(4),
+        status=jnp.full((4,), events.HIT_EARTH, jnp.int32),
+        n_accept=jnp.ones((4,), jnp.int32),
+        n_reject=jnp.zeros((4,), jnp.int32),
+    )
+    valid = np.ones(4, bool)
+    stats = ensemble_stats(res, valid, lat_sign=-1.0, lat_offset=np.pi / 2)
+    expect = r_land / np.sin(theta) ** 2
+    np.testing.assert_allclose(float(stats["mean_landing_l"]), expect, rtol=1e-12)
+    # the latitude-frame default on the same state gives the (wrong) other
+    # value -- guard that the two conventions really differ on this input
+    wrong = ensemble_stats(res, valid)
+    assert abs(float(wrong["mean_landing_l"]) - expect) > 0.1
+
+
+def test_run_3d_lats_are_latitudes():
+    """RunConfig.lats is magnetic latitude in every frame; the 3D builder
+    must convert to colatitude (round-1 bug: values written raw into
+    state[1])."""
+    from raytrace_tpu.config import preset
+    from raytrace_tpu.run import _build_u0
+
+    cfg = preset("3d", lats=(0.3,))
+    u0, _ = _build_u0(cfg, np.float64)
+    np.testing.assert_allclose(u0[0, 1], np.pi / 2 - 0.3, rtol=1e-12)
+
+
 def test_checkpoint_resume_exact(tmp_path):
     """Stop after N steps, checkpoint, resume: identical final state to an
     uninterrupted run (deterministic integrator)."""
