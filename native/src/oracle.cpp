@@ -123,14 +123,22 @@ double mu_2d_lat(double r, double lat, double chi, double f, const Env& e) {
 }
 
 // ---- RHS (latitude frame, RayTrace_lat.jl:270-273) ----
-// grad_mode 0 = "autodiff-equivalent": all partials are relative-step
-//   central differences of the traced mu (independent check of autodiff).
-// grad_mode 1 = "reference": closed-form dmu/dpsi + dmu/dr == 0 (the
-//   reference's sub-ULP FD step), FD for lat/f.
+// grad_mode is a bitfield:
+//   bit 0 (GRAD_REFERENCE): closed-form dmu/dpsi + dmu/dr == 0 (the
+//     reference's sub-ULP FD step), FD for lat/f; clear = "autodiff-
+//     equivalent" (all partials relative-step central differences of the
+//     traced mu, an independent check of autodiff).
+//   bit 1 (LEGACY_FREQ): the 2D reference scripts initialize state[3] to
+//     the frequency and integrate the group-delay equation into it, so
+//     the frequency fed to the dispersion relation drifts by the
+//     accumulated group delay (RayMain.jl:328 vs :344; SURVEY.md 3.1).
+//     Here state[3] starts at 0 and freq_eff = f + u[3] -- identical
+//     dynamics, same quirk.
 
-void rhs_2d_lat(const double* u, double f, const Env& e, int grad_mode,
+void rhs_2d_lat(const double* u, double f0, const Env& e, int grad_mode,
                 double* du) {
   double r = u[0], lat = u[1], chi = u[2];
+  double f = (grad_mode & 2) ? f0 + u[3] : f0;
   double hr = 1e-7 * r, ha = 1e-7, hf = 1e-3 * f;
   double mu, mu2, dmudpsi_ref;
   double dip = std::atan(2.0 * std::tan(lat));
@@ -142,7 +150,7 @@ void rhs_2d_lat(const double* u, double f, const Env& e, int grad_mode,
              mu_2d_lat(r, lat - ha / 2, chi, f, e)) / ha;
   dmudf = (mu_2d_lat(r, lat, chi, f + hf / 2, e) -
            mu_2d_lat(r, lat, chi, f - hf / 2, e)) / hf;
-  if (grad_mode == 1) {
+  if (grad_mode & 1) {
     dmudr = 0.0;
     dmudpsi = dmudpsi_ref;
   } else {
@@ -164,9 +172,10 @@ void rhs_2d_lat(const double* u, double f, const Env& e, int grad_mode,
 // mu evaluates through the latitude helpers; the sign conventions of the
 // colatitude Haselgrove form differ from the latitude form (C15 vs C16).
 
-void rhs_2d_colat(const double* u, double f, const Env& e, int grad_mode,
+void rhs_2d_colat(const double* u, double f0, const Env& e, int grad_mode,
                   double* du) {
   double r = u[0], theta = u[1], chi = u[2];
+  double f = (grad_mode & 2) ? f0 + u[3] : f0;
   double lat = PI / 2.0 - theta;
   double hr = 1e-7 * r, ha = 1e-7, hf = 1e-3 * f;
   double mu, mu2, dmudpsi_ref;
@@ -180,7 +189,7 @@ void rhs_2d_colat(const double* u, double f, const Env& e, int grad_mode,
                 mu_2d_lat(r, lat - ha / 2, chi, f, e)) / ha;
   dmudf = (mu_2d_lat(r, lat, chi, f + hf / 2, e) -
            mu_2d_lat(r, lat, chi, f - hf / 2, e)) / hf;
-  if (grad_mode == 1) {
+  if (grad_mode & 1) {
     dmudr = 0.0;
     dmudpsi = dmudpsi_ref;
   } else {
@@ -227,12 +236,13 @@ struct TraceOut {
 // status codes match raytrace_tpu.integrate.events
 enum { ACTIVE = 0, HIT_EARTH = 1, MAX_PHASE_TIME = 2, DT_UNDERFLOW = 7 };
 
+template <int N>
 void hermite(double tau, const double* u0, const double* k0, const double* u1,
              const double* k1, double dt, double* out) {
   double t2 = tau * tau, t3 = t2 * tau;
   double h00 = 2 * t3 - 3 * t2 + 1, h10 = t3 - 2 * t2 + tau;
   double h01 = -2 * t3 + 3 * t2, h11 = t3 - t2;
-  for (int i = 0; i < 4; i++)
+  for (int i = 0; i < N; i++)
     out[i] = h00 * u0[i] + h10 * dt * k0[i] + h01 * u1[i] + h11 * dt * k1[i];
 }
 
@@ -242,69 +252,74 @@ void rhs_dispatch(int frame, const double* u, double f, const Env& e,
   else rhs_2d_lat(u, f, e, grad_mode, du);
 }
 
-void trace_2d_lat_impl(const double* u0, double f, const Env& e, int grad_mode,
-                       double rtol, double atol, double t_max, double dt0,
-                       double dt_min, double dt_max, int max_steps,
-                       double r_floor, TraceOut* out, int frame = 0) {
-  double u[4] = {u0[0], u0[1], u0[2], u0[3]};
-  double k1[4], k2[4], k3[4], k4[4], k5[4], k6[4], k7[4], utmp[4], unew[4];
-  rhs_dispatch(frame, u, f, e, grad_mode, k1);
+// DP5(4) + PI controller + surface event, templated on state dimension
+// (N = 4 for the 2D frames, 7 for the 3D Kimura state). `rhs` is any
+// callable (const double* u, double* du).
+template <int N, typename RHS>
+void trace_impl_n(RHS rhs, const double* u0, double rtol, double atol,
+                  double t_max, double dt0, double dt_min, double dt_max,
+                  int max_steps, double r_floor, double* u_out, double* t_out,
+                  int32_t* st_out, int32_t* na_out, int32_t* nr_out) {
+  double u[N], k1[N], k2[N], k3[N], k4[N], k5[N], k6[N], k7[N], utmp[N],
+      unew[N];
+  for (int i = 0; i < N; i++) u[i] = u0[i];
+  rhs(u, k1);
   double t = 0.0, dt = dt0, errold = 1e-4;
   int na = 0, nr = 0;
   int32_t status = ACTIVE;
   for (int step = 0; step < max_steps && status == ACTIVE; step++) {
     double dte = dt;
     if (t + dte > t_max) dte = t_max - t;
-    for (int i = 0; i < 4; i++) utmp[i] = u[i] + dte * A21 * k1[i];
-    rhs_dispatch(frame, utmp, f, e, grad_mode, k2);
-    for (int i = 0; i < 4; i++)
+    for (int i = 0; i < N; i++) utmp[i] = u[i] + dte * A21 * k1[i];
+    rhs(utmp, k2);
+    for (int i = 0; i < N; i++)
       utmp[i] = u[i] + dte * (A31 * k1[i] + A32 * k2[i]);
-    rhs_dispatch(frame, utmp, f, e, grad_mode, k3);
-    for (int i = 0; i < 4; i++)
+    rhs(utmp, k3);
+    for (int i = 0; i < N; i++)
       utmp[i] = u[i] + dte * (A41 * k1[i] + A42 * k2[i] + A43 * k3[i]);
-    rhs_dispatch(frame, utmp, f, e, grad_mode, k4);
-    for (int i = 0; i < 4; i++)
+    rhs(utmp, k4);
+    for (int i = 0; i < N; i++)
       utmp[i] = u[i] + dte * (A51 * k1[i] + A52 * k2[i] + A53 * k3[i] +
                               A54 * k4[i]);
-    rhs_dispatch(frame, utmp, f, e, grad_mode, k5);
-    for (int i = 0; i < 4; i++)
+    rhs(utmp, k5);
+    for (int i = 0; i < N; i++)
       utmp[i] = u[i] + dte * (A61 * k1[i] + A62 * k2[i] + A63 * k3[i] +
                               A64 * k4[i] + A65 * k5[i]);
-    rhs_dispatch(frame, utmp, f, e, grad_mode, k6);
-    for (int i = 0; i < 4; i++)
+    rhs(utmp, k6);
+    for (int i = 0; i < N; i++)
       unew[i] = u[i] + dte * (B1 * k1[i] + B3 * k3[i] + B4 * k4[i] +
                               B5 * k5[i] + B6 * k6[i]);
-    rhs_dispatch(frame, unew, f, e, grad_mode, k7);
+    rhs(unew, k7);
     double err = 0.0;
-    for (int i = 0; i < 4; i++) {
+    for (int i = 0; i < N; i++) {
       double ei = dte * (E1 * k1[i] + E3 * k3[i] + E4 * k4[i] + E5 * k5[i] +
                          E6 * k6[i] + E7 * k7[i]);
       double sc = atol + rtol * std::max(std::fabs(u[i]), std::fabs(unew[i]));
       err += (ei / sc) * (ei / sc);
     }
-    err = std::sqrt(err / 4.0);
+    err = std::sqrt(err / N);
     bool accept = err <= 1.0;
     if (accept) {
       na++;
       double t1 = t + dte;
       if (unew[0] <= r_floor) {
         // bisection on the Hermite interpolant (matches the JAX path)
-        double lo = 0.0, hi = 1.0, uu[4];
+        double lo = 0.0, hi = 1.0, uu[N];
         double sign0 = (u[0] - r_floor) > 0 ? 1.0 : -1.0;
         for (int it = 0; it < 64; it++) {
           double mid = 0.5 * (lo + hi);
-          hermite(mid, u, k1, unew, k7, dte, uu);
+          hermite<N>(mid, u, k1, unew, k7, dte, uu);
           if (((uu[0] - r_floor) > 0 ? 1.0 : -1.0) == sign0) lo = mid;
           else hi = mid;
         }
         double tau = 0.5 * (lo + hi);
-        hermite(tau, u, k1, unew, k7, dte, uu);
-        for (int i = 0; i < 4; i++) u[i] = uu[i];
+        hermite<N>(tau, u, k1, unew, k7, dte, uu);
+        for (int i = 0; i < N; i++) u[i] = uu[i];
         t = t + tau * dte;
         status = HIT_EARTH;
         break;
       }
-      for (int i = 0; i < 4; i++) { u[i] = unew[i]; k1[i] = k7[i]; }
+      for (int i = 0; i < N; i++) { u[i] = unew[i]; k1[i] = k7[i]; }
       t = t1;
       if (t >= t_max) { status = MAX_PHASE_TIME; break; }
       double eclip = std::max(err, 1e-10);
@@ -321,11 +336,121 @@ void trace_2d_lat_impl(const double* u0, double f, const Env& e, int grad_mode,
       if (dt <= dt_min * (1.0 + 1e-6)) { status = DT_UNDERFLOW; break; }
     }
   }
-  for (int i = 0; i < 4; i++) out->u[i] = u[i];
-  out->t = t;
-  out->status = status;
-  out->n_accept = na;
-  out->n_reject = nr;
+  for (int i = 0; i < N; i++) u_out[i] = u[i];
+  *t_out = t;
+  *st_out = status;
+  *na_out = na;
+  *nr_out = nr;
+}
+
+void trace_2d_lat_impl(const double* u0, double f, const Env& e, int grad_mode,
+                       double rtol, double atol, double t_max, double dt0,
+                       double dt_min, double dt_max, int max_steps,
+                       double r_floor, TraceOut* out, int frame = 0) {
+  auto rhs = [&](const double* uu, double* dd) {
+    rhs_dispatch(frame, uu, f, e, grad_mode, dd);
+  };
+  trace_impl_n<4>(rhs, u0, rtol, atol, t_max, dt0, dt_min, dt_max, max_steps,
+                  r_floor, out->u, &out->t, &out->status, &out->n_accept,
+                  &out->n_reject);
+}
+
+// ---- 3D (RayTrace_3D.jl): 7-state Kimura form ----
+// state u = (r, theta, phi, rho_r, rho_theta, rho_phi, T); f a parameter
+// (the RayTrace_3D.jl:334 convention -- no legacy freq quirk in 3D).
+
+double mu_3d(double r, double theta, double phi, double rho_r, double rho_t,
+             double rho_p, double f, const Env& e) {
+  (void)phi;  // dipole medium is axisymmetric
+  double lat = PI / 2.0 - theta;
+  // vector dipole (RayTrace_3D.jl:54-66)
+  double inv_r3 = 1.0 / (r * r * r);
+  double br = -2.0 * e.b0 * inv_r3 * std::sin(lat);
+  double bt = -e.b0 * inv_r3 * std::cos(lat);
+  double bmag = std::sqrt(br * br + bt * bt);
+  double rmag = std::sqrt(rho_r * rho_r + rho_t * rho_t + rho_p * rho_p);
+  double cospsi = (br * rho_r + bt * rho_t) / (bmag * rmag);
+  cospsi = std::max(-1.0, std::min(1.0, cospsi));
+  double psi = std::acos(cospsi);  // RayTrace_3D.jl:138-141
+  double mu, mu2;
+  mu_dmudpsi(ne_total_m3(r, lat, e), bmag, f, psi, &mu, nullptr, &mu2);
+  return mu;
+}
+
+// grad_mode bit 0 clear: every partial (r, theta, phi, rho_k, f) is a
+// relative-step central difference of the traced mu. Bit 0 set
+// ("reference"): dmu/dr == 0, rho partials via the Kimura chain driven by
+// the reference's closed-form dmu/dpsi (RayTrace_3D.jl:261-311).
+void rhs_3d(const double* u, double f, const Env& e, int grad_mode,
+            double* du) {
+  double r = u[0], theta = u[1], phi = u[2];
+  double rho_r = u[3], rho_t = u[4], rho_p = u[5];
+  double lat = PI / 2.0 - theta;
+  double hr = 1e-7 * r, ha = 1e-7, hf = 1e-3 * f;
+  double rmag = std::sqrt(rho_r * rho_r + rho_t * rho_t + rho_p * rho_p);
+  double hro = 1e-7 * rmag;
+
+  double mu = mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f, e);
+  double dmudtheta =
+      (mu_3d(r, theta + ha / 2, phi, rho_r, rho_t, rho_p, f, e) -
+       mu_3d(r, theta - ha / 2, phi, rho_r, rho_t, rho_p, f, e)) / ha;
+  double dmudphi = 0.0;  // axisymmetric medium; FD confirms 0 identically
+  double dmudf = (mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f + hf / 2, e) -
+                  mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f - hf / 2, e)) /
+                 hf;
+  double dmudr, dmudrr, dmudrt, dmudrp;
+  if (grad_mode & 1) {
+    dmudr = 0.0;
+    // Kimura chain with the reference's closed-form dmu/dpsi
+    double inv_r3 = 1.0 / (r * r * r);
+    double br = -2.0 * e.b0 * inv_r3 * std::sin(lat);
+    double bt = -e.b0 * inv_r3 * std::cos(lat);
+    double bmag = std::sqrt(br * br + bt * bt);
+    double cospsi = (br * rho_r + bt * rho_t) / (bmag * rmag);
+    cospsi = std::max(-1.0, std::min(1.0, cospsi));
+    double psi = std::acos(cospsi);
+    double mu_ref, mu2, dmudpsi;
+    mu_dmudpsi(ne_total_m3(r, lat, e), bmag, f, psi, &mu_ref, &dmudpsi, &mu2);
+    double sinpsi = std::sin(psi);
+    auto sgn = [](double x) { return x > 0 ? 1.0 : (x < 0 ? -1.0 : 0.0); };
+    double bk[3] = {br, bt, 0.0};
+    double rho[3] = {rho_r, rho_t, rho_p};
+    double out_k[3];
+    for (int k = 0; k < 3; k++) {
+      double cos_alpha = bk[k] * sgn(rho[k]) / bmag;
+      out_k[k] = dmudpsi * (rho[k] * cospsi - mu_ref * cos_alpha) /
+                 (mu_ref * mu_ref * sinpsi);
+    }
+    dmudrr = out_k[0];
+    dmudrt = out_k[1];
+    dmudrp = out_k[2];
+  } else {
+    dmudr = (mu_3d(r + hr / 2, theta, phi, rho_r, rho_t, rho_p, f, e) -
+             mu_3d(r - hr / 2, theta, phi, rho_r, rho_t, rho_p, f, e)) / hr;
+    dmudrr =
+        (mu_3d(r, theta, phi, rho_r + hro / 2, rho_t, rho_p, f, e) -
+         mu_3d(r, theta, phi, rho_r - hro / 2, rho_t, rho_p, f, e)) / hro;
+    dmudrt =
+        (mu_3d(r, theta, phi, rho_r, rho_t + hro / 2, rho_p, f, e) -
+         mu_3d(r, theta, phi, rho_r, rho_t - hro / 2, rho_p, f, e)) / hro;
+    dmudrp =
+        (mu_3d(r, theta, phi, rho_r, rho_t, rho_p + hro / 2, f, e) -
+         mu_3d(r, theta, phi, rho_r, rho_t, rho_p - hro / 2, f, e)) / hro;
+  }
+  // Haselgrove 3D assembly (RayTrace_3D.jl:350-356)
+  double st = std::sin(theta), ct = std::cos(theta);
+  double im2 = 1.0 / (mu * mu);
+  double dr = im2 * (rho_r - mu * dmudrr);
+  double dtheta = im2 / r * (rho_t - mu * dmudrt);
+  double dphi = im2 / (r * st) * (rho_p - mu * dmudrp);
+  du[0] = dr;
+  du[1] = dtheta;
+  du[2] = dphi;
+  du[3] = dmudr / mu + rho_t * dtheta + rho_p * dphi * st;
+  du[4] = (dmudtheta / mu - rho_t * dr + r * rho_p * dphi * ct) / r;
+  du[5] = (dmudphi / mu - rho_p * dr * st - r * rho_p * dtheta * ct) /
+          (r * st);
+  du[6] = (RE_M / C_LIGHT) * (1.0 + (f / mu) * dmudf);
 }
 
 }  // namespace
@@ -380,6 +505,35 @@ void rt_rhs_2d_colat(const double* u, double f, const double* env11,
   Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
            env11[6], env11[7], env11[8], env11[9], env11[10]};
   rhs_2d_colat(u, f, e, grad_mode, du);
+}
+
+void rt_rhs_3d(const double* u, double f, const double* env11, int grad_mode,
+               double* du) {
+  Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
+           env11[6], env11[7], env11[8], env11[9], env11[10]};
+  rhs_3d(u, f, e, grad_mode, du);
+}
+
+// full single-ray 3D trace; out layout: [u0..u6, t, status, n_accept,
+// n_reject] (11 doubles)
+void rt_trace_3d(const double* u0, double f, const double* env11,
+                 int grad_mode, double rtol, double atol, double t_max,
+                 double dt0, double dt_min, double dt_max, int max_steps,
+                 double r_floor, double* out11) {
+  Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
+           env11[6], env11[7], env11[8], env11[9], env11[10]};
+  auto rhs = [&](const double* uu, double* dd) {
+    rhs_3d(uu, f, e, grad_mode, dd);
+  };
+  double u[7], t;
+  int32_t status, na, nr;
+  trace_impl_n<7>(rhs, u0, rtol, atol, t_max, dt0, dt_min, dt_max, max_steps,
+                  r_floor, u, &t, &status, &na, &nr);
+  for (int i = 0; i < 7; i++) out11[i] = u[i];
+  out11[7] = t;
+  out11[8] = static_cast<double>(status);
+  out11[9] = static_cast<double>(na);
+  out11[10] = static_cast<double>(nr);
 }
 
 }  // extern "C"

@@ -18,6 +18,9 @@ _lib = None
 
 GRAD_AUTODIFF_EQUIV = 0   # relative-step FD of the traced mu
 GRAD_REFERENCE = 1        # reference closed-form dmu/dpsi + dmu/dr == 0
+LEGACY_FREQ = 2           # OR-able flag: 2D freq drifts by the group delay
+                          # (freq_eff = f + u[3]), the RayMain.jl:328/:344
+                          # state quirk (SURVEY.md 3.1)
 
 
 def ensure_built():
@@ -43,6 +46,12 @@ def ensure_built():
         ctypes.c_double, ctypes.c_int, ctypes.c_double, d,
     ]
     lib.rt_rhs_2d_colat.argtypes = [d, ctypes.c_double, d, ctypes.c_int, d]
+    lib.rt_rhs_3d.argtypes = [d, ctypes.c_double, d, ctypes.c_int, d]
+    lib.rt_trace_3d.argtypes = [
+        d, ctypes.c_double, d, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int, ctypes.c_double, d,
+    ]
     _lib = lib
     return lib
 
@@ -128,3 +137,34 @@ def rhs_2d_colat(u, f, env, grad_mode=GRAD_AUTODIFF_EQUIV):
     lib.rt_rhs_2d_colat(_ptr(u), float(f), _ptr(_env_array(env)), grad_mode,
                         _ptr(du))
     return du
+
+
+def rhs_3d(u, f, env, grad_mode=GRAD_AUTODIFF_EQUIV):
+    lib = ensure_built()
+    u = np.ascontiguousarray(np.asarray(u, np.float64))
+    du = np.empty(7, np.float64)
+    lib.rt_rhs_3d(_ptr(u), float(f), _ptr(_env_array(env)), grad_mode,
+                  _ptr(du))
+    return du
+
+
+def trace_3d(u0, f, env, *, grad_mode=GRAD_AUTODIFF_EQUIV,
+             rtol=1e-7, atol=1e-12, t_max=np.inf, dt0=1e-4,
+             dt_min=1e-8 / 6.3712e6, dt_max=1e6 / 6.3712e6,
+             max_steps=100000, r_floor=1.0):
+    """Single-ray native 3D trace (7-state Kimura form);
+    returns dict(u, t, status, n_accept, n_reject)."""
+    lib = ensure_built()
+    u0 = np.ascontiguousarray(np.asarray(u0, np.float64))
+    out = np.empty(11, np.float64)
+    lib.rt_trace_3d(
+        _ptr(u0), float(f), _ptr(_env_array(env)), grad_mode, rtol, atol,
+        float(t_max), dt0, dt_min, dt_max, max_steps, r_floor, _ptr(out),
+    )
+    return {
+        "u": out[:7].copy(),
+        "t": float(out[7]),
+        "status": int(out[8]),
+        "n_accept": int(out[9]),
+        "n_reject": int(out[10]),
+    }

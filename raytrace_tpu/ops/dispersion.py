@@ -177,6 +177,22 @@ def psi_trig_3d(r, theta, phi, rho_r, rho_t, rho_p, env: medium.EnvParams):
     return sinpsi, cospsi
 
 
+def consistent_rho_3d(r, theta, phi, khat, f, env: medium.EnvParams, root=1.0):
+    """Initial refractive-index vector ON the dispersion surface.
+
+    rho0 = mu(psi(khat)) * khat for a unit wave-normal direction khat.
+    The reference launches with rho0 = (1, 1, 0) (RayTrace_3D.jl:390-391),
+    whose magnitude sqrt(2) is ~100x off the local mu -- an off-shell state
+    the Haselgrove system never corrects, which is what drives its group
+    delay negative (docs/NOTE_3D_GROUP_DELAY.md). This helper builds the
+    physical launch."""
+    kr, kt, kp = khat
+    n = jnp.sqrt(kr * kr + kt * kt + kp * kp)
+    kr, kt, kp = kr / n, kt / n, kp / n
+    mu = mu_3d(r, theta, phi, kr, kt, kp, f, env, root)
+    return mu * kr, mu * kt, mu * kp
+
+
 def mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams, root=1.0):
     """3D whistler refractive index (reference: RayTrace_3D.jl:93-219).
 

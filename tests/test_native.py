@@ -90,6 +90,72 @@ def test_native_colat_rhs_parity(env):
     np.testing.assert_allclose(du_n, du_j, rtol=5e-6)
 
 
+def test_native_3d_rhs_parity():
+    """C++ 7-state FD RHS vs JAX autodiff (the RayTrace_3D config)."""
+    from raytrace_tpu.models import make_env
+
+    env3 = make_env()
+    u = np.array([R0, np.pi / 4, 0.0, 1.0, 1.0, 0.0, 0.0])
+    du_n = native.rhs_3d(u, 1000.0, env3)
+    du_j = np.asarray(rhs.rhs_3d(jnp.asarray(u), 1000.0, env3))
+    np.testing.assert_allclose(du_n, du_j, rtol=5e-5)
+
+
+def test_native_3d_trajectory_parity():
+    """Config 4 cross-language check: independent 7-state integrators land
+    at the same state, including the NEGATIVE group delay inherited from
+    the reference's off-shell launch (docs/NOTE_3D_GROUP_DELAY.md)."""
+    from raytrace_tpu.models import make_env
+
+    env3 = make_env()
+    u0 = np.array([R0, np.pi / 4, 0.0, 1.0, 1.0, 0.0, 0.0])
+    t_max = 5.0e9 / RE
+    res_n = native.trace_3d(
+        u0, 1000.0, env3, rtol=1e-9, atol=1e-12, t_max=t_max,
+        max_steps=200000,
+    )
+    res_j = trace(
+        lambda u, ff: rhs.rhs_3d(u, ff, env3),
+        jnp.asarray(u0)[None], jnp.array([1000.0]),
+        cfg=SolverConfig(rtol=1e-9, atol=1e-12, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=t_max, lat_sign=-1.0,
+                      lat_offset=np.pi / 2),
+        group_idx=6, max_steps=200000, chunk=256,
+    )
+    assert res_n["status"] == events.HIT_EARTH
+    assert int(res_j.status[0]) == events.HIT_EARTH
+    np.testing.assert_allclose(
+        res_n["u"][1], float(res_j.u[0, 1]), atol=2e-5
+    )
+    # both integrators reproduce the negative group delay
+    assert res_n["u"][6] < 0.0
+    assert float(res_j.u[0, 6]) < 0.0
+    assert res_n["u"][6] == pytest.approx(float(res_j.u[0, 6]), rel=1e-3)
+
+
+def test_consistent_rho0_positive_group_delay():
+    """Launching ON the dispersion surface (rho0 = mu * khat) restores the
+    physical positive group delay (counterfactual A of the note)."""
+    from raytrace_tpu.models import make_env
+    from raytrace_tpu.ops import dispersion
+
+    env3 = make_env()
+    khat = (1.0 / np.sqrt(2.0), 1.0 / np.sqrt(2.0), 0.0)
+    rho0 = dispersion.consistent_rho_3d(R0, np.pi / 4, 0.0, khat, 1000.0, env3)
+    assert float(jnp.hypot(rho0[0], rho0[1])) > 100.0  # mu ~ 146, not sqrt(2)
+    u0 = np.array([R0, np.pi / 4, 0.0, *[float(x) for x in rho0], 0.0])
+    res = trace(
+        lambda u, ff: rhs.rhs_3d(u, ff, env3),
+        jnp.asarray(u0)[None], jnp.array([1000.0]),
+        cfg=SolverConfig(rtol=1e-7, atol=1e-12, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5.0e9 / RE, lat_sign=-1.0,
+                      lat_offset=np.pi / 2),
+        group_idx=6, max_steps=100000, chunk=256,
+    )
+    assert int(res.status[0]) == events.HIT_EARTH
+    assert float(res.u[0, 6]) > 0.0
+
+
 def test_native_colat_trace_parity():
     """RayMain canonical config: native colat trace vs JAX colat trace."""
     from raytrace_tpu.models import make_env_raymain
