@@ -75,6 +75,32 @@ def main():
     )
     plot_environment(env, path=os.path.join(OUT, "environment.png"))
     plot_density_profile(env, path=os.path.join(OUT, "density_profile.png"))
+
+    # 3D canonical ray (RayTrace_3D.jl:390-395) with the SavedValues
+    # channel the reference left TODO (RayTrace_3D.jl:374-387)
+    from raytrace_tpu.integrate.saving import save_fn_for
+    from raytrace_tpu.models import make_env
+
+    env3 = make_env()
+    u0_3d = jnp.array([[(RE + 1.0e6) / RE, np.pi / 4, 0.0, 1.0, 1.0, 0.0, 0.0]])
+    res3 = trace(
+        lambda u, ff: rhs.rhs_3d(u, ff, env3), u0_3d, jnp.array([1000.0]),
+        cfg=SolverConfig(rtol=1e-7, atol=1e-12, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5.0e9 / RE, lat_sign=-1.0,
+                      lat_offset=np.pi / 2),
+        group_idx=6, max_steps=2048, save_every=4,
+        save_fn=save_fn_for("3d", env3),
+    )
+    plot_ray_paths(
+        res3.traj["u"], frame="2d_colat",  # meridional plane: (r, theta)
+        path=os.path.join(OUT, "ray_path_3d.png"),
+        title="canonical 3D ray, meridional plane (RayTrace_3D config)",
+    )
+    plot_diagnostics(
+        np.asarray(res3.traj["t"])[:, 0],
+        np.asarray(res3.traj["extras"])[:, 0, :],
+        path=os.path.join(OUT, "diagnostics_3d.png"),
+    )
     for name in os.listdir(OUT):
         print(os.path.join(OUT, name))
 

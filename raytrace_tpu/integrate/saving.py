@@ -28,6 +28,51 @@ def make_save_fn_2d_lat(env: medium.EnvParams):
     return save_fn
 
 
+def make_save_fn_2d_colat(env: medium.EnvParams):
+    """Colatitude-frame SavedValues channel (the RayMain config; the
+    reference only built the callback for the lat script, but the saved
+    quantities are frame-agnostic). dip/psi use the colat geometry
+    (RayMain.jl:128-131)."""
+
+    def save_fn(u, f):
+        r, theta, chi = u[0], u[1], u[2]
+        lat = jnp.pi / 2.0 - theta
+        mu, dmudpsi = analytic.mu_dmudpsi_2d_lat(r, lat, chi, f, env)
+        dip = dipole.dip_angle_colat(theta)
+        psi = dispersion.psi_colat(theta, chi)
+        return jnp.stack([mu, dmudpsi, dip, psi])
+
+    return save_fn
+
+
+def make_save_fn_3d(env: medium.EnvParams):
+    """3D SavedValues channel -- the callback the reference left TODO
+    (RayTrace_3D.jl:374-387): (mu, dmudpsi, dip, psi) with psi from the
+    B.rho vector geometry (RayTrace_3D.jl:136-141)."""
+
+    def save_fn(u, f):
+        r, theta = u[0], u[1]
+        rho = (u[3], u[4], u[5])
+        lat = jnp.pi / 2.0 - theta
+        psi = dispersion.psi_3d(r, theta, u[2], *rho, env)
+        ne = medium.ne_total_m3(r, lat, env)
+        b = medium.b_mag(r, lat, env)
+        mu, dmudpsi = analytic.mu_and_dmudpsi(ne, b, f, psi)
+        dip = dipole.dip_angle_colat(theta)
+        return jnp.stack([mu, dmudpsi, dip, psi])
+
+    return save_fn
+
+
+def save_fn_for(frame: str, env: medium.EnvParams):
+    """Diagnostics save_fn for a frame name ('2d_lat'|'2d_colat'|'3d')."""
+    return {
+        "2d_lat": make_save_fn_2d_lat,
+        "2d_colat": make_save_fn_2d_colat,
+        "3d": make_save_fn_3d,
+    }[frame](env)
+
+
 def stream_trajectory(
     rhs_fn,
     u0,

@@ -12,7 +12,7 @@ import numpy as np
 
 from .config import RunConfig
 from .integrate import events, trace
-from .integrate.saving import make_save_fn_2d_lat
+from .integrate.saving import save_fn_for
 from .models import medium as medium_mod
 from .ops import rhs as rhs_mod
 from .parallel import (
@@ -73,19 +73,28 @@ def run(config: RunConfig, out_dir=None, plots=False):
     )
 
     if config.save_every > 0:
-        # trajectory mode: plain scan tracer (fixed shapes)
+        # trajectory mode: scan tracer (fixed shapes), sharded over the
+        # ray axis like the final-state tracers
+        from .parallel.mesh import ray_sharding
+
         rhs_fn, group_idx = _rhs_for(config, env)
         save_fn = (
-            make_save_fn_2d_lat(env)
-            if (config.save_diagnostics and config.frame == "2d_lat")
+            save_fn_for(config.frame, env) if config.save_diagnostics
             else None
         )
-        result = trace(
-            rhs_fn, jnp.asarray(u0), jnp.asarray(f), cfg=cfg, spec=spec,
-            group_idx=group_idx, adaptive=config.adaptive,
-            stepper=config.stepper, max_steps=config.max_steps,
-            save_every=config.save_every, save_fn=save_fn,
+        import jax
+
+        sh = ray_sharding(mesh)
+        traj_tracer = jax.jit(
+            lambda uu, ff: trace(
+                rhs_fn, uu, ff, cfg=cfg, spec=spec,
+                group_idx=group_idx, adaptive=config.adaptive,
+                stepper=config.stepper, max_steps=config.max_steps,
+                save_every=config.save_every, save_fn=save_fn,
+            ),
+            in_shardings=(sh, sh),
         )
+        result = traj_tracer(jnp.asarray(u0), jnp.asarray(f))
     elif config.use_rounds:
         tracer = _cached_tracer(config, env, mesh, common, rounds=True)
         result = tracer(u0, f, valid)

@@ -50,6 +50,95 @@ def test_save_fn_matches_reference_savedvalues():
     assert np.all(e[..., 0] > 1.0)  # mu of a propagating whistler
 
 
+def test_save_fn_colat_and_3d_frames():
+    """The SavedValues channel exists for every frame (the reference only
+    built it for the lat script; 3D was TODO at RayTrace_3D.jl:374-387)."""
+    from raytrace_tpu.integrate.saving import save_fn_for
+    from raytrace_tpu.models import make_env, make_env_raymain
+    from raytrace_tpu.ops import dispersion
+
+    env = make_env_raymain()
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_colat(u, ff, env),
+        jnp.array([[R0, np.pi / 4, 0.0, 0.0]]), jnp.array([5000.0]),
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE, lat_sign=-1.0,
+                      lat_offset=np.pi / 2),
+        max_steps=128, save_every=16, save_fn=save_fn_for("2d_colat", env),
+    )
+    e = np.asarray(res.traj["extras"])
+    u = np.asarray(res.traj["u"])
+    theta, chi = u[..., 1], u[..., 2]
+    np.testing.assert_allclose(
+        e[..., 2], np.arctan(2.0 / np.tan(theta)), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        e[..., 3], np.pi / 2 + e[..., 2] + chi, rtol=1e-10
+    )
+
+    env3 = make_env()
+    u0 = jnp.array([[R0, np.pi / 4, 0.0, 1.0, 1.0, 0.0, 0.0]])
+    res3 = trace(
+        lambda u, ff: rhs.rhs_3d(u, ff, env3),
+        u0, jnp.array([1000.0]),
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE, lat_sign=-1.0,
+                      lat_offset=np.pi / 2),
+        group_idx=6, max_steps=128, save_every=16,
+        save_fn=save_fn_for("3d", env3),
+    )
+    e3 = np.asarray(res3.traj["extras"])
+    u3 = np.asarray(res3.traj["u"])
+    assert np.all(np.isfinite(e3))
+    # psi channel equals the vector geometry at the snapshot states
+    psi_direct = np.asarray(
+        jnp.vectorize(
+            lambda r, th, ph, rr_, rt_, rp_: dispersion.psi_3d(
+                r, th, ph, rr_, rt_, rp_, env3),
+        )(u3[..., 0], u3[..., 1], u3[..., 2], u3[..., 3], u3[..., 4],
+          u3[..., 5])
+    )
+    np.testing.assert_allclose(e3[..., 3], psi_direct, rtol=1e-10)
+
+
+def test_trajectory_mode_sharded_matches_unsharded():
+    """run() trajectory mode (save_every>0) shards over the mesh; output
+    must match the unsharded trace bitwise-ish (round-1 weak item: it
+    silently ran single-device)."""
+    from raytrace_tpu.config import preset
+    from raytrace_tpu.run import run
+
+    cfg = preset(
+        "lat_fan", max_steps=96, save_every=32, dtype="float64",
+        lats=tuple(np.linspace(0.5, 1.0, 8)), chis=(0.0,), freqs=(1000.0,),
+        t_max=5e8 / RE, save_diagnostics=True,
+    )
+    out = run(cfg)
+    traj_u = np.asarray(out["result"].traj["u"])
+    valid = np.asarray(out["valid"])
+
+    import jax
+
+    from raytrace_tpu.models import cast_env
+    from raytrace_tpu.parallel import build_launch, make_ray_mesh, pad_batch
+
+    env = cast_env(make_env_lat(), jnp.float64)
+    u0, f = build_launch(cfg.launch(), np.float64)
+    u0, f, _ = pad_batch(u0, f, make_ray_mesh())
+    # same whole-program jit, no sharding annotation: the only difference
+    # from run()'s tracer is the partitioning
+    ref = jax.jit(
+        lambda uu, ff: trace(
+            lambda u, fff: rhs.rhs_2d_lat(u, fff, env),
+            uu, ff, cfg=cfg.solver(), spec=cfg.stop(), max_steps=96,
+            save_every=32,
+        )
+    )(jnp.asarray(u0), jnp.asarray(f))
+    np.testing.assert_allclose(
+        traj_u[:, valid], np.asarray(ref.traj["u"])[:, valid], rtol=1e-12
+    )
+
+
 def test_trajectory_xy_frames():
     u = np.array([[2.0, 0.5, 0.0, 0.0]])
     x, y = trajectory_xy(jnp.asarray(u), "2d_lat")
