@@ -64,7 +64,12 @@ class RunConfig:
     atol: float = 1.0e-12
     dt0: float = 1.0e-4
     adaptive: bool = True
-    stepper: str = "dopri5"         # "dopri5" | "ros2" (stiff tier)
+    stepper: str = "auto"           # "auto" (rounds tracer switches
+                                    # DP5 <-> ros2x per ray on rejection
+                                    # bursts, like CVODE's method choice)
+                                    # | "dopri5" | "ros2" | "ros2x";
+                                    # non-rounds paths resolve "auto" to
+                                    # dopri5
     max_steps: int = 20000
     grad_mode: str = "fused"
     wave_mode: str = "whistler"     # "whistler" (+ root) | "emic" (- root)

@@ -94,6 +94,17 @@ class RayCarry(NamedTuple):
                            # thrash in stiff regions like the plasmapause
                            # knee (measured 77% rejection rate there
                            # without it).
+    caution: jnp.ndarray   # rejection-burst memory (int32): +4 per
+                           # rejection, -1 per acceptance, clamped to
+                           # [0, 60]. While > 8, post-accept dt regrowth
+                           # is capped at 1.3x instead of fac_max -- the
+                           # CVODE eta-limiting semantics after repeated
+                           # error failures. Near whistler reflection
+                           # points the error spike recurs every few
+                           # steps; uncapped 5x regrowth re-overshoots it
+                           # each time (measured 34-77% rejection), while
+                           # the cautious cap tracks the spike at ~0 extra
+                           # cost and no method switch.
 
 
 class TraceResult(NamedTuple):
@@ -122,6 +133,7 @@ def init_carry(rhs_fn, u0, f, cfg: SolverConfig):
         dt_prev=jnp.asarray(cfg.dt0, dtype),
         u_lo=jnp.zeros_like(u0),
         rejected=jnp.zeros((), jnp.int32),
+        caution=jnp.zeros((), jnp.int32),
     )
 
 
@@ -189,7 +201,10 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
         err = jnp.maximum(out.err, 1.0e-10)
         log_err = jnp.log(err)
         scale5 = 5.0 / order  # PI exponents tuned per stepper order
-        fac_cap = jnp.where(carry.rejected > 0, 1.0, cfg.fac_max)
+        fac_cap = jnp.where(
+            carry.rejected > 0, 1.0,
+            jnp.where(carry.caution > 8, 1.3, cfg.fac_max),
+        )
         fac_acc = jnp.clip(
             cfg.safety
             * jnp.exp(scale5 * (-cfg.pi_alpha * log_err
@@ -247,6 +262,14 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
         rejected=jnp.where(
             active, (~accept).astype(jnp.int32), carry.rejected
         ),
+        caution=jnp.where(
+            active,
+            jnp.clip(
+                carry.caution + jnp.where(accept, -1, 4).astype(jnp.int32),
+                0, 60,
+            ),
+            carry.caution,
+        ).astype(jnp.int32),
     )
 
 

@@ -19,7 +19,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..integrate.solve import RayCarry, _step_one
 
-_N_CARRY = 12  # fields of RayCarry
+_N_CARRY = len(RayCarry._fields)
 
 
 def _chunk_kernel(*refs, rhs_fn, cfg, spec, group_idx, adaptive, n_steps):

@@ -130,7 +130,7 @@ def make_rounds_tracer(
     cfg: SolverConfig = SolverConfig(),
     spec: StopSpec = StopSpec(),
     adaptive: bool = True,
-    stepper: str = "dopri5",
+    stepper: str = "auto",
     max_steps: int = 20000,
     round_steps=4096,
     chunk: int = 256,
@@ -138,8 +138,23 @@ def make_rounds_tracer(
     root=1.0,
     bucket_floor: int = 1024,
     stall_progress: float = 1.0e-3,
+    stiff_switch: float = 0.5,
+    stiff_unswitch: float = 0.02,
 ):
     """Ensemble tracer with host-side bucketed re-batching.
+
+    stepper="auto" (default) is the CVODE-style automatic method choice,
+    at round granularity: every ray starts on explicit DP5; a ray whose
+    rejection fraction over a round exceeds `stiff_switch` (the
+    rejection-burst signature of stiff dynamics at whistler reflection
+    points / the plasmapause knee -- measured 77% there) is re-bucketed
+    into a stiff pool integrated with ros2x (L-stable order-3 Rosenbrock),
+    and returns to DP5 when its round rejection falls below
+    `stiff_unswitch`. Pools are separate compiled programs over the same
+    RayCarry, so the switch is exact (dt/controller state carry over) and
+    costs nothing per step -- a per-step lax.cond would execute BOTH
+    steppers on every lane under vmap. Explicit "dopri5"/"ros2"/"ros2x"
+    pin the method for every ray.
 
     stall_progress: rays whose phase path advanced less than this (RE)
     over a whole round are marked DT_UNDERFLOW and dropped. Rays wedged
@@ -182,19 +197,22 @@ def make_rounds_tracer(
         else (int(round_steps),)
     )
 
-    def make_kw(n):
+    auto = stepper == "auto"
+    base_stepper = "dopri5" if auto else stepper
+
+    def make_kw(n, st):
         return dict(
             cfg=cfg, spec=spec, group_idx=group_idx, adaptive=adaptive,
-            stepper=stepper, max_steps=n, chunk=min(chunk, n),
+            stepper=st, max_steps=n, chunk=min(chunk, n),
         )
 
     @partial(jax.jit, static_argnums=2)
     def start(u, ff, n):
-        return trace(rhs_fn, u, ff, **make_kw(n))
+        return trace(rhs_fn, u, ff, **make_kw(n, base_stepper))
 
-    @partial(jax.jit, static_argnums=2)
-    def cont(carry, ff, n):
-        return trace(rhs_fn, carry.u, ff, carry0=carry, **make_kw(n))
+    @partial(jax.jit, static_argnums=(2, 3))
+    def cont(carry, ff, n, st):
+        return trace(rhs_fn, carry.u, ff, carry0=carry, **make_kw(n, st))
 
     # small buckets are latency-bound on TPU (10k lanes ~ 80 VPU tiles
     # already borderline); keep at least bucket_floor lanes per round
@@ -206,42 +224,74 @@ def make_rounds_tracer(
 
     def run(u0, f, valid):
         n = u0.shape[0]
+        f_np = np.asarray(f)
         first = min(round_len(0), max_steps)
         res = start(jnp.asarray(u0), jnp.asarray(f), first)
         final = jax.tree.map(lambda a: np.asarray(a).copy(), res.carry)
+
+        # per-ray stiff flag (auto mode): rejection burst -> ros2x pool
+        stiff = np.zeros(n, bool)
+        if auto:
+            att = final.n_accept + final.n_reject
+            rf = final.n_reject / np.maximum(att, 1)
+            stiff = (final.status == events.ACTIVE) & (rf > stiff_switch)
+
+        def advance(idx, st, nr):
+            """One round for the index set idx with stepper st; returns the
+            per-ray rejection fraction over the round."""
+            b = _bucket_size(idx.size, n, floor)
+            sel = np.concatenate([idx, np.repeat(idx[:1], b - idx.size)])
+            sub = jax.tree.map(lambda a: jnp.asarray(a[sel]), final)
+            rej0 = final.n_reject[idx].copy()
+            acc0 = final.n_accept[idx].copy()
+            r = cont(sub, jnp.asarray(f_np[sel]), nr, st)
+            sub_new = jax.tree.map(np.asarray, r.carry)
+            take = np.arange(idx.size)
+            for name in final._fields:
+                getattr(final, name)[idx] = getattr(sub_new, name)[take]
+            att = (final.n_accept[idx] - acc0) + (final.n_reject[idx] - rej0)
+            return (final.n_reject[idx] - rej0) / np.maximum(att, 1)
 
         steps_done = first
         i = 1
         while steps_done < max_steps:
             active = (final.status == events.ACTIVE) & np.asarray(valid)
-            idx = np.nonzero(active)[0]
-            if idx.size == 0:
+            if not active.any():
                 break
-            b = _bucket_size(idx.size, n, floor)
-            sel = np.concatenate([idx, np.repeat(idx[:1], b - idx.size)])
-            sub = jax.tree.map(lambda a: jnp.asarray(a[sel]), final)
             nr = min(round_len(i), max_steps - steps_done)
-            t_before = final.t[idx].copy()
-            r = cont(sub, jnp.asarray(np.asarray(f)[sel]), nr)
-            sub_new = jax.tree.map(np.asarray, r.carry)
-            take = np.arange(idx.size)
-            for name in final._fields:
-                getattr(final, name)[idx] = getattr(sub_new, name)[take]
+            t_before = final.t.copy()
+            pools = (
+                ((~stiff, base_stepper), (stiff, "ros2x")) if auto
+                else ((np.ones(n, bool), base_stepper),)
+            )
+            for mask, st in pools:
+                idx = np.nonzero(active & mask)[0]
+                if idx.size == 0:
+                    continue
+                rf = advance(idx, st, nr)
+                still = final.status[idx] == events.ACTIVE
+                if auto and st == "ros2x":
+                    stiff[idx[still & (rf < stiff_unswitch)]] = False
+                elif auto:
+                    stiff[idx[still & (rf > stiff_switch)]] = True
             if stall_progress > 0.0:
+                idx = np.nonzero(active)[0]
                 stalled = (
                     (final.status[idx] == events.ACTIVE)
-                    & (final.t[idx] - t_before < stall_progress)
+                    & (final.t[idx] - t_before[idx] < stall_progress)
                 )
                 final.status[idx[stalled]] = events.DT_UNDERFLOW
             steps_done += nr
             i += 1
 
+        run.last_stiff = stiff  # which rays ended on the ros2x pool
         return TraceResult(
             u=final.u, t=final.t, status=final.status,
             n_accept=final.n_accept, n_reject=final.n_reject,
             traj=None, carry=final,
         )
 
+    run.last_stiff = None
     return run
 
 

@@ -66,6 +66,9 @@ def run(config: RunConfig, out_dir=None, plots=False):
 
     cfg = config.solver()
     spec = config.stop()
+    # "auto" is a rounds-tracer policy (per-ray DP5 <-> ros2x switching);
+    # single-program paths integrate every ray with one method
+    fixed_stepper = "dopri5" if config.stepper == "auto" else config.stepper
     common = dict(
         frame=config.frame, cfg=cfg, spec=spec, adaptive=config.adaptive,
         stepper=config.stepper, max_steps=config.max_steps,
@@ -89,7 +92,7 @@ def run(config: RunConfig, out_dir=None, plots=False):
             lambda uu, ff: trace(
                 rhs_fn, uu, ff, cfg=cfg, spec=spec,
                 group_idx=group_idx, adaptive=config.adaptive,
-                stepper=config.stepper, max_steps=config.max_steps,
+                stepper=fixed_stepper, max_steps=config.max_steps,
                 save_every=config.save_every, save_fn=save_fn,
             ),
             in_shardings=(sh, sh),
@@ -99,7 +102,10 @@ def run(config: RunConfig, out_dir=None, plots=False):
         tracer = _cached_tracer(config, env, mesh, common, rounds=True)
         result = tracer(u0, f, valid)
     else:
-        tracer = _cached_tracer(config, env, mesh, common, rounds=False)
+        tracer = _cached_tracer(
+            config, env, mesh, {**common, "stepper": fixed_stepper},
+            rounds=False,
+        )
         result = tracer(jnp.asarray(u0), jnp.asarray(f))
 
     stats = {

@@ -53,6 +53,57 @@ def test_rounds_schedule_tuple():
     assert total[np.asarray(valid)].max() <= 1024
 
 
+def test_caution_controller_limits_rejection_bursts():
+    """Plasmapause-knee reflection rays: the rejection-burst memory in the
+    PI controller (RayCarry.caution: dt regrowth capped at 1.3x while in a
+    burst) must keep ensemble rejection under 20% with NO manual stepper
+    choice -- the CVODE eta-limiting semantics (measured 34% without it,
+    18% with, same landing statuses)."""
+    mesh, env, u0, f, valid = _setup(
+        tuple(np.linspace(0.9, 1.15, 8)), chis=(-0.2, 0.2),
+        freqs=(500.0, 1000.0),
+    )
+    res = make_rounds_tracer(
+        env, mesh=mesh, cfg=SolverConfig(rtol=1e-7, atol=1e-12, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e9 / RE), max_steps=8192,
+        round_steps=2048, bucket_floor=8,
+    )(u0, f, valid)
+    v = np.asarray(valid)
+    acc = np.asarray(res.n_accept)[v].sum()
+    rej = np.asarray(res.n_reject)[v].sum()
+    assert rej / (acc + rej) < 0.20
+    assert (np.asarray(res.status)[v] == events.HIT_EARTH).sum() > 0
+
+
+def test_auto_stepper_pool_handoff():
+    """stepper='auto': rays crossing the switch threshold are re-bucketed
+    into the ros2x pool mid-flight; the carry hand-off across methods must
+    produce the same physics (statuses equal, landing states within the
+    cross-method tolerance). Threshold forced low so smooth rays switch."""
+    mesh, env, u0, f, valid = _setup(tuple(np.linspace(0.6, 0.9, 4)))
+    kw = dict(
+        mesh=mesh, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE), max_steps=4096,
+        round_steps=256, bucket_floor=8,
+    )
+    auto_tr = make_rounds_tracer(
+        env, stepper="auto", stiff_switch=0.001, stiff_unswitch=0.0, **kw
+    )
+    res_auto = auto_tr(u0, f, valid)
+    assert auto_tr.last_stiff is not None and auto_tr.last_stiff.any()
+    res_dp5 = make_rounds_tracer(env, stepper="dopri5", **kw)(u0, f, valid)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(
+        np.asarray(res_auto.status)[v], np.asarray(res_dp5.status)[v]
+    )
+    # landing agreement: independent methods at the same tolerance (landing
+    # amplifies integrator error ~100x, hence the loose bound)
+    np.testing.assert_allclose(
+        np.asarray(res_auto.u)[v, :2], np.asarray(res_dp5.u)[v, :2],
+        rtol=5e-3, atol=5e-3,
+    )
+
+
 def test_stall_detection_flags_wedged_rays():
     """A 500 Hz high-latitude ray (the measured Zeno regime -- float32,
     where the wedge occurs) gets flagged DT_UNDERFLOW instead of burning
