@@ -229,28 +229,53 @@ def make_rounds_tracer(
         res = start(jnp.asarray(u0), jnp.asarray(f), first)
         final = jax.tree.map(lambda a: np.asarray(a).copy(), res.carry)
 
-        # per-ray stiff flag (auto mode): rejection burst -> ros2x pool
+        # per-ray stiff flag (auto mode): rejection burst -> ros2x pool.
+        # Switching is gated on PROGRESS: a bursting ray that also made no
+        # phase-path progress is a Zeno ray wedged on a dispersion
+        # singularity -- not stiff-solvable; it gets DT_UNDERFLOW from the
+        # stall check instead of an (expensive) ros2x round. Measured:
+        # ungated switching sent the headline ensemble's wedged rays
+        # through ros2x rounds at ~9x per-attempt cost for zero resolution
+        # (13.7 s vs ~3 s wall on the 10k bench).
         stiff = np.zeros(n, bool)
-        if auto:
-            att = final.n_accept + final.n_reject
-            rf = final.n_reject / np.maximum(att, 1)
-            stiff = (final.status == events.ACTIVE) & (rf > stiff_switch)
+
+        def settle(idx, rf, prog, st):
+            """Post-round bookkeeping for the rays in idx: stall
+            retirement first, then stiff-pool membership updates."""
+            still = final.status[idx] == events.ACTIVE
+            if stall_progress > 0.0:
+                stalled = still & (prog < stall_progress)
+                final.status[idx[stalled]] = events.DT_UNDERFLOW
+                still = still & ~stalled
+            if auto and st == "ros2x":
+                stiff[idx[still & (rf < stiff_unswitch)]] = False
+            elif auto:
+                stiff[idx[still & (rf > stiff_switch)]] = True
 
         def advance(idx, st, nr):
             """One round for the index set idx with stepper st; returns the
-            per-ray rejection fraction over the round."""
+            per-ray (rejection fraction, phase-path progress) over it."""
             b = _bucket_size(idx.size, n, floor)
             sel = np.concatenate([idx, np.repeat(idx[:1], b - idx.size)])
             sub = jax.tree.map(lambda a: jnp.asarray(a[sel]), final)
             rej0 = final.n_reject[idx].copy()
             acc0 = final.n_accept[idx].copy()
+            t0 = final.t[idx].copy()
             r = cont(sub, jnp.asarray(f_np[sel]), nr, st)
             sub_new = jax.tree.map(np.asarray, r.carry)
             take = np.arange(idx.size)
             for name in final._fields:
                 getattr(final, name)[idx] = getattr(sub_new, name)[take]
             att = (final.n_accept[idx] - acc0) + (final.n_reject[idx] - rej0)
-            return (final.n_reject[idx] - rej0) / np.maximum(att, 1)
+            rf = (final.n_reject[idx] - rej0) / np.maximum(att, 1)
+            return rf, final.t[idx] - t0
+
+        # round-1 bookkeeping (the start program ran all rays on the base
+        # stepper from t = 0)
+        idx0 = np.nonzero(np.asarray(valid))[0]
+        att0 = (final.n_accept + final.n_reject)[idx0]
+        rf0 = final.n_reject[idx0] / np.maximum(att0, 1)
+        settle(idx0, rf0, final.t[idx0], base_stepper)
 
         steps_done = first
         i = 1
@@ -259,7 +284,6 @@ def make_rounds_tracer(
             if not active.any():
                 break
             nr = min(round_len(i), max_steps - steps_done)
-            t_before = final.t.copy()
             pools = (
                 ((~stiff, base_stepper), (stiff, "ros2x")) if auto
                 else ((np.ones(n, bool), base_stepper),)
@@ -268,19 +292,14 @@ def make_rounds_tracer(
                 idx = np.nonzero(active & mask)[0]
                 if idx.size == 0:
                     continue
-                rf = advance(idx, st, nr)
-                still = final.status[idx] == events.ACTIVE
-                if auto and st == "ros2x":
-                    stiff[idx[still & (rf < stiff_unswitch)]] = False
-                elif auto:
-                    stiff[idx[still & (rf > stiff_switch)]] = True
-            if stall_progress > 0.0:
-                idx = np.nonzero(active)[0]
-                stalled = (
-                    (final.status[idx] == events.ACTIVE)
-                    & (final.t[idx] - t_before[idx] < stall_progress)
-                )
-                final.status[idx[stalled]] = events.DT_UNDERFLOW
+                # the stiff pool runs short rounds: an L-stable method
+                # covers the same span in far fewer steps, and rays that
+                # turn out to be wedged on a singularity (both methods
+                # reject everything) reach the stall check after at most
+                # 1024 wasted attempts instead of a full dp5-length round
+                nr_pool = min(nr, 1024) if st == "ros2x" else nr
+                rf, prog = advance(idx, st, nr_pool)
+                settle(idx, rf, prog, st)
             steps_done += nr
             i += 1
 
