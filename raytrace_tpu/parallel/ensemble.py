@@ -122,6 +122,62 @@ def _bucket_size(n_active, n_full, floor):
     return min(b, n_full)
 
 
+# --- packed carry transport ---------------------------------------------
+# The rounds tracer syncs the whole RayCarry to the host between rounds.
+# Fetching the 13 carry fields (+ f) as separate buffers costs 13 tunnel
+# round-trips (~30 ms EACH on the axon-tunneled chip -- measured 0.36-0.42 s
+# per round, 2.1 s of a 3.5 s headline run). Packing everything into ONE
+# flat float array inside the jitted program makes each direction a single
+# transfer regardless of field count. The int32 fields ride along exactly
+# as floats: every value is bounded by max_steps << 2^24, inside the f32
+# mantissa (guarded in make_rounds_tracer).
+
+_INT_FIELDS = ("status", "n_accept", "n_reject", "rejected", "caution")
+_VEC_FIELDS = ("u", "k1", "u_prev", "u_lo")          # (B, n) in state order
+_SCALAR_FIELDS = ("t", "dt", "errold", "dt_prev")    # (B,)
+# packed column index of t (after the 4 state-vector blocks):
+T_OF = {"t": 0, "dt": 1, "errold": 2, "dt_prev": 3, "f": 4}
+# int columns live after the float scalars + f:
+I_OF = {name: 5 + i for i, name in enumerate(_INT_FIELDS)}
+
+
+def pack_carry(carry, f):
+    """(carry, f) -> one (B, 4n+10) array of the carry dtype."""
+    cols = [getattr(carry, name) for name in _VEC_FIELDS]
+    cols += [getattr(carry, name)[:, None] for name in _SCALAR_FIELDS]
+    cols.append(f[:, None])
+    cols += [
+        getattr(carry, name)[:, None].astype(f.dtype) for name in _INT_FIELDS
+    ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def unpack_carry(fl, state_dim):
+    """Inverse of pack_carry; works on jnp (in-jit) and np (host) arrays.
+
+    Returns (RayCarry, f)."""
+    from ..integrate.solve import RayCarry
+
+    n = state_dim
+    vecs = [fl[:, i * n:(i + 1) * n] for i in range(len(_VEC_FIELDS))]
+    base = len(_VEC_FIELDS) * n
+    kw = dict(zip(_VEC_FIELDS, vecs))
+    kw.update(
+        (name, fl[:, base + T_OF[name]]) for name in _SCALAR_FIELDS
+    )
+    f = fl[:, base + T_OF["f"]]
+    kw.update(
+        (name, fl[:, base + I_OF[name]].astype(jnp.int32))
+        for name in _INT_FIELDS
+    )
+    return RayCarry(**kw), f
+
+
+def packed_state_dim(fl):
+    """State dimension n from a packed array's column count 4n+10."""
+    return (fl.shape[1] - 10) // 4
+
+
 def make_rounds_tracer(
     env: medium.EnvParams,
     *,
@@ -206,13 +262,25 @@ def make_rounds_tracer(
             stepper=st, max_steps=n, chunk=min(chunk, n),
         )
 
+    # start/cont speak the packed-carry protocol (ONE flat array instead
+    # of 13 buffers) so every host sync is a single transfer each way --
+    # see pack_carry above for why that matters on a tunneled chip
+    if max_steps >= (1 << 24):
+        raise ValueError(
+            "max_steps must stay below 2^24 so the step counters ride the "
+            "packed float transport exactly"
+        )
+
     @partial(jax.jit, static_argnums=2)
     def start(u, ff, n):
-        return trace(rhs_fn, u, ff, **make_kw(n, base_stepper))
+        res = trace(rhs_fn, u, ff, **make_kw(n, base_stepper))
+        return pack_carry(res.carry, ff)
 
-    @partial(jax.jit, static_argnums=(2, 3))
-    def cont(carry, ff, n, st):
-        return trace(rhs_fn, carry.u, ff, carry0=carry, **make_kw(n, st))
+    @partial(jax.jit, static_argnums=(1, 2))
+    def cont(fl, n, st):
+        carry, ff = unpack_carry(fl, packed_state_dim(fl))
+        res = trace(rhs_fn, carry.u, ff, carry0=carry, **make_kw(n, st))
+        return pack_carry(res.carry, ff)
 
     # small buckets are latency-bound on TPU (10k lanes ~ 80 VPU tiles
     # already borderline); keep at least bucket_floor lanes per round
@@ -224,28 +292,30 @@ def make_rounds_tracer(
 
     def run(u0, f, valid):
         n = u0.shape[0]
-        f_np = np.asarray(f)
+        sd = u0.shape[1]                      # state dimension
+        base = 4 * sd
+        t_col = base + T_OF["t"]
+        st_col = base + I_OF["status"]
+        acc_col = base + I_OF["n_accept"]
+        rej_col = base + I_OF["n_reject"]
         first = min(round_len(0), max_steps)
-        res = start(jnp.asarray(u0), jnp.asarray(f), first)
-        final = jax.tree.map(lambda a: np.asarray(a).copy(), res.carry)
+        # host mirror of the packed carry: ONE flat array
+        fl = np.asarray(start(jnp.asarray(u0), jnp.asarray(f), first)).copy()
 
         # per-ray stiff flag (auto mode): rejection burst -> ros2x pool.
         # Switching is gated on PROGRESS: a bursting ray that also made no
         # phase-path progress is a Zeno ray wedged on a dispersion
         # singularity -- not stiff-solvable; it gets DT_UNDERFLOW from the
-        # stall check instead of an (expensive) ros2x round. Measured:
-        # ungated switching sent the headline ensemble's wedged rays
-        # through ros2x rounds at ~9x per-attempt cost for zero resolution
-        # (13.7 s vs ~3 s wall on the 10k bench).
+        # stall check instead of an (expensive) ros2x round.
         stiff = np.zeros(n, bool)
 
         def settle(idx, rf, prog, st):
             """Post-round bookkeeping for the rays in idx: stall
             retirement first, then stiff-pool membership updates."""
-            still = final.status[idx] == events.ACTIVE
+            still = fl[idx, st_col] == events.ACTIVE
             if stall_progress > 0.0:
                 stalled = still & (prog < stall_progress)
-                final.status[idx[stalled]] = events.DT_UNDERFLOW
+                fl[idx[stalled], st_col] = events.DT_UNDERFLOW
                 still = still & ~stalled
             if auto and st == "ros2x":
                 stiff[idx[still & (rf < stiff_unswitch)]] = False
@@ -257,35 +327,43 @@ def make_rounds_tracer(
             per-ray (rejection fraction, phase-path progress) over it."""
             b = _bucket_size(idx.size, n, floor)
             sel = np.concatenate([idx, np.repeat(idx[:1], b - idx.size)])
-            sub = jax.tree.map(lambda a: jnp.asarray(a[sel]), final)
-            rej0 = final.n_reject[idx].copy()
-            acc0 = final.n_accept[idx].copy()
-            t0 = final.t[idx].copy()
-            r = cont(sub, jnp.asarray(f_np[sel]), nr, st)
-            sub_new = jax.tree.map(np.asarray, r.carry)
-            take = np.arange(idx.size)
-            for name in final._fields:
-                getattr(final, name)[idx] = getattr(sub_new, name)[take]
-            att = (final.n_accept[idx] - acc0) + (final.n_reject[idx] - rej0)
-            rf = (final.n_reject[idx] - rej0) / np.maximum(att, 1)
-            return rf, final.t[idx] - t0
+            acc0 = fl[idx, acc_col].copy()
+            rej0 = fl[idx, rej_col].copy()
+            t0 = fl[idx, t_col].copy()
+            rfl = cont(jnp.asarray(fl[sel]), nr, st)
+            fl[idx] = np.asarray(rfl)[: idx.size]
+            att = (fl[idx, acc_col] - acc0) + (fl[idx, rej_col] - rej0)
+            rf = (fl[idx, rej_col] - rej0) / np.maximum(att, 1)
+            return rf, fl[idx, t_col] - t0
 
         # round-1 bookkeeping (the start program ran all rays on the base
         # stepper from t = 0)
         idx0 = np.nonzero(np.asarray(valid))[0]
-        att0 = (final.n_accept + final.n_reject)[idx0]
-        rf0 = final.n_reject[idx0] / np.maximum(att0, 1)
-        settle(idx0, rf0, final.t[idx0], base_stepper)
+        att0 = fl[idx0, acc_col] + fl[idx0, rej_col]
+        rf0 = fl[idx0, rej_col] / np.maximum(att0, 1)
+        settle(idx0, rf0, fl[idx0, t_col], base_stepper)
 
         steps_done = first
         i = 1
         while steps_done < max_steps:
-            active = (final.status == events.ACTIVE) & np.asarray(valid)
+            active = (fl[:, st_col] == events.ACTIVE) & np.asarray(valid)
             if not active.any():
                 break
-            nr = min(round_len(i), max_steps - steps_done)
+            # merge the straggler tail: once the active set stops paying
+            # for re-bucketing (it no longer halves), run the whole
+            # remaining budget in one round instead of ping-ponging
+            # fixed-length rounds through the tunnel
+            n_active = int(active.sum())
+            if n_active * 4 <= floor:
+                nr = max_steps - steps_done
+            else:
+                nr = min(round_len(i), max_steps - steps_done)
+            # snapshot pool membership: rays marked stiff by THIS round's
+            # dp5 settle must wait for the next round, or they would run
+            # both pools in one round (double-stepping past max_steps)
+            pool_mask = stiff.copy()
             pools = (
-                ((~stiff, base_stepper), (stiff, "ros2x")) if auto
+                ((~pool_mask, base_stepper), (pool_mask, "ros2x")) if auto
                 else ((np.ones(n, bool), base_stepper),)
             )
             for mask, st in pools:
@@ -304,6 +382,7 @@ def make_rounds_tracer(
             i += 1
 
         run.last_stiff = stiff  # which rays ended on the ros2x pool
+        final, _ = unpack_carry(fl, sd)
         return TraceResult(
             u=final.u, t=final.t, status=final.status,
             n_accept=final.n_accept, n_reject=final.n_reject,
