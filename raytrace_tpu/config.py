@@ -36,6 +36,7 @@ class MediumConfig:
     mlt: float = 2.0
     de_correction: bool = False
     ps_smooth: float = 0.0          # sigmoid plasmapause blend width (L)
+    iono_mlt: bool = False          # day/night ionosphere blend by mlt
 
     def build(self):
         fit = TRACED_FIT if self.iono_fit == "traced" else IRI_DAYSIDE_FIT
@@ -43,6 +44,7 @@ class MediumConfig:
             b0=self.b0, iono_fit=fit, plasmasphere_on=self.plasmasphere,
             kp_max=self.kp_max, day=self.day, rbar=self.rbar, mlt=self.mlt,
             de_correction=self.de_correction, ps_smooth=self.ps_smooth,
+            iono_mlt=self.iono_mlt,
         )
 
 

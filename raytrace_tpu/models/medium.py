@@ -33,6 +33,13 @@ class EnvParams(NamedTuple):
     ps_trough: float                 # 5800 + 300 mlt
     de_weight: float                 # 1.0 = diffusive-equilibrium correction
     ps_smooth: float = 0.0           # >0: sigmoid-blend width at Lppi/Lppo
+    # day/night ionosphere mixture (the MLT interpolation the reference
+    # planned at plasmasphere.jl:110-113): ne_iono = iono_mix * fit_a +
+    # (1 - iono_mix) * fit_b, with fit_b = (iono_n0_b, iono_decay_b,
+    # iono_r0). iono_mix == 1.0 (default) is the pure single-fit medium.
+    iono_n0_b: float = 0.0           # nightside fit amplitude, cm^-3
+    iono_decay_b: float = 0.0        # nightside fit decay, 1/RE
+    iono_mix: float = 1.0            # dayside weight in [0, 1]; STATIC
 
 
 def make_env(
@@ -45,18 +52,33 @@ def make_env(
     mlt=2.0,
     de_correction=False,
     ps_smooth=0.0,
+    iono_mlt=False,
 ):
     """Build EnvParams; runs the host-side plasmapause pre-solve.
 
     Defaults reproduce the canonical reference run (plasmasphere.jl:42-46):
-    Kp_max=3 (Lppi=4.22), d=0, Rbar=90, mlt=2."""
+    Kp_max=3 (Lppi=4.22), d=0, Rbar=90, mlt=2.
+
+    iono_mlt=True enables the day/night ionosphere interpolation the
+    reference planned but never built (plasmasphere.jl:110-113): the
+    IRI dayside and nightside fits blended by the smooth MLT weight of
+    `mlt` (the same MLT that already feeds the CA1992 trough term)."""
     lppi = plasmasphere.lppi_from_kp(kp_max)
     lppo, ne_lppi = plasmasphere.initialize_plasmasphere(lppi, day, rbar, mlt)
+    if iono_mlt:
+        day_fit = ionosphere.IRI_DAYSIDE_FIT
+        night_fit = ionosphere.IRI_NIGHTSIDE_FIT
+        iono_kw = dict(
+            iono_n0=day_fit[0], iono_decay=day_fit[1], iono_r0=day_fit[2],
+            iono_n0_b=night_fit[0], iono_decay_b=night_fit[1],
+            iono_mix=float(ionosphere.day_weight(mlt)),
+        )
+    else:
+        iono_kw = dict(
+            iono_n0=iono_fit[0], iono_decay=iono_fit[1], iono_r0=iono_fit[2],
+        )
     return EnvParams(
         b0=b0,
-        iono_n0=iono_fit[0],
-        iono_decay=iono_fit[1],
-        iono_r0=iono_fit[2],
         ps_weight=1.0 if plasmasphere_on else 0.0,
         lppi=lppi,
         lppo=lppo,
@@ -65,12 +87,13 @@ def make_env(
         ps_trough=5800.0 + 300.0 * mlt,
         de_weight=1.0 if de_correction else 0.0,
         ps_smooth=ps_smooth,
+        **iono_kw,
     )
 
 
 # fields that gate code paths at trace time -- keep python floats when
 # casting an EnvParams to device values
-STATIC_FIELDS = ("ps_weight", "de_weight", "ps_smooth")
+STATIC_FIELDS = ("ps_weight", "de_weight", "ps_smooth", "iono_mix")
 
 
 def cast_env(env: EnvParams, dtype):
@@ -101,6 +124,11 @@ def ne_total_m3(r, lat, env: EnvParams):
     Reference composition: RayTrace_lat.jl:70-83; DE variant
     plasmasphere.jl:171."""
     ne_i = ionosphere.ne_iono_cm3(r, env.iono_n0, env.iono_decay, env.iono_r0)
+    if not (isinstance(env.iono_mix, float) and env.iono_mix == 1.0):
+        ne_i = env.iono_mix * ne_i + (1.0 - env.iono_mix) * (
+            ionosphere.ne_iono_cm3(r, env.iono_n0_b, env.iono_decay_b,
+                                   env.iono_r0)
+        )
     L = dipole.l_shell(r, lat)
     ne_p = plasmasphere.ne_plasma_cm3(
         L, env.lppi, env.lppo, env.ne_lppi, env.ps_season, env.ps_trough,

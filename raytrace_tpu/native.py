@@ -65,6 +65,11 @@ def _env_array(env):
             "native oracle implements the hard-branch plasmapause only; "
             f"got ps_smooth={float(env.ps_smooth)}"
         )
+    if float(env.iono_mix) != 1.0:
+        raise ValueError(
+            "native oracle implements the single-fit ionosphere only; "
+            f"got iono_mix={float(env.iono_mix)}"
+        )
     return np.asarray([float(x) for x in env], np.float64)
 
 

@@ -39,6 +39,15 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
     Python-float zero (e.g. the RayMain medium)."""
     ni = env.iono_n0 * jnp.exp(-env.iono_decay * (r - env.iono_r0))
     ni_r = -env.iono_decay * ni
+    if not (isinstance(env.iono_mix, float) and env.iono_mix == 1.0):
+        # day/night mixture (see models/medium.py): second exponential
+        # term, derivative is the mix of the two terms' derivatives
+        nb = env.iono_n0_b * jnp.exp(-env.iono_decay_b * (r - env.iono_r0))
+        ni = env.iono_mix * ni + (1.0 - env.iono_mix) * nb
+        ni_r = (
+            env.iono_mix * ni_r
+            + (1.0 - env.iono_mix) * (-env.iono_decay_b * nb)
+        )
 
     ps_on = not (isinstance(env.ps_weight, float) and env.ps_weight == 0.0)
     if not ps_on:

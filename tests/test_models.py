@@ -147,3 +147,32 @@ def test_raymain_env_has_no_plasmasphere():
         ne_i * 1e6, rel=1e-12
     )
     assert env.b0 == pytest.approx(3.0696381e-5)
+
+
+def test_iono_mlt_interpolation():
+    """Day/night ionosphere blend (the reference's planned MLT step,
+    plasmasphere.jl:110-113): mixture equals the hand formula, endpoints
+    recover the pure fits, and the default medium is unchanged."""
+    import numpy as np
+
+    from raytrace_tpu.models import ionosphere, make_env
+
+    r = 1.2
+    # endpoint checks on the weight
+    assert float(ionosphere.day_weight(12.0)) == pytest.approx(1.0)
+    assert float(ionosphere.day_weight(0.0)) == pytest.approx(0.0)
+    w6 = float(ionosphere.day_weight(6.0))
+    assert w6 == pytest.approx(0.5)
+
+    env = make_env(iono_mlt=True, mlt=6.0)
+    ne = float(medium.ne_total_m3(r, 0.0, env._replace(ps_weight=0.0)))
+    day = float(ionosphere.ne_iono_cm3(r, *ionosphere.IRI_DAYSIDE_FIT))
+    night = float(ionosphere.ne_iono_cm3(r, *ionosphere.IRI_NIGHTSIDE_FIT))
+    assert ne == pytest.approx(1e6 * (w6 * day + (1 - w6) * night), rel=1e-12)
+
+    # default media untouched (iono_mix == 1.0 static path)
+    env0 = make_env()
+    assert env0.iono_mix == 1.0
+    ne0 = float(medium.ne_total_m3(r, 0.0, env0._replace(ps_weight=0.0)))
+    traced = float(ionosphere.ne_iono_cm3(r, *ionosphere.TRACED_FIT))
+    assert ne0 == pytest.approx(1e6 * traced, rel=1e-12)
