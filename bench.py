@@ -184,6 +184,19 @@ def tpu_ensemble_with_retries(attempts=4, timeout_s=900):
     raise RuntimeError("TPU ensemble measurement failed every attempt")
 
 
+def pallas_record():
+    """Latest on-chip Pallas measurement (benchmarks/pallas_on_chip.py)."""
+    path = os.path.join(REPO, "benchmarks", "pallas_r02.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        rec = json.load(fh)
+    keep = ("ok", "block", "pallas_lane_steps_per_s",
+            "xla_lane_steps_per_s", "parity_one_step_max_abs_err",
+            "attempts")
+    return {k: rec[k] for k in keep if k in rec}
+
+
 def main():
     if "--cpu-baseline" in sys.argv:
         print(json.dumps(measure_cpu_single_ray()))
@@ -217,6 +230,8 @@ def main():
                     "ensemble_rays_per_s_vs_native_ray_per_s": round(
                         (ens["rays"] / ens["wall_s"]) * nat["wall_s"], 1
                     ),
+                    **({"pallas_on_chip": pallas_record()}
+                       if pallas_record() else {}),
                     **({"stale_tpu_measurement": True} if ens.get("stale") else {}),
                 },
             }

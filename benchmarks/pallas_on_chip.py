@@ -23,8 +23,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "benchmarks", "pallas_r02.json")
 
-N_RAYS = 1024
-N_STEPS = 64
+N_RAYS = 16384
+N_STEPS = 256
+N_CALLS = 3  # chained (data-dependent) timed calls per backend
 
 
 def attempt():
@@ -66,43 +67,70 @@ def attempt():
             _step_one, rhs_fn, cfg=cfg, spec=spec, group_idx=3, adaptive=True
         )
     )
-    xla_chunk = jax.jit(
-        lambda c, ff: jax.lax.fori_loop(
-            0, N_STEPS, lambda _, cc: step(cc, ff), c
-        )
-    )
-    ref = xla_chunk(carry, f)
-    jax.block_until_ready(ref.u)
-    t0 = time.perf_counter()
-    ref = xla_chunk(carry, f)
-    jax.block_until_ready(ref.u)
-    xla_s = time.perf_counter() - t0
 
-    pallas_chunk = make_pallas_chunk(
-        rhs_fn, cfg, spec, group_idx=3, adaptive=True, n_steps=N_STEPS
-    )
-    out = pallas_chunk(carry, f)  # Mosaic compile happens here
-    jax.block_until_ready(out.u)
-    t0 = time.perf_counter()
-    out = pallas_chunk(carry, f)
-    jax.block_until_ready(out.u)
-    pallas_s = time.perf_counter() - t0
+    def xla_loop(c, ff, k):
+        return jax.lax.fori_loop(0, k, lambda _, cc: step(cc, ff), c)
 
+    def timed_chain(fn, c):
+        """Average per-call wall over N_CALLS chained (data-dependent)
+        calls, synced by a scalar fetch (block_until_ready alone does not
+        reliably wait through the tunnel)."""
+        out = fn(c, f)
+        float(jnp.sum(out.u))  # warm + sync
+        t0 = time.perf_counter()
+        cc = c
+        for _ in range(N_CALLS):
+            cc = fn(cc, f)
+        float(jnp.sum(cc.u))
+        return (time.perf_counter() - t0) / N_CALLS
+
+    xla_chunk = jax.jit(partial(xla_loop, k=N_STEPS))
+    xla_s = timed_chain(xla_chunk, carry)
+
+    # PARITY on one attempted step: after many ADAPTIVE steps the
+    # histories of the two backends legitimately diverge (Mosaic and XLA
+    # transcendentals differ in the last ulp, which flips borderline
+    # accept/reject decisions), so parity is asserted on a single step.
+    one_pallas = jax.jit(make_pallas_chunk(
+        rhs_fn, cfg, spec, group_idx=3, adaptive=True, n_steps=1
+    ))
+    one_xla = jax.jit(partial(xla_loop, k=1))
+    a = one_pallas(carry, f)
+    b = one_xla(carry, f)
     err = max(
-        float(jnp.max(jnp.abs(out.u - ref.u))),
-        float(jnp.max(jnp.abs(out.t - ref.t))),
-        float(jnp.max(jnp.abs((out.status - ref.status)).astype(jnp.float32))),
+        float(jnp.max(jnp.abs(a.u - b.u))),
+        float(jnp.max(jnp.abs(a.dt - b.dt))),
+        float(jnp.max(jnp.abs(a.status - b.status).astype(jnp.float32))),
     )
+
+    # widest block whose per-step intermediate stack fits scoped VMEM
+    pallas_s = None
+    block_used = None
+    for block in (512, 256):
+        try:
+            pallas_chunk = jax.jit(make_pallas_chunk(
+                rhs_fn, cfg, spec, group_idx=3, adaptive=True,
+                n_steps=N_STEPS, block=block,
+            ))
+            pallas_s = timed_chain(pallas_chunk, carry)
+            block_used = block
+            break
+        except Exception as e:  # scoped-vmem OOM at this block width
+            print(f"block={block} failed: {str(e)[:120]}", file=sys.stderr)
+    if pallas_s is None:
+        raise RuntimeError("every block width failed to compile")
+
     return {
         "ok": True,
         "backend": jax.default_backend(),
         "n_rays": n,
         "n_steps": N_STEPS,
+        "block": block_used,
         "pallas_wall_s": round(pallas_s, 5),
         "xla_wall_s": round(xla_s, 5),
         "pallas_lane_steps_per_s": round(n * N_STEPS / pallas_s, 1),
         "xla_lane_steps_per_s": round(n * N_STEPS / xla_s, 1),
-        "parity_max_abs_err_vs_xla": err,
+        "parity_one_step_max_abs_err": err,
     }
 
 
