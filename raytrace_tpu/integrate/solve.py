@@ -62,6 +62,20 @@ class SolverConfig(NamedTuple):
                                    # bounded accuracy slack for fewer
                                    # borderline rejections (the controller
                                    # still *aims* at err ~ safety < 1)
+    stall_dt_factor: float = 1.0e3  # device-side wedge retirement: an
+                                    # ACCEPTED step with dt < stall_dt_factor
+                                    # * dt_min is a "tiny" (no-op-scale)
+                                    # accept; stall_count consecutive tiny
+                                    # accepts (rejections in between do not
+                                    # reset) flag the ray DT_UNDERFLOW. This
+                                    # retires Zeno rays wedged on dispersion
+                                    # singularities within ~100 attempts
+                                    # instead of a full host round -- the
+                                    # sawtooth (no-op accept at the floor,
+                                    # capped regrowth, rejection burst) is
+                                    # invisible to the error estimator but
+                                    # perfectly visible in dt. 0 disables.
+    stall_count: float = 64.0
 
 
 class RayCarry(NamedTuple):
@@ -94,6 +108,10 @@ class RayCarry(NamedTuple):
                            # thrash in stiff regions like the plasmapause
                            # knee (measured 77% rejection rate there
                            # without it).
+    n_tiny: jnp.ndarray    # consecutive tiny-accept counter (int32) for
+                           # the device-side wedge retirement (see
+                           # SolverConfig.stall_dt_factor); reset by any
+                           # normal-sized accepted step.
     caution: jnp.ndarray   # rejection-burst memory (int32): +4 per
                            # rejection, -1 per acceptance, clamped to
                            # [0, 60]. While > 8, post-accept dt regrowth
@@ -133,6 +151,7 @@ def init_carry(rhs_fn, u0, f, cfg: SolverConfig):
         dt_prev=jnp.asarray(cfg.dt0, dtype),
         u_lo=jnp.zeros_like(u0),
         rejected=jnp.zeros((), jnp.int32),
+        n_tiny=jnp.zeros((), jnp.int32),
         caution=jnp.zeros((), jnp.int32),
     )
 
@@ -198,7 +217,17 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
     # PI step-size controller (powers as exp/log: Pallas-lowerable, and
     # err > 0 is guaranteed by the floor)
     if adaptive:
-        err = jnp.maximum(out.err, 1.0e-10)
+        # a non-finite error estimate (RHS hit a dispersion singularity in
+        # some stage) must act as a hard rejection, NOT poison the
+        # controller: log(nan) would make dt nan and the ray would then
+        # reject forever without ever tripping the dt_min underflow check
+        # (measured: wedged 500 Hz f32 rays spinning 4000+ rejections with
+        # dt = nan). Substituting a huge err makes fac_rej take the 0.05x
+        # floor, so dt collapses to dt_min within ~5 attempts and the ray
+        # retires as DT_UNDERFLOW -- CVODE's repeated-err-failure path.
+        err = jnp.where(
+            jnp.isfinite(out.err), jnp.maximum(out.err, 1.0e-10), 1.0e10
+        )
         log_err = jnp.log(err)
         scale5 = 5.0 / order  # PI exponents tuned per stepper order
         fac_cap = jnp.where(
@@ -240,6 +269,26 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
         carry.status,
     ).astype(jnp.int32)
 
+    # device-side wedge retirement (see SolverConfig.stall_dt_factor)
+    if adaptive:
+        tiny = (dt_eff < cfg.dt_min * cfg.stall_dt_factor) & (
+            cfg.stall_dt_factor > 0
+        )
+        n_tiny_new = jnp.where(
+            adv,
+            jnp.where(tiny, carry.n_tiny + 1, jnp.zeros_like(carry.n_tiny)),
+            carry.n_tiny,
+        ).astype(jnp.int32)
+        wedged = (
+            adv & (n_tiny_new >= cfg.stall_count)
+            & (status_new == events.ACTIVE)
+        )
+        status_new = jnp.where(
+            wedged, events.DT_UNDERFLOW, status_new
+        ).astype(jnp.int32)
+    else:
+        n_tiny_new = carry.n_tiny
+
     # compensated state update (fast two-sum: |u| >> |increment| holds
     # for every state component at our step sizes)
     d = out.incr + carry.u_lo
@@ -262,6 +311,7 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
         rejected=jnp.where(
             active, (~accept).astype(jnp.int32), carry.rejected
         ),
+        n_tiny=n_tiny_new,
         caution=jnp.where(
             active,
             jnp.clip(

@@ -132,7 +132,9 @@ def _bucket_size(n_active, n_full, floor):
 # as floats: every value is bounded by max_steps << 2^24, inside the f32
 # mantissa (guarded in make_rounds_tracer).
 
-_INT_FIELDS = ("status", "n_accept", "n_reject", "rejected", "caution")
+_INT_FIELDS = (
+    "status", "n_accept", "n_reject", "rejected", "n_tiny", "caution",
+)
 _VEC_FIELDS = ("u", "k1", "u_prev", "u_lo")          # (B, n) in state order
 _SCALAR_FIELDS = ("t", "dt", "errold", "dt_prev")    # (B,)
 # packed column index of t (after the 4 state-vector blocks):
@@ -142,7 +144,8 @@ I_OF = {name: 5 + i for i, name in enumerate(_INT_FIELDS)}
 
 
 def pack_carry(carry, f):
-    """(carry, f) -> one (B, 4n+10) array of the carry dtype."""
+    """(carry, f) -> one (B, 4n + 5 + n_int_fields) array of the carry
+    dtype."""
     cols = [getattr(carry, name) for name in _VEC_FIELDS]
     cols += [getattr(carry, name)[:, None] for name in _SCALAR_FIELDS]
     cols.append(f[:, None])
@@ -174,8 +177,9 @@ def unpack_carry(fl, state_dim):
 
 
 def packed_state_dim(fl):
-    """State dimension n from a packed array's column count 4n+10."""
-    return (fl.shape[1] - 10) // 4
+    """State dimension n from a packed array's column count
+    4n + len(scalars) + 1 + len(ints)."""
+    return (fl.shape[1] - 5 - len(_INT_FIELDS)) // 4
 
 
 def make_rounds_tracer(
@@ -188,7 +192,7 @@ def make_rounds_tracer(
     adaptive: bool = True,
     stepper: str = "auto",
     max_steps: int = 20000,
-    round_steps=4096,
+    round_steps=(2048, 4096),
     chunk: int = 256,
     grad_mode="fused",
     root=1.0,
@@ -393,8 +397,8 @@ def make_rounds_tracer(
     return run
 
 
-def ensemble_stats(result, valid, lat_sign=1.0, lat_offset=0.0):
-    """Summary statistics over a traced ensemble (jnp; collective-safe).
+def ensemble_stats(result, valid, lat_sign=1.0, lat_offset=0.0, xp=jnp):
+    """Summary statistics over a traced ensemble.
 
     Returns a dict of scalars: per-status counts, mean/max group delay and
     landing L-shell among surface hits, total accepted steps.
@@ -402,20 +406,26 @@ def ensemble_stats(result, valid, lat_sign=1.0, lat_offset=0.0):
     lat_sign/lat_offset map state[1] to magnetic latitude (the StopSpec
     convention): (+1, 0) for the latitude frame, (-1, pi/2) for the
     colatitude frames (2d_colat and 3d), where state[1] is colatitude
-    theta and L = r / cos^2(lat) = r / sin^2(theta)."""
-    valid = jnp.asarray(valid)
-    status = jnp.where(valid, result.status, PAD_STATUS)
+    theta and L = r / cos^2(lat) = r / sin^2(theta).
+
+    xp: jnp (default; collective-safe inside jit on sharded results) or
+    np -- pass np when the result is already host-resident (the rounds
+    tracer): jnp here would ship every reduction to the device, and on
+    the tunneled chip each of the ~15 scalar fetches costs a ~30 ms
+    round-trip."""
+    valid = xp.asarray(valid)
+    status = xp.where(valid, result.status, PAD_STATUS)
     out = {
-        f"n_{name.lower()}": jnp.sum(status == code)
+        f"n_{name.lower()}": xp.sum(status == code)
         for code, name in enumerate(events.STATUS_NAMES)
     }
     hit = status == events.HIT_EARTH
     T = result.u[:, -1]
     lat_land = lat_sign * result.u[:, 1] + lat_offset
-    l_land = result.u[:, 0] / jnp.cos(lat_land) ** 2
-    denom = jnp.maximum(jnp.sum(hit), 1)
-    out["mean_group_delay_s"] = jnp.sum(jnp.where(hit, T, 0.0)) / denom
-    out["mean_landing_l"] = jnp.sum(jnp.where(hit, l_land, 0.0)) / denom
-    out["total_accepted_steps"] = jnp.sum(jnp.where(valid, result.n_accept, 0))
-    out["total_rejected_steps"] = jnp.sum(jnp.where(valid, result.n_reject, 0))
+    l_land = result.u[:, 0] / xp.cos(lat_land) ** 2
+    denom = xp.maximum(xp.sum(hit), 1)
+    out["mean_group_delay_s"] = xp.sum(xp.where(hit, T, 0.0)) / denom
+    out["mean_landing_l"] = xp.sum(xp.where(hit, l_land, 0.0)) / denom
+    out["total_accepted_steps"] = xp.sum(xp.where(valid, result.n_accept, 0))
+    out["total_rejected_steps"] = xp.sum(xp.where(valid, result.n_reject, 0))
     return out

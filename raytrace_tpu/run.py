@@ -108,10 +108,14 @@ def run(config: RunConfig, out_dir=None, plots=False):
         )
         result = tracer(jnp.asarray(u0), jnp.asarray(f))
 
+    # host-resident results (rounds tracer) reduce in numpy: each jnp
+    # scalar would cost a ~30 ms device round-trip on the tunneled chip
+    xp = np if isinstance(result.u, np.ndarray) else jnp
     stats = {
         k: np.asarray(v)
         for k, v in ensemble_stats(
-            result, valid, lat_sign=spec.lat_sign, lat_offset=spec.lat_offset
+            result, valid, lat_sign=spec.lat_sign,
+            lat_offset=spec.lat_offset, xp=xp,
         ).items()
     }
     paths = {}
