@@ -104,6 +104,45 @@ def test_auto_stepper_pool_handoff():
     )
 
 
+def test_nan_error_estimate_retires_ray_on_device():
+    """A ray whose RHS hits a dispersion singularity produces a NaN error
+    estimate; the controller must treat it as a hard rejection (dt to the
+    floor within ~5 attempts, DT_UNDERFLOW on device) -- NOT let log(nan)
+    poison dt into an endless NaN rejection spin (round-2 bug: wedged
+    f32 rays burned 4000+ attempts that way)."""
+    import jax.numpy as jnp
+
+    from raytrace_tpu.integrate import trace
+    from raytrace_tpu.models import cast_env
+    from raytrace_tpu.ops import rhs as rhs_mod
+
+    env = cast_env(make_env_lat(), np.float32)
+    lats = np.linspace(0.45, 1.1, 10)[6:8]   # the measured Zeno regime
+    u0 = np.zeros((2, 4), np.float32)
+    u0[:, 0] = R0
+    u0[:, 1] = lats
+    u0[:, 2] = np.linspace(-0.5, 0.5, 8)[2]
+    res = trace(
+        lambda u, ff: rhs_mod.rhs_2d_lat(u, ff, env),
+        jnp.asarray(u0), jnp.asarray(np.full(2, 500.0, np.float32)),
+        cfg=SolverConfig(rtol=1e-5, atol=1e-8, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e9 / RE),
+        max_steps=4096, chunk=64,
+    )
+    st = np.asarray(res.status)
+    total = np.asarray(res.n_accept) + np.asarray(res.n_reject)
+    # nothing left spinning: every ray resolved (backend transcendental
+    # differences can let one ray escape the wedge and land)
+    assert (st != events.ACTIVE).all()
+    assert (st == events.DT_UNDERFLOW).any()
+    # wedged rays retired on-device long before the budget (was: full
+    # 4096 burned in a NaN-dt rejection spin)
+    wedged = st == events.DT_UNDERFLOW
+    assert total[wedged].max() < 2500
+    # the final carry must stay finite (no NaN dt escapes)
+    assert np.isfinite(np.asarray(res.carry.dt)).all()
+
+
 def test_stall_detection_flags_wedged_rays():
     """A 500 Hz high-latitude ray (the measured Zeno regime -- float32,
     where the wedge occurs) gets flagged DT_UNDERFLOW instead of burning
