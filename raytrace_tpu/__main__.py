@@ -33,7 +33,7 @@ def main(argv=None):
         config = preset(args.config)
     if args.trajectory:
         config.save_every = args.trajectory
-        config.save_diagnostics = config.frame == "2d_lat"
+        config.save_diagnostics = True  # (mu, dmudpsi, dip, psi), any frame
     if args.float64:
         import jax
 
