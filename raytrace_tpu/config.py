@@ -59,6 +59,10 @@ class RunConfig:
                                     # frame; colatitude frames convert to
                                     # theta = pi/2 - lat at launch build
     chis: tuple = (0.0,)
+    rays: tuple = ()                # explicit (lat, chi, freq[, r0]) rows;
+                                    # non-empty overrides the lats x chis x
+                                    # freqs grid (the reference's planned
+                                    # ray_start.dat input, README.md:11)
     freqs: tuple = (1000.0,)
     rho0: tuple = (1.0, 1.0, 0.0)   # 3D initial refractive-index vector
     # solver
@@ -140,6 +144,8 @@ class RunConfig:
         for key in ("lats", "chis", "freqs", "rho0"):
             if key in d:
                 d[key] = tuple(d[key])
+        if "rays" in d:
+            d["rays"] = tuple(tuple(r) for r in d["rays"])
         return cls(medium=med, **d)
 
 

@@ -55,6 +55,28 @@ def build_launch(spec: LaunchSpec, dtype=np.float32):
     return u0, fr.ravel().astype(dtype)
 
 
+def build_launch_list(rays, r0=(RE + 1.0e6) / RE, dtype=np.float32):
+    """(u0 (N,4), f (N,)) from an explicit per-ray list of
+    (lat, chi, freq) triples -- the `ray_start.dat` input style the
+    reference planned but never built (README.md:11). Accepts any
+    array-like of shape (N, 3); entries may also carry a 4th column r0."""
+    rows = []
+    for r in rays:
+        r = list(map(float, r))
+        if len(r) == 3:
+            r.append(float(r0))
+        if len(r) != 4:
+            raise ValueError("each ray must be (lat, chi, freq[, r0])")
+        rows.append(r)
+    rays = np.asarray(rows, np.float64)
+    n = rays.shape[0]
+    u0 = np.zeros((n, 4), dtype)
+    u0[:, 0] = rays[:, 3]
+    u0[:, 1] = rays[:, 0]
+    u0[:, 2] = rays[:, 1]
+    return u0, rays[:, 2].astype(dtype)
+
+
 def pad_batch(u0, f, mesh, multiple=8):
     """Pad (u0, f) to the mesh-friendly size; returns (u0, f, valid_mask).
 

@@ -30,12 +30,20 @@ def _build_u0(config: RunConfig, dtype):
     import itertools
 
     if config.frame in ("2d_lat", "2d_colat"):
-        u0, f = build_launch(config.launch(), dtype)
+        if config.rays:
+            from .parallel.ensemble import build_launch_list
+
+            u0, f = build_launch_list(config.rays, r0=config.r0, dtype=dtype)
+        else:
+            u0, f = build_launch(config.launch(), dtype)
         if config.frame == "2d_colat":
             # launch grids are specified as latitudes in every frame;
             # state slot 1 of the colatitude frame is theta = pi/2 - lat
             u0[:, 1] = np.pi / 2 - u0[:, 1]
         return u0, f
+    if config.rays:
+        raise ValueError("explicit ray lists are 2D-only (the 3D state "
+                         "needs rho0, which the grid builder supplies)")
     rows = []
     fs = []
     for lat, fr in itertools.product(config.lats, config.freqs):

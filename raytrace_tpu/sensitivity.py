@@ -97,6 +97,42 @@ def landing_sensitivity(rhs_fn, u0, f, *, cfg=SolverConfig(rtol=1e-9,
     }
 
 
+def landing_sensitivity_batch(rhs_fn, u0, f, *,
+                              cfg=SolverConfig(rtol=1e-9, atol=1e-13),
+                              spec=StopSpec(), group_idx=3,
+                              max_steps=200000):
+    """Event-projected landing Jacobians for a whole fan in ONE trace.
+
+    u0: (B, n); f: (B,). The augmented (u, V) system is built per ray and
+    integrated as a single (B, n + n^2)-state batch -- the usual vmapped
+    adaptive machinery, so a fan of sensitivities costs one ensemble run.
+    Returns dict(u_land (B, n), status (B,), jac (B, n, n),
+    amplification (B,))."""
+    u0 = jnp.asarray(u0)
+    b, n = u0.shape
+    rhs_aug = make_variational_rhs(rhs_fn, n)
+    eye = jnp.broadcast_to(jnp.eye(n).ravel(), (b, n * n))
+    ua0 = jnp.concatenate([u0, eye], axis=1)
+    res = trace(
+        lambda ua, ff: rhs_aug(ua, ff), ua0, jnp.asarray(f), cfg=cfg,
+        spec=spec, group_idx=group_idx, max_steps=max_steps, chunk=256,
+    )
+    u_land = res.u[:, :n]
+    phi = res.u[:, n:].reshape(b, n, n)
+    f_end = jax.vmap(rhs_fn)(u_land, jnp.asarray(f))
+    proj = jnp.eye(n)[None] - (
+        f_end[:, :, None] * jnp.eye(n)[0][None, None, :]
+        / f_end[:, 0][:, None, None]
+    )
+    jac = jnp.einsum("bij,bjk->bik", proj, phi)
+    return {
+        "u_land": np.asarray(u_land),
+        "status": np.asarray(res.status),
+        "jac": np.asarray(jac),
+        "amplification": np.asarray(jnp.abs(jac[:, 1, 1])),
+    }
+
+
 def landing_secant(rhs_fn, u0, f, index=1, h=1e-6, *,
                    cfg=SolverConfig(rtol=1e-12, atol=1e-15),
                    spec=StopSpec(), group_idx=3, max_steps=200000):

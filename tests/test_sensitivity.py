@@ -89,6 +89,42 @@ def test_amplification_explains_landing_scatter(canonical):
     assert out["amplification"] > 1.0e3
 
 
+def test_batched_sensitivity_matches_single(env, canonical):
+    """The batched variational tracer must reproduce the single-ray tool
+    (same augmented system, vmapped) for the canonical ray."""
+    from raytrace_tpu.sensitivity import landing_sensitivity_batch
+
+    rhs_fn, single = canonical
+    u0b = np.stack([U0, U0 * np.array([1.0, 0.96, 1.0, 1.0])])
+    out = landing_sensitivity_batch(
+        rhs_fn, u0b, np.array([1000.0, 1000.0]), spec=SPEC
+    )
+    assert out["status"][0] == events.HIT_EARTH
+    # batch width changes XLA fusion at the last ulp; the ~7e3 tangent
+    # amplification magnifies that to ~1e-6 relative -- still 4+ digits
+    np.testing.assert_allclose(
+        out["jac"][0][1:], single["jac"][1:], rtol=1e-4
+    )
+    # the second (different) ray must not be a copy of the first
+    assert not np.allclose(out["jac"][1], out["jac"][0], rtol=0.1)
+
+
+def test_explicit_ray_list_launch():
+    """RunConfig.rays (the reference's planned ray_start.dat input) builds
+    exactly the requested per-ray states, bypassing the grid."""
+    from raytrace_tpu.config import RunConfig
+    from raytrace_tpu.run import _build_u0
+
+    cfg = RunConfig(rays=((0.5, -0.1, 1000.0), (0.8, 0.2, 2000.0, 1.3)))
+    u0, f = _build_u0(cfg, np.float64)
+    np.testing.assert_allclose(u0[0], [cfg.r0, 0.5, -0.1, 0.0])
+    np.testing.assert_allclose(u0[1], [1.3, 0.8, 0.2, 0.0])
+    np.testing.assert_allclose(f, [1000.0, 2000.0])
+    # JSON round-trip preserves the ray list
+    cfg2 = RunConfig.from_json(cfg.to_json())
+    assert cfg2.rays == cfg.rays
+
+
 def test_secant_vs_tangent_fold_structure(env):
     """Macroscopic response differs from the tangent by orders of
     magnitude on this folded landing map: the finite-window secant at
