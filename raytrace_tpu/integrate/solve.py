@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from ..constants import RE
 from . import events
 from .events import StopSpec
-from .steppers import dopri5_step, rk4_step, ros2_step, ros2x_step
+from .steppers import (
+    dopri5_step, rk4_step, ros2_step, ros2x_step, ros4x_step,
+)
 
 
 class SolverConfig(NamedTuple):
@@ -170,10 +172,10 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
               group_idx: int, adaptive: bool, stepper: str = "dopri5"):
     """One attempted step for one ray; no-op when the ray is not ACTIVE.
 
-    stepper: "dopri5" (adaptive explicit, default) | "ros2" / "ros2x"
-    (adaptive linearly implicit L-stable, orders 2 / 3 -- the stiff tier)
-    | "rk4" (fixed step, selected by adaptive=False). Controller
-    exponents scale with the stepper's order."""
+    stepper: "dopri5" (adaptive explicit, default) | "ros2" / "ros2x" /
+    "ros4x" (adaptive linearly implicit L-stable, orders 2 / 3 / 4 -- the
+    stiff tier) | "rk4" (fixed step, selected by adaptive=False).
+    Controller exponents scale with the stepper's order."""
     active = carry.status == events.ACTIVE
     rhs1 = lambda u: rhs_fn(u, f)
     # do not overshoot the phase-path budget (CVODE integrates to tstop)
@@ -191,7 +193,13 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
         order = 3.0
         out = ros2x_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
         accept = out.err <= cfg.accept_tol
+    elif stepper == "ros4x":
+        order = 4.0
+        out = ros4x_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
+        accept = out.err <= cfg.accept_tol
     else:
+        if stepper != "dopri5":
+            raise ValueError(f"unknown stepper {stepper!r}")
         out = dopri5_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
         accept = out.err <= cfg.accept_tol
 

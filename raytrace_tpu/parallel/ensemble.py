@@ -222,6 +222,7 @@ def make_rounds_tracer(
     stall_progress: float = 1.0e-3,
     stiff_switch: float = 0.5,
     stiff_unswitch: float = 0.02,
+    stiff_stepper: str = "ros2x",
 ):
     """Ensemble tracer with host-side bucketed re-batching.
 
@@ -230,8 +231,9 @@ def make_rounds_tracer(
     rejection fraction over a round exceeds `stiff_switch` (the
     rejection-burst signature of stiff dynamics at whistler reflection
     points / the plasmapause knee -- measured 77% there) is re-bucketed
-    into a stiff pool integrated with ros2x (L-stable order-3 Rosenbrock),
-    and returns to DP5 when its round rejection falls below
+    into a stiff pool integrated with `stiff_stepper` (default ros2x,
+    L-stable order-3 Rosenbrock; "ros4x" serves tight tolerances), and
+    returns to DP5 when its round rejection falls below
     `stiff_unswitch`. Pools are separate compiled programs over the same
     RayCarry, so the switch is exact (dt/controller state carry over) and
     costs nothing per step -- a per-step lax.cond would execute BOTH
@@ -343,7 +345,7 @@ def make_rounds_tracer(
                 stalled = still & (prog < stall_progress)
                 fl[idx[stalled], st_col] = events.DT_UNDERFLOW
                 still = still & ~stalled
-            if auto and st == "ros2x":
+            if auto and st == stiff_stepper:
                 stiff[idx[still & (rf < stiff_unswitch)]] = False
             elif auto:
                 stiff[idx[still & (rf > stiff_switch)]] = True
@@ -389,7 +391,8 @@ def make_rounds_tracer(
             # both pools in one round (double-stepping past max_steps)
             pool_mask = stiff.copy()
             pools = (
-                ((~pool_mask, base_stepper), (pool_mask, "ros2x")) if auto
+                ((~pool_mask, base_stepper), (pool_mask, stiff_stepper))
+                if auto
                 else ((np.ones(n, bool), base_stepper),)
             )
             for mask, st in pools:
@@ -401,7 +404,7 @@ def make_rounds_tracer(
                 # turn out to be wedged on a singularity (both methods
                 # reject everything) reach the stall check after at most
                 # 1024 wasted attempts instead of a full dp5-length round
-                nr_pool = min(nr, 1024) if st == "ros2x" else nr
+                nr_pool = min(nr, 1024) if st == stiff_stepper else nr
                 rf, prog = advance(idx, st, nr_pool)
                 settle(idx, rf, prog, st)
             steps_done += nr

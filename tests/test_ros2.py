@@ -133,6 +133,93 @@ def test_ros2x_l_stability():
     assert abs(float(out.u_new[0])) < 1e-5
 
 
+def test_ros4x_order_four():
+    """Doubly extrapolated ROS2: halving dt -> global error / 16."""
+    from raytrace_tpu.integrate.steppers import ros4x_step
+
+    def f(u):
+        return -u * u
+
+    errs = []
+    for n in (20, 40):
+        dt = 1.0 / n
+        u = jnp.array([1.0])
+        k1 = f(u)
+        for _ in range(n):
+            out = ros4x_step(f, u, k1, dt, 1e-12, 1e-16)
+            u, k1 = out.u_new, out.k_end
+        errs.append(abs(float(u[0]) - 0.5))
+    assert errs[0] / errs[1] == pytest.approx(16.0, rel=0.3)
+
+
+def test_ros4x_stiff_stability():
+    from raytrace_tpu.integrate.steppers import ros4x_step
+
+    lam = -1.0e8
+
+    def f(u):
+        return lam * u
+
+    u = jnp.array([1.0])
+    out = ros4x_step(f, u, f(u), 1.0, 1e-6, 1e-12)
+    assert abs(float(out.u_new[0])) < 1e-4
+
+
+def test_ros4x_tight_tolerance_efficiency():
+    """At rtol 1e-9 the order-4 pair needs fewer steps than order 3 on the
+    stiff relaxation problem, at better accuracy.
+
+    The margin is ~1.3-2x, NOT the asymptotic rtol^(1/3-1/4) = 5.6x: on
+    stiff problems both extrapolants suffer order reduction (the W-method
+    stage order is 1, and Richardson cancellation only applies to the
+    smooth h-expansion terms, not the stiff boundary-layer terms), so
+    ros4x earns its keep on accuracy per step, not raw step count -- see
+    steppers.ros4x_step."""
+    LAM = 1.0e4
+
+    def f(u, ff):
+        return jnp.stack([
+            -LAM * (u[0] - jnp.cos(u[3])), jnp.zeros_like(u[0]),
+            jnp.zeros_like(u[0]), jnp.ones_like(u[0]),
+        ])
+
+    u0 = jnp.array([[0.0, 0.0, 0.0, 0.0]])
+    fr = jnp.array([0.0])
+    kw = dict(
+        cfg=SolverConfig(rtol=1e-9, atol=1e-12, dt0=1e-3, dt_max=10.0),
+        spec=StopSpec(r_floor=-10.0, t_max=3.0), max_steps=40000,
+    )
+    r3 = trace(f, u0, fr, stepper="ros2x", **kw)
+    r4 = trace(f, u0, fr, stepper="ros4x", **kw)
+    exact = float((LAM**2 * np.cos(3.0) + LAM * np.sin(3.0)) / (LAM**2 + 1.0))
+    assert int(r4.status[0]) == events.MAX_PHASE_TIME
+    assert float(r4.u[0, 0]) == pytest.approx(exact, abs=1e-6)
+    assert int(r4.n_accept[0]) * 5 < int(r3.n_accept[0]) * 4
+
+
+def test_ros4x_whistler_trace():
+    """The canonical whistler leg under ros4x agrees with tight DP5."""
+    env = make_env_lat()
+    u0 = jnp.array([[(RE + 1e6) / RE, np.pi / 4, 0.0, 0.0]])
+    f = jnp.array([1000.0])
+    kw = dict(
+        spec=StopSpec(r_floor=1.0, t_max=2e7 / RE),
+        max_steps=100000,
+    )
+    r4 = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env), u0, f, stepper="ros4x",
+        cfg=SolverConfig(rtol=1e-8, atol=1e-12, dt0=1e-4), **kw,
+    )
+    dp5 = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env), u0, f, stepper="dopri5",
+        cfg=SolverConfig(rtol=1e-10, atol=1e-14, dt0=1e-4), **kw,
+    )
+    assert int(r4.status[0]) == events.MAX_PHASE_TIME
+    np.testing.assert_allclose(
+        np.asarray(r4.u[0]), np.asarray(dp5.u[0]), rtol=2e-5, atol=1e-9
+    )
+
+
 def test_ros2x_stiff_efficiency_vs_ros2():
     """At tight tolerance the order-3 pair needs far fewer steps than the
     order-2 pair on the stiff relaxation problem."""
