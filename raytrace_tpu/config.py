@@ -37,6 +37,10 @@ class MediumConfig:
     de_correction: bool = False
     ps_smooth: float = 0.0          # sigmoid plasmapause blend width (L)
     iono_mlt: bool = False          # day/night ionosphere blend by mlt
+    ps_model: str = "ca1992"        # "ca1992" | "gcpm" (simplified GCPM,
+                                    # models/plasmasphere.ne_gcpm_cm3)
+    gcpm_bpow: float = 1.0          # GCPM mirror-ratio exponent
+    gcpm_knee: float = 0.2          # GCPM plasmapause blend width (L)
 
     def build(self):
         fit = TRACED_FIT if self.iono_fit == "traced" else IRI_DAYSIDE_FIT
@@ -44,7 +48,8 @@ class MediumConfig:
             b0=self.b0, iono_fit=fit, plasmasphere_on=self.plasmasphere,
             kp_max=self.kp_max, day=self.day, rbar=self.rbar, mlt=self.mlt,
             de_correction=self.de_correction, ps_smooth=self.ps_smooth,
-            iono_mlt=self.iono_mlt,
+            iono_mlt=self.iono_mlt, ps_model=self.ps_model,
+            gcpm_bpow=self.gcpm_bpow, gcpm_knee=self.gcpm_knee,
         )
 
 
@@ -73,9 +78,9 @@ class RunConfig:
     stepper: str = "auto"           # "auto" (rounds tracer switches
                                     # DP5 <-> ros2x per ray on rejection
                                     # bursts, like CVODE's method choice)
-                                    # | "dopri5" | "ros2" | "ros2x";
-                                    # non-rounds paths resolve "auto" to
-                                    # dopri5
+                                    # | "dopri5" | "ros2" | "ros2x" |
+                                    # "ros4x"; non-rounds paths resolve
+                                    # "auto" to dopri5
     max_steps: int = 20000
     grad_mode: str = "fused"
     wave_mode: str = "whistler"     # "whistler" (+ root) | "emic" (- root)

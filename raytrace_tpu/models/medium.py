@@ -40,6 +40,16 @@ class EnvParams(NamedTuple):
     iono_n0_b: float = 0.0           # nightside fit amplitude, cm^-3
     iono_decay_b: float = 0.0        # nightside fit decay, 1/RE
     iono_mix: float = 1.0            # dayside weight in [0, 1]; STATIC
+    # plasmasphere model selector (STATIC string; gates code paths):
+    # "ca1992" (reference 3-branch piecewise) | "gcpm" (the simplified
+    # GCPM the reference planned, RayMain.jl:99-101 -- see
+    # plasmasphere.ne_gcpm_cm3)
+    ps_model: str = "ca1992"
+    gcpm_ne0: float = 0.0            # equatorial density at L = 2, cm^-3
+    gcpm_lscale: float = 0.0         # e-folding scale in L
+    gcpm_bpow: float = 0.0           # mirror-ratio (field-aligned) exponent
+    gcpm_knee: float = 0.0           # plasmapause blend width in L; STATIC-
+                                     # free (plain traced scalar)
 
 
 def make_env(
@@ -53,6 +63,9 @@ def make_env(
     de_correction=False,
     ps_smooth=0.0,
     iono_mlt=False,
+    ps_model="ca1992",
+    gcpm_bpow=1.0,
+    gcpm_knee=plasmasphere.GCPM_KNEE,
 ):
     """Build EnvParams; runs the host-side plasmapause pre-solve.
 
@@ -62,7 +75,12 @@ def make_env(
     iono_mlt=True enables the day/night ionosphere interpolation the
     reference planned but never built (plasmasphere.jl:110-113): the
     IRI dayside and nightside fits blended by the smooth MLT weight of
-    `mlt` (the same MLT that already feeds the CA1992 trough term)."""
+    `mlt` (the same MLT that already feeds the CA1992 trough term).
+
+    ps_model="gcpm" selects the simplified-GCPM plasmasphere the
+    reference planned (RayMain.jl:99-101; plasmasphere.ne_gcpm_cm3):
+    exponential decay in L times the dipole mirror ratio to the power
+    gcpm_bpow, smoothly joined to the CA1992 trough at Lppo."""
     lppi = plasmasphere.lppi_from_kp(kp_max)
     lppo, ne_lppi = plasmasphere.initialize_plasmasphere(lppi, day, rbar, mlt)
     if iono_mlt:
@@ -77,6 +95,19 @@ def make_env(
         iono_kw = dict(
             iono_n0=iono_fit[0], iono_decay=iono_fit[1], iono_r0=iono_fit[2],
         )
+    if ps_model not in ("ca1992", "gcpm"):
+        raise ValueError(f"unknown ps_model {ps_model!r}")
+    gcpm_kw = (
+        dict(
+            ps_model="gcpm",
+            gcpm_ne0=plasmasphere.GCPM_NE0,
+            gcpm_lscale=plasmasphere.GCPM_LSCALE,
+            gcpm_bpow=float(gcpm_bpow),
+            gcpm_knee=float(gcpm_knee),
+        )
+        if ps_model == "gcpm"
+        else {}
+    )
     return EnvParams(
         b0=b0,
         ps_weight=1.0 if plasmasphere_on else 0.0,
@@ -88,12 +119,14 @@ def make_env(
         de_weight=1.0 if de_correction else 0.0,
         ps_smooth=ps_smooth,
         **iono_kw,
+        **gcpm_kw,
     )
 
 
-# fields that gate code paths at trace time -- keep python floats when
-# casting an EnvParams to device values
-STATIC_FIELDS = ("ps_weight", "de_weight", "ps_smooth", "iono_mix")
+# fields that gate code paths at trace time -- keep python floats (or
+# strings) when casting an EnvParams to device values
+STATIC_FIELDS = ("ps_weight", "de_weight", "ps_smooth", "iono_mix",
+                 "ps_model")
 
 
 def cast_env(env: EnvParams, dtype):
@@ -130,10 +163,16 @@ def ne_total_m3(r, lat, env: EnvParams):
                                    env.iono_r0)
         )
     L = dipole.l_shell(r, lat)
-    ne_p = plasmasphere.ne_plasma_cm3(
-        L, env.lppi, env.lppo, env.ne_lppi, env.ps_season, env.ps_trough,
-        env.ps_smooth,
-    )
+    if env.ps_model == "gcpm":
+        ne_p = plasmasphere.ne_gcpm_cm3(
+            L, lat, env.lppo, env.ps_trough, env.gcpm_ne0, env.gcpm_lscale,
+            env.gcpm_bpow, env.gcpm_knee,
+        )
+    else:
+        ne_p = plasmasphere.ne_plasma_cm3(
+            L, env.lppi, env.lppo, env.ne_lppi, env.ps_season, env.ps_trough,
+            env.ps_smooth,
+        )
     de = plasmasphere.diffusive_equilibrium_factor(r)
     ne_p = ne_p * (env.de_weight * de + (1.0 - env.de_weight))
     return (ne_i + env.ps_weight * ne_p) * 1.0e6

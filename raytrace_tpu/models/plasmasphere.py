@@ -130,6 +130,47 @@ def jax_sigmoid(x):
     return 1.0 / (1.0 + jnp.exp(-x))
 
 
+def ne_gcpm_cm3(L, lat, lppo, trough_c, ne0, lscale, bpow, knee=0.2):
+    """Simplified-GCPM plasmasphere density (cm^-3) -- the analytic model
+    the reference planned but never built (RayMain.jl:99-101: "the
+    simplified GCPM looks like it could be approximated analytically as an
+    exponential(?) decay multiplied by a dipole field equation"; see also
+    plasmasphere.jl:17-19's GCPM TODO). Realized here as:
+
+        ne(L, lat) = ne0 exp(-(L - 2)/lscale) * m(lat)^bpow,
+        m(lat) = B(r, lat)/B_eq(L) = sqrt(1 + 3 sin^2 lat)/cos^6 lat
+
+    -- an exponential decay in L times a power of the dipole mirror ratio
+    (the "dipole field equation"; a function of latitude alone along a
+    field line), smoothly joined to the CA1992 trough (branch iii) at the
+    plasmapause Lppo by a log-space sigmoid of width `knee` in L. The
+    defaults (ne0 = 1884.3, lscale = 1.3811 = 1/(0.3145 ln 10)) calibrate
+    the equatorial profile to CA1992's saturated branch (i) without the
+    seasonal term, so bpow = 0 reproduces CA1992-like equatorial physics
+    with a C-infinity knee; bpow > 0 adds the field-aligned density
+    enhancement toward the feet of the field line (the reference's
+    "multiplied by" reading -- bpow is a free knob because the sketch
+    never fixed it). Everything is exp/log form (Pallas-lowerable) and
+    C-infinity -- no branch seams anywhere."""
+    cl = jnp.cos(lat)
+    q2 = 1.0 + 3.0 * jnp.sin(lat) ** 2
+    ln_m = 0.5 * jnp.log(q2) - 6.0 * jnp.log(cl)
+    ln_ps = jnp.log(ne0) - (L - 2.0) / lscale + bpow * ln_m
+    Lsafe = jnp.maximum(L, 1e-6)
+    ln_tr = jnp.log(
+        trough_c * jnp.exp(-4.5 * jnp.log(Lsafe))
+        + (1.0 - jnp.exp((2.0 - L) / 10.0))
+    )
+    w = jax_sigmoid((lppo - L) / knee)
+    return jnp.exp(w * ln_ps + (1.0 - w) * ln_tr)
+
+
+# calibrated defaults (see ne_gcpm_cm3 docstring)
+GCPM_NE0 = 10.0 ** (3.9043 - 2.0 * 0.3145)   # 1884.3 cm^-3 at L = 2
+GCPM_LSCALE = 1.0 / (0.3145 * LN10)          # 1.3811 L per e-fold
+GCPM_KNEE = 0.2                              # plasmapause blend width, L
+
+
 def diffusive_equilibrium_factor(r):
     """Field-line density falloff factor sqrt(exp(-G/S)), r in RE.
 

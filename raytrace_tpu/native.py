@@ -70,7 +70,14 @@ def _env_array(env):
             "native oracle implements the single-fit ionosphere only; "
             f"got iono_mix={float(env.iono_mix)}"
         )
-    return np.asarray([float(x) for x in env], np.float64)
+    if env.ps_model != "ca1992":
+        raise ValueError(
+            "native oracle implements the CA1992 plasmasphere only; "
+            f"got ps_model={env.ps_model!r}"
+        )
+    return np.asarray(
+        [float(x) for x in env if not isinstance(x, str)], np.float64
+    )
 
 
 def _ptr(a):

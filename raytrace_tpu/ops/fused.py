@@ -58,6 +58,35 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
     L_r = L / r
     L_lat = 2.0 * L * sl / cl
 
+    if env.ps_model == "gcpm":
+        # simplified-GCPM (plasmasphere.ne_gcpm_cm3): log-space value and
+        # d/dL + direct d/dlat (the mirror-ratio factor depends on lat at
+        # fixed L) together
+        q2g = 1.0 + 3.0 * sl * sl
+        ln_m = 0.5 * jnp.log(q2g) - 6.0 * jnp.log(cl)
+        dln_m = 3.0 * sl * cl / q2g + 6.0 * sl / cl
+        ln_ps = (
+            jnp.log(env.gcpm_ne0) - (L - 2.0) / env.gcpm_lscale
+            + env.gcpm_bpow * ln_m
+        )
+        Lsg = jnp.maximum(L, 1.0e-6)
+        p3g = env.ps_trough * jnp.exp(-4.5 * jnp.log(Lsg))
+        e3g = jnp.exp((2.0 - L) / 10.0)
+        ne3g = p3g + (1.0 - e3g)
+        ln_tr = jnp.log(ne3g)
+        dln_tr = (-4.5 * p3g / Lsg + e3g / 10.0) / ne3g
+        inv_k = 1.0 / env.gcpm_knee
+        wk = 1.0 / (1.0 + jnp.exp(-(env.lppo - L) * inv_k))
+        dwk = -wk * (1.0 - wk) * inv_k
+        ne_p = jnp.exp(wk * ln_ps + (1.0 - wk) * ln_tr)
+        dne_p = ne_p * (
+            dwk * (ln_ps - ln_tr) - wk / env.gcpm_lscale
+            + (1.0 - wk) * dln_tr
+        )
+        ne_p_lat_direct = ne_p * wk * env.gcpm_bpow * dln_m
+        return _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat,
+                           ne_p_lat_direct)
+
     # CA1992 branches: value and d/dL together (RayTrace_lat.jl:72-81)
     e1 = jnp.exp((2.0 - L) / 1.5)
     g1 = (-0.3145 * L + 3.9043) + env.ps_season * e1
@@ -100,6 +129,14 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
         ne_p = jnp.where(in1, ne1, jnp.where(in2, ne2, ne3))
         dne_p = jnp.where(in1, dne1, jnp.where(in2, dne2, dne3))
 
+    return _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat)
+
+
+def _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat,
+                ne_p_lat_direct=0.0):
+    """Common tail of _ne_and_grads: apply the DE factor and assemble the
+    total density and its (r, lat) partials. ne_p_lat_direct carries any
+    plasmasphere lat-dependence at fixed L (the GCPM mirror-ratio term)."""
     de_on = not (isinstance(env.de_weight, float) and env.de_weight == 0.0)
     if de_on:
         # diffusive equilibrium factor and its r-derivative
@@ -115,7 +152,7 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
     w = env.ps_weight
     ne = 1.0e6 * (ni + w * ne_p * de)
     ne_r = 1.0e6 * (ni_r + w * (dne_p * L_r * de + ne_p * de_r))
-    ne_lat = 1.0e6 * w * de * dne_p * L_lat
+    ne_lat = 1.0e6 * w * de * (dne_p * L_lat + ne_p_lat_direct)
     return ne, ne_r, ne_lat
 
 

@@ -161,3 +161,36 @@ def test_native_legacy_freq_vs_jax():
     np.testing.assert_allclose(
         res_n["u"], np.asarray(res_j.u[0]), rtol=2e-5,
     )
+
+
+def test_gcpm_medium_traces_end_to_end():
+    """The canonical whistler integrates through the simplified-GCPM
+    medium (RayMain.jl:99-101's planned model) and lands on the surface;
+    the config layer round-trips the model selection."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytrace_tpu.config import MediumConfig, RunConfig
+    from raytrace_tpu.constants import RE
+    from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
+    from raytrace_tpu.models import make_env
+    from raytrace_tpu.ops import rhs
+
+    env = make_env(b0=3.0696381e-5, ps_model="gcpm")
+    u0 = jnp.array([[(RE + 1e6) / RE, np.pi / 4, 0.0, 0.0]])
+    res = trace(
+        lambda u, f: rhs.rhs_2d_lat(u, f, env), u0, jnp.array([1000.0]),
+        cfg=SolverConfig(rtol=1e-7, atol=1e-12, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e9 / RE), max_steps=40000,
+    )
+    assert int(res.status[0]) == events.HIT_EARTH
+    assert float(res.u[0, 0]) == pytest.approx(1.0)
+    # the group delay stays in the whistler ballpark (seconds)
+    assert 0.1 < float(res.u[0, 3]) < 100.0
+
+    cfg = RunConfig(medium=MediumConfig(ps_model="gcpm", gcpm_bpow=0.5))
+    rt = RunConfig.from_json(cfg.to_json())
+    assert rt.medium.ps_model == "gcpm"
+    assert rt.medium.gcpm_bpow == 0.5
+    env2 = rt.medium.build()
+    assert env2.ps_model == "gcpm" and env2.gcpm_bpow == 0.5

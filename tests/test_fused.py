@@ -13,8 +13,11 @@ R0 = (RE + 1.0e6) / RE
 @pytest.mark.parametrize(
     "env_fn", [make_env_lat, make_env_raymain,
                lambda: make_env(de_correction=True),
-               lambda: make_env(iono_mlt=True, mlt=6.0)],
-    ids=["lat", "raymain", "de", "iono_mlt"],
+               lambda: make_env(iono_mlt=True, mlt=6.0),
+               lambda: make_env(ps_model="gcpm"),
+               lambda: make_env(ps_model="gcpm", gcpm_bpow=0.5,
+                                de_correction=True)],
+    ids=["lat", "raymain", "de", "iono_mlt", "gcpm", "gcpm_bpow_de"],
 )
 def test_fused_matches_autodiff(env_fn):
     env = env_fn()

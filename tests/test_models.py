@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from raytrace_tpu.constants import RE
-from raytrace_tpu.models import dipole, ionosphere, medium, plasmasphere
+from raytrace_tpu.models import (dipole, ionosphere, make_env, medium,
+                                 plasmasphere)
 
 
 def test_dipole_mag_lat_equator_surface():
@@ -176,3 +177,68 @@ def test_iono_mlt_interpolation():
     ne0 = float(medium.ne_total_m3(r, 0.0, env0._replace(ps_weight=0.0)))
     traced = float(ionosphere.ne_iono_cm3(r, *ionosphere.TRACED_FIT))
     assert ne0 == pytest.approx(1e6 * traced, rel=1e-12)
+
+
+def test_gcpm_simplified_model():
+    """Simplified-GCPM plasmasphere (the model the reference planned,
+    RayMain.jl:99-101): CA1992-calibrated equatorial profile, field-aligned
+    mirror-ratio enhancement, smooth plasmapause knee into the trough."""
+    from raytrace_tpu.models import plasmasphere as ps
+
+    env = make_env(ps_model="gcpm")
+    assert env.ps_model == "gcpm"
+
+    # equatorial calibration: bpow irrelevant at lat=0 (mirror ratio = 1);
+    # deep inside the plasmasphere it matches CA1992 branch (i) without
+    # the seasonal term
+    L = 2.5
+    ne = float(ps.ne_gcpm_cm3(L, 0.0, env.lppo, env.ps_trough,
+                              env.gcpm_ne0, env.gcpm_lscale, 1.0,
+                              env.gcpm_knee))
+    ca_no_season = 10.0 ** (-0.3145 * L + 3.9043)
+    assert ne == pytest.approx(ca_no_season, rel=2e-2)
+
+    # beyond the knee it approaches the CA1992 trough
+    L = env.lppo + 1.5
+    ne_tr = float(ps.ne_gcpm_cm3(L, 0.0, env.lppo, env.ps_trough,
+                                 env.gcpm_ne0, env.gcpm_lscale, 1.0,
+                                 env.gcpm_knee))
+    trough = env.ps_trough * L ** -4.5 + (1.0 - np.exp((2.0 - L) / 10.0))
+    assert ne_tr == pytest.approx(trough, rel=0.05)
+
+    # field-aligned enhancement: at fixed L, density grows away from the
+    # equator by the mirror ratio to the (bpow * knee-weight) power --
+    # the log-space knee blend scales every plasmasphere-side term by the
+    # sigmoid weight w(L), which is ~1 deep inside the plasmasphere
+    lat = 0.6
+    L = 2.5
+    ne_eq = float(ps.ne_gcpm_cm3(L, 0.0, env.lppo, env.ps_trough,
+                                 env.gcpm_ne0, env.gcpm_lscale, 1.0,
+                                 env.gcpm_knee))
+    ne_off = float(ps.ne_gcpm_cm3(L, lat, env.lppo, env.ps_trough,
+                                  env.gcpm_ne0, env.gcpm_lscale, 1.0,
+                                  env.gcpm_knee))
+    mirror = np.sqrt(1.0 + 3.0 * np.sin(lat) ** 2) / np.cos(lat) ** 6
+    w = 1.0 / (1.0 + np.exp(-(env.lppo - L) / env.gcpm_knee))
+    assert ne_off / ne_eq == pytest.approx(mirror**w, rel=1e-6)
+
+    # the total medium composes it (and the ca1992 default is untouched)
+    ne_tot = float(medium.ne_total_m3(2.2, 0.3, env))
+    assert np.isfinite(ne_tot) and ne_tot > 0.0
+    env_ca = make_env()
+    assert env_ca.ps_model == "ca1992"
+
+
+def test_gcpm_is_smooth_at_the_knee():
+    """No branch seams: the GCPM profile's dlog(ne)/dL is continuous
+    through Lppi and Lppo (unlike hard CA1992), by construction."""
+    from raytrace_tpu.models import plasmasphere as ps
+
+    env = make_env(ps_model="gcpm")
+    L = np.linspace(2.0, env.lppo + 1.0, 4001)
+    ne = np.asarray(ps.ne_gcpm_cm3(L, 0.0, env.lppo, env.ps_trough,
+                                   env.gcpm_ne0, env.gcpm_lscale, 1.0,
+                                   env.gcpm_knee))
+    dlog = np.diff(np.log(ne))
+    # second difference stays small everywhere (C-infinity profile)
+    assert np.max(np.abs(np.diff(dlog))) < 5e-4
