@@ -1,10 +1,12 @@
-"""Parallelism: device mesh, launch grids, sharded ensembles, checkpoint."""
+"""Parallelism: device mesh, launch grids, sharded ensembles, checkpoint,
+multi-host scale-out."""
 
-from . import checkpoint, ensemble, mesh
+from . import checkpoint, distributed, ensemble, mesh
 from .ensemble import LaunchSpec, build_launch, ensemble_stats, make_ensemble_tracer, pad_batch
 from .mesh import make_ray_mesh, ray_sharding, shard_batch
 
 __all__ = [
+    "distributed",
     "LaunchSpec",
     "build_launch",
     "checkpoint",

@@ -148,3 +148,78 @@ def test_checkpoint_resume_exact(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(resumed.n_accept), np.asarray(full.n_accept)
     )
+
+
+def test_process_slice_partition():
+    """Every ray is owned by exactly one process; tail processes may be
+    empty; the arithmetic is identical on every process (SPMD)."""
+    from raytrace_tpu.parallel import distributed as dist
+
+    for n, p in ((100, 4), (7, 4), (8, 8), (3, 8), (0, 4), (9, 2)):
+        seen = []
+        for i in range(p):
+            a, b = dist.process_slice(n, i, p)
+            assert 0 <= a <= b <= n
+            seen.extend(range(a, b))
+        assert seen == list(range(n))
+
+
+def test_local_launch_padding_and_mask():
+    from raytrace_tpu.parallel import LaunchSpec, build_launch
+    from raytrace_tpu.parallel import distributed as dist
+
+    spec = LaunchSpec(
+        lats=tuple(np.linspace(0.5, 0.9, 5)), chis=(-0.1, 0.1),
+        freqs=(1000.0,),
+    )
+    u0, f = build_launch(spec)  # 10 rays globally
+    # simulate 4 processes; union of valid lanes == the global grid
+    tot = 0
+    for i in range(4):
+        u_l, f_l, v_l = dist.local_launch(
+            u0, f, process_index=i, process_count=4)
+        assert u_l.shape[0] == f_l.shape[0] == v_l.shape[0]
+        assert u_l.shape[0] % 8 == 0  # padded to the device multiple
+        tot += int(v_l.sum())
+        # padding lanes replicate a valid ray's physics
+        assert np.isfinite(u_l).all()
+    assert tot == 10
+    # a process index past the data still yields a maskable batch
+    u_l, f_l, v_l = dist.local_launch(u0, f, process_index=7,
+                                      process_count=8)
+    assert v_l.sum() == 0 and u_l.shape[0] >= 1
+
+
+def test_multihost_single_process_matches_rounds_tracer():
+    """At process_count == 1 the multihost path must agree exactly with
+    the plain rounds tracer + stats (same machinery, pass-through
+    aggregation)."""
+    from raytrace_tpu.models import make_env_lat
+    from raytrace_tpu.parallel import LaunchSpec, build_launch
+    from raytrace_tpu.parallel import distributed as dist
+    from raytrace_tpu.parallel.ensemble import (
+        ensemble_stats, make_rounds_tracer, pad_batch,
+    )
+
+    env = make_env_lat()
+    spec = LaunchSpec(
+        lats=tuple(np.linspace(0.6, 0.9, 4)), chis=(0.0,),
+        freqs=(1000.0, 2000.0),
+    )
+    u0, f = build_launch(spec)
+    kw = dict(
+        cfg=SolverConfig(rtol=1e-5, atol=1e-8, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE),
+        max_steps=600, round_steps=256, chunk=64, bucket_floor=8,
+    )
+    res, v_l, gstats = dist.trace_ensemble_multihost(
+        env, u0, f, tracer_kw=kw)
+
+    mesh = make_ray_mesh()
+    u0p, fp, valid = pad_batch(u0, f, mesh)
+    tracer = make_rounds_tracer(env, mesh=None, **kw)
+    ref = tracer(u0p[: u0.shape[0]], fp[: u0.shape[0]],
+                 valid[: u0.shape[0]])
+    ref_stats = ensemble_stats(ref, valid[: u0.shape[0]], xp=np)
+    for k, v in ref_stats.items():
+        assert gstats[k] == pytest.approx(float(v), rel=1e-12), k
