@@ -129,11 +129,13 @@ def measure_tpu_ensemble():
         cfg=SolverConfig(rtol=1e-5, atol=1e-8, dt0=1e-4),
         spec=StopSpec(r_floor=1.0, t_max=5.0e9 / RE),
         max_steps=MAX_STEPS,
-        # schedule tuned on-chip (round 2): a short first round retires the
-        # fast majority before the full-width batch pays for stragglers;
-        # the tail-merge in the tracer absorbs the rest
-        round_steps=(2048, 4096),
+        # schedule re-tuned on-chip (round 2, second pass): rounds shrink
+        # with the active set (measured per-round walls in BASELINE.md),
+        # the bucket floor sits at the latency knee (256 lanes), and the
+        # tail-merge in the tracer absorbs the stragglers
+        round_steps=(2048, 2048, 1024),
         chunk=256,
+        bucket_floor=256,
     )
 
     tracer(u0, f, valid)  # compile every bucket + warm run

@@ -95,6 +95,11 @@ class RunConfig:
     use_rounds: bool = True         # bucketed re-batching
     save_every: int = 0             # >0: record trajectory snapshots
     save_diagnostics: bool = False  # also record (mu, dmudpsi, dip, psi)
+    sensitivity_rays: int = 0       # >0: landing-sensitivity analysis
+                                    # (event-projected variational
+                                    # Jacobian, sensitivity.py) for the
+                                    # first N valid rays; amplification
+                                    # lands in stats + the run record
 
     @property
     def root(self):

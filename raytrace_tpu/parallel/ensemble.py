@@ -10,6 +10,7 @@ reductions on the sharded result -- XLA inserts the ICI collectives.
 """
 
 from functools import partial
+from time import perf_counter as _clock
 from typing import NamedTuple
 
 import jax
@@ -145,14 +146,16 @@ def _bucket_size(n_active, n_full, floor):
 
 
 # --- packed carry transport ---------------------------------------------
-# The rounds tracer syncs the whole RayCarry to the host between rounds.
-# Fetching the 13 carry fields (+ f) as separate buffers costs 13 tunnel
-# round-trips (~30 ms EACH on the axon-tunneled chip -- measured 0.36-0.42 s
-# per round, 2.1 s of a 3.5 s headline run). Packing everything into ONE
-# flat float array inside the jitted program makes each direction a single
-# transfer regardless of field count. The int32 fields ride along exactly
-# as floats: every value is bounded by max_steps << 2^24, inside the f32
-# mantissa (guarded in make_rounds_tracer).
+# The rounds tracer keeps the whole RayCarry packed into ONE flat float
+# array that stays ON DEVICE across rounds (round-2 second pass; the
+# first pass coalesced the 13 per-field host fetches -- ~30 ms tunnel
+# round-trip EACH -- into one transfer, this pass removes even that:
+# per round the host fetches only the 4 bookkeeping columns and uploads
+# the bucket index set; gather/scatter run on device in cont_sel). The
+# int32 fields ride along exactly as floats: every value is bounded by
+# max_steps << 2^24, inside the f32 mantissa (guarded in
+# make_rounds_tracer). The same packing also serves checkpointing and the
+# final one-shot fetch.
 
 _INT_FIELDS = (
     "status", "n_accept", "n_reject", "rejected", "n_tiny", "caution",
@@ -214,11 +217,11 @@ def make_rounds_tracer(
     adaptive: bool = True,
     stepper: str = "auto",
     max_steps: int = 20000,
-    round_steps=(2048, 4096),
+    round_steps=(2048, 2048, 1024),
     chunk: int = 256,
     grad_mode="fused",
     root=1.0,
-    bucket_floor: int = 1024,
+    bucket_floor: int = 256,
     stall_progress: float = 1.0e-3,
     stiff_switch: float = 0.5,
     stiff_unswitch: float = 0.02,
@@ -253,12 +256,16 @@ def make_rounds_tracer(
     lane (measured lane utilization ~0.17 on the canonical 10k fan, where
     the median ray needs ~1.7k steps but stragglers need 20k+). Instead:
     integrate in rounds of `round_steps`; after each round, gather the
-    still-active rays, re-pad to the next power-of-two bucket, and
+    still-active rays into the next power-of-two bucket ON DEVICE (the
+    host sees 4 bookkeeping columns and sends back an index list) and
     continue from their exact RayCarry (bitwise-identical to the
     uninterrupted run -- the carry holds dt, controller memory and FSAL
-    derivative). The returned `run(u0, f, valid)` holds its jitted
-    start/continue programs, compiled once per bucket size and reused
-    across rounds and calls."""
+    derivative). The default schedule shrinks rounds as the active set
+    shrinks ((2048, 2048, 1024), floor 256 -- tuned per-round on chip,
+    BASELINE.md) because late rounds run latency-bound at small widths.
+    The returned `run(u0, f, valid)` holds its jitted start/continue
+    programs, compiled once per bucket size and reused across rounds and
+    calls; `run.last_rounds` records per-round timing diagnostics."""
     if frame == "2d_lat":
         rhs_fn = lambda u, ff: rhs_mod.rhs_2d_lat(
             u, ff, env, grad_mode=grad_mode, root=root)
@@ -304,11 +311,22 @@ def make_rounds_tracer(
         res = trace(rhs_fn, u, ff, **make_kw(n, base_stepper))
         return pack_carry(res.carry, ff)
 
-    @partial(jax.jit, static_argnums=(1, 2))
-    def cont(fl, n, st):
-        carry, ff = unpack_carry(fl, packed_state_dim(fl))
-        res = trace(rhs_fn, carry.u, ff, carry0=carry, **make_kw(n, st))
-        return pack_carry(res.carry, ff)
+    # device-resident rounds: the full packed carry never leaves the chip
+    # between rounds. Each round gathers its bucket by index, integrates,
+    # and scatters back; the host sees only the 4 bookkeeping columns
+    # (t, status, n_accept, n_reject -- one small transfer per round)
+    # plus the index upload. On the tunneled chip this removes the
+    # ~1 MB x 2 packed transfers per round that the round-1 packed
+    # transport had merely coalesced.
+    @partial(jax.jit, static_argnums=(2, 3))
+    def cont_sel(fl_full, sel, nr, st):
+        bucket = jnp.take(fl_full, sel, axis=0)
+        carry, ff = unpack_carry(bucket, packed_state_dim(fl_full))
+        res = trace(rhs_fn, carry.u, ff, carry0=carry, **make_kw(nr, st))
+        out = pack_carry(res.carry, ff)
+        # pad lanes are duplicates of sel[0]; duplicate-index scatter is
+        # well-defined here because every duplicate writes identical rows
+        return fl_full.at[sel].set(out)
 
     # small buckets are latency-bound on TPU (10k lanes ~ 80 VPU tiles
     # already borderline); keep at least bucket_floor lanes per round
@@ -318,17 +336,39 @@ def make_rounds_tracer(
     def round_len(i):
         return schedule[min(i, len(schedule) - 1)]
 
+    # per-state-dim jitted fetch of the 4 bookkeeping columns
+    _fetchers = {}
+
+    def _stat_fetch(sd):
+        if sd not in _fetchers:
+            base = 4 * sd
+            cols = (base + T_OF["t"], base + I_OF["status"],
+                    base + I_OF["n_accept"], base + I_OF["n_reject"])
+            _fetchers[sd] = jax.jit(lambda a: a[:, jnp.asarray(cols)])
+        return _fetchers[sd]
+
+    T_, ST_, ACC_, REJ_ = 0, 1, 2, 3  # columns of the host stats mirror
+
     def run(u0, f, valid):
+        run.last_rounds = []                  # per-round timing diagnostics
         n = u0.shape[0]
         sd = u0.shape[1]                      # state dimension
-        base = 4 * sd
-        t_col = base + T_OF["t"]
-        st_col = base + I_OF["status"]
-        acc_col = base + I_OF["n_accept"]
-        rej_col = base + I_OF["n_reject"]
+        fetch = _stat_fetch(sd)
         first = min(round_len(0), max_steps)
-        # host mirror of the packed carry: ONE flat array
-        fl = np.asarray(start(jnp.asarray(u0), jnp.asarray(f), first)).copy()
+        w0 = _clock()
+        # the packed carry stays ON DEVICE across rounds; `hs` is the
+        # host mirror of its 4 bookkeeping columns only
+        fl_dev = start(jnp.asarray(u0), jnp.asarray(f), first)
+        hs = np.asarray(fetch(fl_dev))
+        run.last_rounds.append(dict(
+            stepper=base_stepper, active=n, bucket=n, steps=first,
+            attempted=-1, wall_s=_clock() - w0,
+        ))
+
+        # host-side status overrides (stall retirement): the device copy
+        # keeps ACTIVE, but overridden rays never enter another round and
+        # the final result patches the status column
+        override = np.full(n, -1, np.int32)
 
         # per-ray stiff flag (auto mode): rejection burst -> ros2x pool.
         # Switching is gated on PROGRESS: a bursting ray that also made no
@@ -340,10 +380,10 @@ def make_rounds_tracer(
         def settle(idx, rf, prog, st):
             """Post-round bookkeeping for the rays in idx: stall
             retirement first, then stiff-pool membership updates."""
-            still = fl[idx, st_col] == events.ACTIVE
+            still = (hs[idx, ST_] == events.ACTIVE) & (override[idx] < 0)
             if stall_progress > 0.0:
                 stalled = still & (prog < stall_progress)
-                fl[idx[stalled], st_col] = events.DT_UNDERFLOW
+                override[idx[stalled]] = events.DT_UNDERFLOW
                 still = still & ~stalled
             if auto and st == stiff_stepper:
                 stiff[idx[still & (rf < stiff_unswitch)]] = False
@@ -353,28 +393,37 @@ def make_rounds_tracer(
         def advance(idx, st, nr):
             """One round for the index set idx with stepper st; returns the
             per-ray (rejection fraction, phase-path progress) over it."""
+            nonlocal fl_dev, hs
+            w0 = _clock()
             b = _bucket_size(idx.size, n, floor)
             sel = np.concatenate([idx, np.repeat(idx[:1], b - idx.size)])
-            acc0 = fl[idx, acc_col].copy()
-            rej0 = fl[idx, rej_col].copy()
-            t0 = fl[idx, t_col].copy()
-            rfl = cont(jnp.asarray(fl[sel]), nr, st)
-            fl[idx] = np.asarray(rfl)[: idx.size]
-            att = (fl[idx, acc_col] - acc0) + (fl[idx, rej_col] - rej0)
-            rf = (fl[idx, rej_col] - rej0) / np.maximum(att, 1)
-            return rf, fl[idx, t_col] - t0
+            acc0 = hs[idx, ACC_].copy()
+            rej0 = hs[idx, REJ_].copy()
+            t0 = hs[idx, T_].copy()
+            fl_dev = cont_sel(fl_dev, jnp.asarray(sel, jnp.int32), nr, st)
+            hs = np.asarray(fetch(fl_dev))
+            att = (hs[idx, ACC_] - acc0) + (hs[idx, REJ_] - rej0)
+            rf = (hs[idx, REJ_] - rej0) / np.maximum(att, 1)
+            run.last_rounds.append(dict(
+                stepper=st, active=int(idx.size), bucket=b, steps=nr,
+                attempted=int(att.sum()), wall_s=_clock() - w0,
+            ))
+            return rf, hs[idx, T_] - t0
 
         # round-1 bookkeeping (the start program ran all rays on the base
         # stepper from t = 0)
         idx0 = np.nonzero(np.asarray(valid))[0]
-        att0 = fl[idx0, acc_col] + fl[idx0, rej_col]
-        rf0 = fl[idx0, rej_col] / np.maximum(att0, 1)
-        settle(idx0, rf0, fl[idx0, t_col], base_stepper)
+        att0 = hs[idx0, ACC_] + hs[idx0, REJ_]
+        rf0 = hs[idx0, REJ_] / np.maximum(att0, 1)
+        settle(idx0, rf0, hs[idx0, T_], base_stepper)
 
         steps_done = first
         i = 1
         while steps_done < max_steps:
-            active = (fl[:, st_col] == events.ACTIVE) & np.asarray(valid)
+            active = (
+                (hs[:, ST_] == events.ACTIVE) & (override < 0)
+                & np.asarray(valid)
+            )
             if not active.any():
                 break
             # merge the straggler tail: once the active set stops paying
@@ -411,6 +460,12 @@ def make_rounds_tracer(
             i += 1
 
         run.last_stiff = stiff  # which rays ended on the ros2x pool
+        # one full fetch at the end; apply the host-side status overrides
+        fl = np.asarray(fl_dev).copy()
+        base = 4 * sd
+        st_col = base + I_OF["status"]
+        patch = override >= 0
+        fl[patch, st_col] = override[patch]
         final, _ = unpack_carry(fl, sd)
         return TraceResult(
             u=final.u, t=final.t, status=final.status,
@@ -419,6 +474,7 @@ def make_rounds_tracer(
         )
 
     run.last_stiff = None
+    run.last_rounds = []
     return run
 
 

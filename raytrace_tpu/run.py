@@ -126,6 +126,22 @@ def run(config: RunConfig, out_dir=None, plots=False):
             lat_offset=spec.lat_offset, xp=xp,
         ).items()
     }
+    if config.sensitivity_rays > 0:
+        # landing-sensitivity channel (sensitivity.py): event-projected
+        # variational Jacobian for the first N valid rays, surfaced as
+        # per-ray amplification |d lat_land / d lat_0| in stats + record
+        from .sensitivity import landing_sensitivity_batch
+
+        rhs_fn, group_idx = _rhs_for(config, env)
+        idx = np.nonzero(np.asarray(valid))[0][: config.sensitivity_rays]
+        sens = landing_sensitivity_batch(
+            rhs_fn, np.asarray(u0)[idx], np.asarray(f)[idx],
+            cfg=cfg, spec=spec, group_idx=group_idx,
+            max_steps=config.max_steps,
+        )
+        stats["sensitivity_amplification"] = sens["amplification"]
+        stats["sensitivity_status"] = sens["status"]
+
     paths = {}
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
@@ -171,7 +187,7 @@ _TRACER_CACHE = {}
 def _cached_tracer(config: RunConfig, env, mesh, common, rounds):
     key = (
         rounds, config.to_json(),
-        tuple(float(v) for v in env),
+        tuple(v if isinstance(v, str) else float(v) for v in env),
         mesh.devices.size,
     )
     if key not in _TRACER_CACHE:

@@ -194,3 +194,29 @@ def test_gcpm_medium_traces_end_to_end():
     assert rt.medium.gcpm_bpow == 0.5
     env2 = rt.medium.build()
     assert env2.ps_model == "gcpm" and env2.gcpm_bpow == 0.5
+
+
+def test_run_with_gcpm_medium_and_sensitivity_record(tmp_path):
+    """run() handles a string-bearing EnvParams in its tracer cache key
+    (regression: ps_model broke the float()-only key) and surfaces the
+    landing-sensitivity channel in stats + the run record."""
+    import json
+
+    import numpy as np
+
+    from raytrace_tpu.config import MediumConfig, RunConfig
+    from raytrace_tpu.run import run
+
+    cfg = RunConfig(
+        name="gcpm_sens",
+        medium=MediumConfig(b0=3.0696381e-5, ps_model="gcpm"),
+        lats=(np.pi / 4,), chis=(0.0,), freqs=(1000.0,),
+        rtol=1e-6, atol=1e-9, max_steps=30000, dtype="float64",
+        sensitivity_rays=1,
+    )
+    out = run(cfg, out_dir=str(tmp_path))
+    assert int(out["stats"]["n_hit_earth"]) == 1
+    amp = np.asarray(out["stats"]["sensitivity_amplification"])
+    assert amp.shape == (1,) and np.isfinite(amp).all() and amp[0] > 0
+    rec = json.load(open(out["paths"]["record"]))
+    assert "sensitivity_amplification" in rec["stats"]
