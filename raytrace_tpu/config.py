@@ -41,6 +41,9 @@ class MediumConfig:
                                     # models/plasmasphere.ne_gcpm_cm3)
     gcpm_bpow: float = 1.0          # GCPM mirror-ratio exponent
     gcpm_knee: float = 0.2          # GCPM plasmapause blend width (L)
+    b_model: str = "dipole"         # "dipole" | "tilted" (3D frame only)
+    b_tilt: float = 0.0             # moment tilt, rad
+    b_tilt_phi: float = 0.0         # tilt azimuth, rad
 
     def build(self):
         fit = TRACED_FIT if self.iono_fit == "traced" else IRI_DAYSIDE_FIT
@@ -50,6 +53,8 @@ class MediumConfig:
             de_correction=self.de_correction, ps_smooth=self.ps_smooth,
             iono_mlt=self.iono_mlt, ps_model=self.ps_model,
             gcpm_bpow=self.gcpm_bpow, gcpm_knee=self.gcpm_knee,
+            b_model=self.b_model, b_tilt=self.b_tilt,
+            b_tilt_phi=self.b_tilt_phi,
         )
 
 

@@ -37,6 +37,51 @@ def b_vec_colat(r, theta, phi, b0):
     return br, btheta, bphi
 
 
+def moment_unit(tilt, phi0):
+    """Unit dipole-moment vector (Cartesian) tilted by `tilt` (rad) from
+    the -z axis toward geographic longitude `phi0`.
+
+    tilt = 0 reproduces the centered axial dipole (moment along -z, the
+    b_vec_colat convention); Earth's real moment is tilted ~11.5 deg."""
+    st, ct = jnp.sin(tilt), jnp.cos(tilt)
+    return st * jnp.cos(phi0), st * jnp.sin(phi0), -ct
+
+
+def b_vec_tilted(r, theta, phi, b0, tilt, phi0=0.0):
+    """Tilted-dipole field (B_r, B_theta, B_phi) at geographic
+    (r, theta, phi) -- the first non-axial field model (the reference
+    only ever planned "realistic" field/medium upgrades, RayMain.jl:99).
+
+    Exact point-dipole formula B = (b0/r^3)(3 (m.rhat) rhat - m) projected
+    on the local spherical basis:
+        B_r     =  2 (b0/r^3) (m . rhat)
+        B_theta = -(b0/r^3) (m . thetahat)
+        B_phi   = -(b0/r^3) (m . phihat)
+    With tilt = 0 this reduces exactly to b_vec_colat. Breaks the
+    meridional symmetry, so it is a 3D-frame-only medium (guarded in
+    models/medium.py)."""
+    mx, my, mz = moment_unit(tilt, phi0)
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    m_r = mx * st * cp + my * st * sp + mz * ct
+    m_t = mx * ct * cp + my * ct * sp - mz * st
+    m_p = -mx * sp + my * cp
+    k = b0 / (r * r * r)
+    return 2.0 * k * m_r, -k * m_t, -k * m_p
+
+
+def mlat_sin_tilted(theta, phi, tilt, phi0=0.0):
+    """sin(magnetic latitude) in the tilted frame: sin(lat_m) = -(m . rhat).
+
+    For tilt = 0 this is cos(theta) = sin(lat), matching the centered
+    dipole. The density models are organized by MAGNETIC latitude (the
+    plasmasphere rides the field), so this feeds ne_total in the tilted
+    medium."""
+    mx, my, mz = moment_unit(tilt, phi0)
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    return -(mx * st * jnp.cos(phi) + my * st * jnp.sin(phi) + mz * ct)
+
+
 def dip_angle_lat(lat):
     """Dip angle between the horizontal and B, latitude form.
 

@@ -50,6 +50,12 @@ class EnvParams(NamedTuple):
     gcpm_bpow: float = 0.0           # mirror-ratio (field-aligned) exponent
     gcpm_knee: float = 0.0           # plasmapause blend width in L; STATIC-
                                      # free (plain traced scalar)
+    # magnetic-field model selector (STATIC string): "dipole" (centered
+    # axial) | "tilted" (moment tilted b_tilt rad toward longitude
+    # b_tilt_phi -- 3D frame only, models/dipole.b_vec_tilted)
+    b_model: str = "dipole"
+    b_tilt: float = 0.0              # moment tilt, rad (Earth ~ 0.2007)
+    b_tilt_phi: float = 0.0          # tilt azimuth, rad
 
 
 def make_env(
@@ -66,6 +72,9 @@ def make_env(
     ps_model="ca1992",
     gcpm_bpow=1.0,
     gcpm_knee=plasmasphere.GCPM_KNEE,
+    b_model="dipole",
+    b_tilt=0.0,
+    b_tilt_phi=0.0,
 ):
     """Build EnvParams; runs the host-side plasmapause pre-solve.
 
@@ -97,6 +106,14 @@ def make_env(
         )
     if ps_model not in ("ca1992", "gcpm"):
         raise ValueError(f"unknown ps_model {ps_model!r}")
+    if b_model not in ("dipole", "tilted"):
+        raise ValueError(f"unknown b_model {b_model!r}")
+    b_kw = (
+        dict(b_model="tilted", b_tilt=float(b_tilt),
+             b_tilt_phi=float(b_tilt_phi))
+        if b_model == "tilted"
+        else {}
+    )
     gcpm_kw = (
         dict(
             ps_model="gcpm",
@@ -120,13 +137,14 @@ def make_env(
         ps_smooth=ps_smooth,
         **iono_kw,
         **gcpm_kw,
+        **b_kw,
     )
 
 
 # fields that gate code paths at trace time -- keep python floats (or
 # strings) when casting an EnvParams to device values
 STATIC_FIELDS = ("ps_weight", "de_weight", "ps_smooth", "iono_mix",
-                 "ps_model")
+                 "ps_model", "b_model")
 
 
 def cast_env(env: EnvParams, dtype):
@@ -179,5 +197,33 @@ def ne_total_m3(r, lat, env: EnvParams):
 
 
 def b_mag(r, lat, env: EnvParams):
-    """Dipole field magnitude at (r [RE], lat [rad]) in Tesla."""
+    """Dipole field magnitude at (r [RE], lat [rad]) in Tesla.
+
+    2D (meridional) entry point: a tilted field has no meridional
+    symmetry, so it is refused here -- use the 3D frame (b_vec)."""
+    if env.b_model != "dipole":
+        raise ValueError(
+            "the 2D frames assume the centered axial dipole; "
+            f"b_model={env.b_model!r} is 3D-only"
+        )
     return dipole.b_mag_lat(r, lat, env.b0)
+
+
+def b_vec(r, theta, phi, env: EnvParams):
+    """Vector field (B_r, B_theta, B_phi) at geographic (r, theta, phi),
+    dispatching on the static b_model selector."""
+    if env.b_model == "tilted":
+        return dipole.b_vec_tilted(
+            r, theta, phi, env.b0, env.b_tilt, env.b_tilt_phi
+        )
+    return dipole.b_vec_colat(r, theta, phi, env.b0)
+
+
+def mlat_3d(r, theta, phi, env: EnvParams):
+    """Magnetic latitude at geographic (r, theta, phi) -- organizes the
+    density models in the 3D frame (lat = pi/2 - theta for the centered
+    dipole; the tilted-frame latitude otherwise)."""
+    if env.b_model == "tilted":
+        s = dipole.mlat_sin_tilted(theta, phi, env.b_tilt, env.b_tilt_phi)
+        return jnp.arcsin(jnp.clip(s, -1.0, 1.0))
+    return jnp.pi / 2.0 - theta

@@ -166,15 +166,25 @@ def psi_3d(r, theta, phi, rho_r, rho_t, rho_p, env: medium.EnvParams):
 def psi_trig_3d(r, theta, phi, rho_r, rho_t, rho_p, env: medium.EnvParams):
     """(sin psi, cos psi) from B and rho without arccos.
 
-    psi in [0, pi] so sin psi = sqrt(1 - cos^2 psi) >= 0."""
-    br, bt, bp = dipole.b_vec_colat(r, theta, phi, env.b0)
+    psi in [0, pi] so sin psi = sqrt(1 - cos^2 psi) >= 0. Dispatches on
+    env.b_model (centered or tilted dipole)."""
+    sinpsi, cospsi, _ = _psi_trig_bmag_3d(
+        r, theta, phi, rho_r, rho_t, rho_p, env
+    )
+    return sinpsi, cospsi
+
+
+def _psi_trig_bmag_3d(r, theta, phi, rho_r, rho_t, rho_p,
+                      env: medium.EnvParams):
+    """(sin psi, cos psi, |B|) from one field evaluation."""
+    br, bt, bp = medium.b_vec(r, theta, phi, env)
     bmag = jnp.sqrt(br * br + bt * bt + bp * bp)
     rmag = jnp.sqrt(rho_r * rho_r + rho_t * rho_t + rho_p * rho_p)
     cospsi = jnp.clip(
         (br * rho_r + bt * rho_t + bp * rho_p) / (bmag * rmag), -1.0, 1.0
     )
     sinpsi = jnp.sqrt(jnp.maximum(1.0 - cospsi * cospsi, 0.0))
-    return sinpsi, cospsi
+    return sinpsi, cospsi, bmag
 
 
 def consistent_rho_3d(r, theta, phi, khat, f, env: medium.EnvParams, root=1.0):
@@ -198,10 +208,15 @@ def mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams, root=1.0
 
     jax.grad of this w.r.t. (rho_r, rho_t, rho_p) replaces the reference's
     analytic Kimura-1966 dmu/drho_k chain (RayTrace_3D.jl:261-311), and
-    w.r.t. (r, theta, phi) replaces its finite differences."""
-    sinpsi, cospsi = psi_trig_3d(r, theta, phi, rho_r, rho_t, rho_p, env)
-    lat = jnp.pi / 2.0 - theta
+    w.r.t. (r, theta, phi) replaces its finite differences.
+
+    Field model dispatches on env.b_model: the tilted dipole breaks
+    meridional symmetry (d mu/d phi != 0) and organizes the density by
+    the tilted-frame magnetic latitude."""
+    sinpsi, cospsi, b = _psi_trig_bmag_3d(
+        r, theta, phi, rho_r, rho_t, rho_p, env
+    )
+    lat = medium.mlat_3d(r, theta, phi, env)
     ne = medium.ne_total_m3(r, lat, env)
-    b = medium.b_mag(r, lat, env)
     rr, ll, pp = stix_rlp(ne, b, f)
     return mu_from_mu2(mu2_signed_trig(rr, ll, pp, sinpsi, cospsi, root))

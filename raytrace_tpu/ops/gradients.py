@@ -98,7 +98,19 @@ def mu_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams,
     mode="reference" swaps the rho-partials for the reference's Kimura
     chain driven by its closed-form dmu/dpsi (RayTrace_3D.jl:261-311 uses
     refractive_index's dmudpsi output); spatial/frequency partials remain
-    autodiff (they match the reference's central differences)."""
+    autodiff (they match the reference's central differences).
+
+    The fused chain hand-codes the centered-dipole geometry; non-dipole
+    media (b_model="tilted") fall back to autodiff automatically, and the
+    reference mode (built around the axial dipole's Kimura chain) refuses
+    them."""
+    if grad_mode == REFERENCE and env.b_model != "dipole":
+        raise ValueError(
+            "grad_mode='reference' reproduces the reference's centered-"
+            f"dipole chain; b_model={env.b_model!r} is unsupported there"
+        )
+    if grad_mode == FUSED and env.b_model != "dipole":
+        grad_mode = AUTODIFF
     if grad_mode == FUSED:
         from . import fused
 

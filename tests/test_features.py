@@ -220,3 +220,48 @@ def test_run_with_gcpm_medium_and_sensitivity_record(tmp_path):
     assert amp.shape == (1,) and np.isfinite(amp).all() and amp[0] > 0
     rec = json.load(open(out["paths"]["record"]))
     assert "sensitivity_amplification" in rec["stats"]
+
+
+def test_tilted_dipole_3d_trace_end_to_end():
+    """A 3D whistler integrates through the tilted-dipole medium: the ray
+    leaves the meridian plane (d phi drift driven by the now-nonzero
+    dmu/dphi and the azimuthal field component) and the trace stays
+    finite; tilt = 0 reproduces the centered-dipole trajectory."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytrace_tpu.constants import RE
+    from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
+    from raytrace_tpu.models import make_env
+    from raytrace_tpu.ops import rhs
+    from raytrace_tpu.ops.dispersion import consistent_rho_3d
+
+    kw = dict(
+        cfg=SolverConfig(rtol=1e-7, atol=1e-11, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=3e8 / RE, lat_sign=-1.0,
+                      lat_offset=np.pi / 2),
+        group_idx=6, max_steps=20000,
+    )
+
+    def launch(env):
+        r0, th0, ph0 = (RE + 1e6) / RE, np.pi / 4, 0.0
+        rho = consistent_rho_3d(r0, th0, ph0, (1.0, 1.0, 0.0), 1000.0, env)
+        u0 = jnp.array([[r0, th0, ph0, *map(float, rho), 0.0]])
+        return trace(lambda u, ff: rhs.rhs_3d(u, ff, env), u0,
+                     jnp.array([1000.0]), **kw)
+
+    res_t = launch(make_env(b0=3.12e-5, b_model="tilted", b_tilt=0.2,
+                            b_tilt_phi=1.0))
+    res_0 = launch(make_env(b0=3.12e-5))
+    res_z = launch(make_env(b0=3.12e-5, b_model="tilted", b_tilt=0.0))
+
+    assert np.isfinite(np.asarray(res_t.u)).all()
+    assert int(res_t.status[0]) in (events.HIT_EARTH, events.MAX_PHASE_TIME)
+    # the tilt pulls the ray out of the launch meridian
+    assert abs(float(res_t.u[0, 2])) > 1e-3
+    # the centered dipole keeps phi drift zero... (rho_phi0 = 0, Bphi = 0)
+    assert abs(float(res_0.u[0, 2])) < 1e-8
+    # ...and the zero-tilt tilted model reproduces it
+    np.testing.assert_allclose(
+        np.asarray(res_z.u[0]), np.asarray(res_0.u[0]), rtol=1e-5, atol=1e-8
+    )

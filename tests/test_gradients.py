@@ -154,3 +154,46 @@ def test_grads_jit_and_vmap():
     out = fn(rs, lats, chis, fs)
     assert all(o.shape == (n,) for o in out)
     assert bool(jnp.all(jnp.isfinite(jnp.stack(out))))
+
+
+def test_tilted_dipole_3d_gradients_and_symmetry_breaking():
+    """mu in a tilted-dipole medium: the fused path falls back to
+    autodiff (values agree by construction), d mu/d phi is genuinely
+    nonzero (meridional symmetry broken), and tilt = 0 matches the
+    centered medium exactly."""
+    import jax
+
+    from raytrace_tpu.models import make_env
+    from raytrace_tpu.ops import dispersion
+
+    env_t = make_env(b_model="tilted", b_tilt=0.2, b_tilt_phi=0.4)
+    env_0 = make_env()
+    args = (2.5, 1.0, 0.3, 1.0, 1.0, 0.1, 1000.0)
+
+    mu_f, g_f = gradients.mu_grads_3d(*args, env_t, grad_mode="fused")
+    mu_a, g_a = gradients.mu_grads_3d(*args, env_t, grad_mode="autodiff")
+    assert float(mu_f) == pytest.approx(float(mu_a), rel=1e-12)
+    for x, y in zip(g_f, g_a):
+        assert float(x) == pytest.approx(float(y), rel=1e-12)
+    # symmetry broken: dmu/dphi != 0 under tilt (it is identically zero
+    # for the centered dipole)
+    assert abs(float(g_f[2])) > 1e-6 * abs(float(mu_f))
+    _, g_c = gradients.mu_grads_3d(*args, env_0, grad_mode="fused")
+    assert float(g_c[2]) == 0.0
+
+    # tilt -> 0 limit matches the centered-dipole dispersion exactly
+    env_z = make_env(b_model="tilted", b_tilt=0.0)
+    mu_z = dispersion.mu_3d(*args, env_z)
+    mu_c = dispersion.mu_3d(*args, env_0)
+    assert float(mu_z) == pytest.approx(float(mu_c), rel=1e-12)
+
+    # reference mode refuses non-dipole media
+    with pytest.raises(ValueError):
+        gradients.mu_grads_3d(*args, env_t, grad_mode="reference")
+
+    # the FD cross-check: autodiff dmu/dphi matches a central difference
+    h = 1e-6
+    mu_p = dispersion.mu_3d(2.5, 1.0, 0.3 + h, 1.0, 1.0, 0.1, 1000.0, env_t)
+    mu_m = dispersion.mu_3d(2.5, 1.0, 0.3 - h, 1.0, 1.0, 0.1, 1000.0, env_t)
+    fd = (float(mu_p) - float(mu_m)) / (2 * h)
+    assert float(g_f[2]) == pytest.approx(fd, rel=1e-4)

@@ -242,3 +242,50 @@ def test_gcpm_is_smooth_at_the_knee():
     dlog = np.diff(np.log(ne))
     # second difference stays small everywhere (C-infinity profile)
     assert np.max(np.abs(np.diff(dlog))) < 5e-4
+
+
+def test_tilted_dipole_reduces_to_centered():
+    """tilt = 0 reproduces b_vec_colat exactly, everywhere."""
+    rng = np.random.default_rng(3)
+    for _ in range(30):
+        r = float(rng.uniform(1.0, 6.0))
+        th = float(rng.uniform(0.1, np.pi - 0.1))
+        ph = float(rng.uniform(-np.pi, np.pi))
+        b0 = 3.12e-5
+        a = [float(x) for x in dipole.b_vec_colat(r, th, ph, b0)]
+        b = [float(x) for x in dipole.b_vec_tilted(r, th, ph, b0, 0.0)]
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-30)
+
+
+def test_tilted_dipole_rotation_consistency():
+    """|B| of the tilted dipole at a point equals the centered |B| at the
+    same magnetic latitude (frame rotation preserves magnitude), and the
+    magnetic-latitude helper agrees with the geometry."""
+    tilt, phi0 = 0.3, 0.7
+    rng = np.random.default_rng(5)
+    for _ in range(30):
+        r = float(rng.uniform(1.0, 6.0))
+        th = float(rng.uniform(0.1, np.pi - 0.1))
+        ph = float(rng.uniform(-np.pi, np.pi))
+        b0 = 3.12e-5
+        br, bt, bp = dipole.b_vec_tilted(r, th, ph, b0, tilt, phi0)
+        bmag = float(np.sqrt(br**2 + bt**2 + bp**2))
+        slat = float(dipole.mlat_sin_tilted(th, ph, tilt, phi0))
+        lat_m = np.arcsin(np.clip(slat, -1, 1))
+        assert bmag == pytest.approx(
+            float(dipole.b_mag_lat(r, lat_m, b0)), rel=1e-10)
+
+
+def test_tilted_medium_guards_and_dispatch():
+    env = make_env(b_model="tilted", b_tilt=0.2)
+    assert env.b_model == "tilted"
+    # 2D entry refuses the tilted field
+    with pytest.raises(ValueError):
+        medium.b_mag(2.0, 0.3, env)
+    # 3D dispatch works and matches the direct call
+    a = [float(x) for x in medium.b_vec(2.0, 1.0, 0.5, env)]
+    b = [float(x) for x in dipole.b_vec_tilted(2.0, 1.0, 0.5, env.b0,
+                                               env.b_tilt, env.b_tilt_phi)]
+    np.testing.assert_allclose(a, b, rtol=1e-14)
+    with pytest.raises(ValueError):
+        make_env(b_model="igrf")
