@@ -21,6 +21,9 @@ def main(argv=None):
                    help="record a snapshot every K steps")
     p.add_argument("--float64", action="store_true",
                    help="CPU float64 oracle mode")
+    p.add_argument("--sensitivity", type=int, default=0, metavar="N",
+                   help="landing-sensitivity analysis for the first N rays"
+                        " (variational Jacobian; lands in the run record)")
     p.add_argument("--dump-config", action="store_true",
                    help="print the resolved RunConfig JSON and exit")
     args = p.parse_args(argv)
@@ -34,6 +37,8 @@ def main(argv=None):
     if args.trajectory:
         config.save_every = args.trajectory
         config.save_diagnostics = True  # (mu, dmudpsi, dip, psi), any frame
+    if args.sensitivity:
+        config.sensitivity_rays = args.sensitivity
     if args.float64:
         import jax
 
