@@ -39,7 +39,15 @@ struct Env {
   double lppi, lppo, ne_lppi;
   double ps_season, ps_trough;
   double de_weight;
+  double duct_amp, duct_l0, duct_w;  // Gaussian L-shell density duct
 };
+
+// env array protocol (raytrace_tpu/native.py::_env_array): 14 doubles in
+// the struct's field order
+Env env_from(const double* v) {
+  return Env{v[0], v[1], v[2],  v[3],  v[4],  v[5],  v[6],
+             v[7], v[8], v[9], v[10], v[11], v[12], v[13]};
+}
 
 // ---- environment (reference: RayTrace_lat.jl:66-84, plasmasphere.jl) ----
 
@@ -57,6 +65,11 @@ double ne_total_m3(double r, double lat, const Env& e) {
   } else {
     ne_p = e.ps_trough * std::pow(L, -4.5) +
            (1.0 - std::exp((2.0 - L) / 10.0));
+  }
+  if (e.duct_amp != 0.0) {
+    // field-aligned Gaussian duct (models/plasmasphere.py::duct_factor)
+    double x = (L - e.duct_l0) / e.duct_w;
+    ne_p *= 1.0 + e.duct_amp * std::exp(-0.5 * x * x);
   }
   if (e.de_weight > 0.5) {
     // diffusive equilibrium (plasmasphere.jl:96-106)
@@ -459,29 +472,26 @@ extern "C" {
 
 // batch evaluation of mu for parity tests
 void rt_mu_2d_lat_batch(const double* r, const double* lat, const double* chi,
-                        const double* f, int n, const double* env11,
+                        const double* f, int n, const double* env14,
                         double* mu_out) {
-  Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
-           env11[6], env11[7], env11[8], env11[9], env11[10]};
+  Env e = env_from(env14);
   for (int i = 0; i < n; i++)
     mu_out[i] = mu_2d_lat(r[i], lat[i], chi[i], f[i], e);
 }
 
-void rt_rhs_2d_lat(const double* u, double f, const double* env11,
+void rt_rhs_2d_lat(const double* u, double f, const double* env14,
                    int grad_mode, double* du) {
-  Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
-           env11[6], env11[7], env11[8], env11[9], env11[10]};
+  Env e = env_from(env14);
   rhs_2d_lat(u, f, e, grad_mode, du);
 }
 
 // full single-ray trace; out layout: [u0..u3, t, status, n_accept, n_reject]
 // frame: 0 = latitude (RayTrace_lat), 1 = colatitude (RayMain)
-void rt_trace_2d(const double* u0, double f, const double* env11,
+void rt_trace_2d(const double* u0, double f, const double* env14,
                  int grad_mode, int frame, double rtol, double atol,
                  double t_max, double dt0, double dt_min, double dt_max,
                  int max_steps, double r_floor, double* out8) {
-  Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
-           env11[6], env11[7], env11[8], env11[9], env11[10]};
+  Env e = env_from(env14);
   TraceOut o;
   trace_2d_lat_impl(u0, f, e, grad_mode, rtol, atol, t_max, dt0, dt_min,
                     dt_max, max_steps, r_floor, &o, frame);
@@ -492,36 +502,33 @@ void rt_trace_2d(const double* u0, double f, const double* env11,
   out8[7] = static_cast<double>(o.n_reject);
 }
 
-void rt_trace_2d_lat(const double* u0, double f, const double* env11,
+void rt_trace_2d_lat(const double* u0, double f, const double* env14,
                      int grad_mode, double rtol, double atol, double t_max,
                      double dt0, double dt_min, double dt_max, int max_steps,
                      double r_floor, double* out8) {
-  rt_trace_2d(u0, f, env11, grad_mode, 0, rtol, atol, t_max, dt0, dt_min,
+  rt_trace_2d(u0, f, env14, grad_mode, 0, rtol, atol, t_max, dt0, dt_min,
               dt_max, max_steps, r_floor, out8);
 }
 
-void rt_rhs_2d_colat(const double* u, double f, const double* env11,
+void rt_rhs_2d_colat(const double* u, double f, const double* env14,
                      int grad_mode, double* du) {
-  Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
-           env11[6], env11[7], env11[8], env11[9], env11[10]};
+  Env e = env_from(env14);
   rhs_2d_colat(u, f, e, grad_mode, du);
 }
 
-void rt_rhs_3d(const double* u, double f, const double* env11, int grad_mode,
+void rt_rhs_3d(const double* u, double f, const double* env14, int grad_mode,
                double* du) {
-  Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
-           env11[6], env11[7], env11[8], env11[9], env11[10]};
+  Env e = env_from(env14);
   rhs_3d(u, f, e, grad_mode, du);
 }
 
 // full single-ray 3D trace; out layout: [u0..u6, t, status, n_accept,
 // n_reject] (11 doubles)
-void rt_trace_3d(const double* u0, double f, const double* env11,
+void rt_trace_3d(const double* u0, double f, const double* env14,
                  int grad_mode, double rtol, double atol, double t_max,
                  double dt0, double dt_min, double dt_max, int max_steps,
                  double r_floor, double* out11) {
-  Env e = {env11[0], env11[1], env11[2], env11[3], env11[4], env11[5],
-           env11[6], env11[7], env11[8], env11[9], env11[10]};
+  Env e = env_from(env14);
   auto rhs = [&](const double* uu, double* dd) {
     rhs_3d(uu, f, e, grad_mode, dd);
   };

@@ -44,6 +44,10 @@ class MediumConfig:
     b_model: str = "dipole"         # "dipole" | "tilted" (3D frame only)
     b_tilt: float = 0.0             # moment tilt, rad
     b_tilt_phi: float = 0.0         # tilt azimuth, rad
+    duct_amp: float = 0.0           # field-aligned duct: crest > 0 /
+                                    # trough < 0 (plasmasphere.duct_factor)
+    duct_l0: float = 3.0            # duct center, L
+    duct_w: float = 0.1             # duct Gaussian width, L
 
     def build(self):
         fit = TRACED_FIT if self.iono_fit == "traced" else IRI_DAYSIDE_FIT
@@ -54,7 +58,8 @@ class MediumConfig:
             iono_mlt=self.iono_mlt, ps_model=self.ps_model,
             gcpm_bpow=self.gcpm_bpow, gcpm_knee=self.gcpm_knee,
             b_model=self.b_model, b_tilt=self.b_tilt,
-            b_tilt_phi=self.b_tilt_phi,
+            b_tilt_phi=self.b_tilt_phi, duct_amp=self.duct_amp,
+            duct_l0=self.duct_l0, duct_w=self.duct_w,
         )
 
 

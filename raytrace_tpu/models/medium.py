@@ -52,10 +52,22 @@ class EnvParams(NamedTuple):
                                      # free (plain traced scalar)
     # magnetic-field model selector (STATIC string): "dipole" (centered
     # axial) | "tilted" (moment tilted b_tilt rad toward longitude
-    # b_tilt_phi -- 3D frame only, models/dipole.b_vec_tilted)
+    # b_tilt_phi -- 3D frame only, models/dipole.b_vec_tilted) | "igrf"
+    # (degree-3 IGRF truncation, models/dipole.b_vec_igrf -- 3D only;
+    # igrf_coeffs holds the 15 Schmidt coefficients, b_tilt/b_tilt_phi
+    # are derived from its degree-1 part to organize the density models)
     b_model: str = "dipole"
     b_tilt: float = 0.0              # moment tilt, rad (Earth ~ 0.2007)
     b_tilt_phi: float = 0.0          # tilt azimuth, rad
+    # field-aligned density duct (plasmasphere.duct_factor): Gaussian
+    # crest (duct_amp > 0) / trough (< 0) across L, centered at duct_l0
+    # with width duct_w. duct_amp is STATIC: a python-float 0.0 compiles
+    # the duct away entirely (the headline duct-free medium pays nothing).
+    duct_amp: float = 0.0
+    duct_l0: float = 0.0             # duct center, L
+    duct_w: float = 0.0              # duct Gaussian width, L
+    igrf_coeffs: tuple = ()          # STATIC: 15 Schmidt coefficients (nT)
+                                     # for b_model="igrf" (dipole.IGRF13_2020)
 
 
 def make_env(
@@ -75,6 +87,10 @@ def make_env(
     b_model="dipole",
     b_tilt=0.0,
     b_tilt_phi=0.0,
+    igrf_coeffs=None,
+    duct_amp=0.0,
+    duct_l0=3.0,
+    duct_w=0.1,
 ):
     """Build EnvParams; runs the host-side plasmapause pre-solve.
 
@@ -106,14 +122,33 @@ def make_env(
         )
     if ps_model not in ("ca1992", "gcpm"):
         raise ValueError(f"unknown ps_model {ps_model!r}")
-    if b_model not in ("dipole", "tilted"):
+    if duct_amp != 0.0:
+        if not plasmasphere_on:
+            raise ValueError("a density duct needs the plasmasphere on")
+        if not duct_w > 0.0:
+            raise ValueError("duct_w must be > 0 when duct_amp != 0")
+        if duct_amp <= -1.0:
+            raise ValueError("duct_amp <= -1 makes the density negative")
+    if b_model not in ("dipole", "tilted", "igrf"):
         raise ValueError(f"unknown b_model {b_model!r}")
-    b_kw = (
-        dict(b_model="tilted", b_tilt=float(b_tilt),
-             b_tilt_phi=float(b_tilt_phi))
-        if b_model == "tilted"
-        else {}
-    )
+    if b_model == "tilted":
+        b_kw = dict(b_model="tilted", b_tilt=float(b_tilt),
+                    b_tilt_phi=float(b_tilt_phi))
+    elif b_model == "igrf":
+        coeffs = tuple(
+            float(c) for c in
+            (dipole.IGRF13_2020 if igrf_coeffs is None else igrf_coeffs)
+        )
+        if len(coeffs) != 15:
+            raise ValueError("igrf_coeffs must hold 15 Schmidt coefficients")
+        # the degree-1 part IS a tilted centered dipole: use it for b0 and
+        # the magnetic-latitude organization of the density models
+        b0_igrf, tilt, phi0 = dipole.igrf_dipole(coeffs)
+        b0 = b0_igrf
+        b_kw = dict(b_model="igrf", b_tilt=tilt, b_tilt_phi=phi0,
+                    igrf_coeffs=coeffs)
+    else:
+        b_kw = {}
     gcpm_kw = (
         dict(
             ps_model="gcpm",
@@ -138,13 +173,16 @@ def make_env(
         **iono_kw,
         **gcpm_kw,
         **b_kw,
+        duct_amp=float(duct_amp),
+        duct_l0=float(duct_l0),
+        duct_w=float(duct_w),
     )
 
 
 # fields that gate code paths at trace time -- keep python floats (or
 # strings) when casting an EnvParams to device values
 STATIC_FIELDS = ("ps_weight", "de_weight", "ps_smooth", "iono_mix",
-                 "ps_model", "b_model")
+                 "ps_model", "b_model", "duct_amp", "igrf_coeffs")
 
 
 def cast_env(env: EnvParams, dtype):
@@ -191,6 +229,10 @@ def ne_total_m3(r, lat, env: EnvParams):
             L, env.lppi, env.lppo, env.ne_lppi, env.ps_season, env.ps_trough,
             env.ps_smooth,
         )
+    if not (isinstance(env.duct_amp, float) and env.duct_amp == 0.0):
+        ne_p = ne_p * plasmasphere.duct_factor(
+            L, env.duct_amp, env.duct_l0, env.duct_w
+        )
     de = plasmasphere.diffusive_equilibrium_factor(r)
     ne_p = ne_p * (env.de_weight * de + (1.0 - env.de_weight))
     return (ne_i + env.ps_weight * ne_p) * 1.0e6
@@ -216,14 +258,17 @@ def b_vec(r, theta, phi, env: EnvParams):
         return dipole.b_vec_tilted(
             r, theta, phi, env.b0, env.b_tilt, env.b_tilt_phi
         )
+    if env.b_model == "igrf":
+        return dipole.b_vec_igrf(r, theta, phi, env.igrf_coeffs)
     return dipole.b_vec_colat(r, theta, phi, env.b0)
 
 
 def mlat_3d(r, theta, phi, env: EnvParams):
     """Magnetic latitude at geographic (r, theta, phi) -- organizes the
     density models in the 3D frame (lat = pi/2 - theta for the centered
-    dipole; the tilted-frame latitude otherwise)."""
-    if env.b_model == "tilted":
+    dipole; the tilted-frame latitude otherwise -- for "igrf" the tilt of
+    its degree-1 part, set by make_env)."""
+    if env.b_model in ("tilted", "igrf"):
         s = dipole.mlat_sin_tilted(theta, phi, env.b_tilt, env.b_tilt_phi)
         return jnp.arcsin(jnp.clip(s, -1.0, 1.0))
     return jnp.pi / 2.0 - theta

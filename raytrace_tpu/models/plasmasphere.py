@@ -171,6 +171,21 @@ GCPM_LSCALE = 1.0 / (0.3145 * LN10)          # 1.3811 L per e-fold
 GCPM_KNEE = 0.2                              # plasmapause blend width, L
 
 
+def duct_factor(L, amp, l0, width):
+    """Field-aligned density duct: 1 + amp * exp(-(L - l0)^2 / (2 width^2)).
+
+    The classic whistler duct (Smith 1961; Helliwell 1965): a Gaussian
+    crest (amp > 0) or trough (amp < 0) of cold-plasma density across
+    L-shell, extended along the field line (the factor depends on L only,
+    so it rides the dipole field exactly). Enhancement ducts trap
+    whistler-mode energy below fce/2; this is the guided-propagation
+    study the reference's planned frequency ensembles point at
+    (RayMain.jl:32-52). Multiplies the plasmasphere term of the medium.
+    """
+    x = (L - l0) / width
+    return 1.0 + amp * jnp.exp(-0.5 * x * x)
+
+
 def diffusive_equilibrium_factor(r):
     """Field-line density falloff factor sqrt(exp(-G/S)), r in RE.
 

@@ -57,9 +57,9 @@ def ensure_built():
 
 
 def _env_array(env):
-    # the C++ Env reads the first 11 fields only; ps_smooth (field 12) has
-    # no native implementation, so a smoothed-plasmapause env would be
-    # silently compared against the hard-branch model -- refuse instead
+    # explicit 14-double layout matching the C++ Env struct (oracle.cpp
+    # env_from) -- independent of EnvParams field ordering. Features the
+    # oracle does not implement are refused rather than silently dropped.
     if float(env.ps_smooth) != 0.0:
         raise ValueError(
             "native oracle implements the hard-branch plasmapause only; "
@@ -75,8 +75,19 @@ def _env_array(env):
             "native oracle implements the CA1992 plasmasphere only; "
             f"got ps_model={env.ps_model!r}"
         )
+    if env.b_model != "dipole":
+        raise ValueError(
+            "native oracle implements the centered axial dipole only; "
+            f"got b_model={env.b_model!r}"
+        )
     return np.asarray(
-        [float(x) for x in env if not isinstance(x, str)], np.float64
+        [
+            env.b0, env.iono_n0, env.iono_decay, env.iono_r0,
+            env.ps_weight, env.lppi, env.lppo, env.ne_lppi,
+            env.ps_season, env.ps_trough, env.de_weight,
+            env.duct_amp, env.duct_l0, env.duct_w,
+        ],
+        np.float64,
     )
 
 

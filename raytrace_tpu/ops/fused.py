@@ -84,7 +84,7 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
             + (1.0 - wk) * dln_tr
         )
         ne_p_lat_direct = ne_p * wk * env.gcpm_bpow * dln_m
-        return _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat,
+        return _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat, L,
                            ne_p_lat_direct)
 
     # CA1992 branches: value and d/dL together (RayTrace_lat.jl:72-81)
@@ -129,14 +129,29 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
         ne_p = jnp.where(in1, ne1, jnp.where(in2, ne2, ne3))
         dne_p = jnp.where(in1, dne1, jnp.where(in2, dne2, dne3))
 
-    return _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat)
+    return _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat, L)
 
 
-def _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat,
+def _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat, L,
                 ne_p_lat_direct=0.0):
-    """Common tail of _ne_and_grads: apply the DE factor and assemble the
-    total density and its (r, lat) partials. ne_p_lat_direct carries any
-    plasmasphere lat-dependence at fixed L (the GCPM mirror-ratio term)."""
+    """Common tail of _ne_and_grads: apply the duct and DE factors and
+    assemble the total density and its (r, lat) partials. ne_p_lat_direct
+    carries any plasmasphere lat-dependence at fixed L (the GCPM
+    mirror-ratio term)."""
+    duct_on = not (
+        isinstance(env.duct_amp, float) and env.duct_amp == 0.0
+    )
+    if duct_on:
+        # Gaussian duct (plasmasphere.duct_factor): value and d/dL
+        # together; the factor multiplies the whole plasmasphere term,
+        # including its fixed-L lat-dependence
+        x = (L - env.duct_l0) / env.duct_w
+        e = jnp.exp(-0.5 * x * x)
+        g = 1.0 + env.duct_amp * e
+        dg = -(env.duct_amp / env.duct_w) * x * e
+        dne_p = dne_p * g + ne_p * dg
+        ne_p = ne_p * g
+        ne_p_lat_direct = ne_p_lat_direct * g
     de_on = not (isinstance(env.de_weight, float) and env.de_weight == 0.0)
     if de_on:
         # diffusive equilibrium factor and its r-derivative

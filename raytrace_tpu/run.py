@@ -187,7 +187,7 @@ _TRACER_CACHE = {}
 def _cached_tracer(config: RunConfig, env, mesh, common, rounds):
     key = (
         rounds, config.to_json(),
-        tuple(v if isinstance(v, str) else float(v) for v in env),
+        tuple(v if isinstance(v, (str, tuple)) else float(v) for v in env),
         mesh.devices.size,
     )
     if key not in _TRACER_CACHE:

@@ -16,8 +16,12 @@ R0 = (RE + 1.0e6) / RE
                lambda: make_env(iono_mlt=True, mlt=6.0),
                lambda: make_env(ps_model="gcpm"),
                lambda: make_env(ps_model="gcpm", gcpm_bpow=0.5,
-                                de_correction=True)],
-    ids=["lat", "raymain", "de", "iono_mlt", "gcpm", "gcpm_bpow_de"],
+                                de_correction=True),
+               lambda: make_env(duct_amp=0.5, duct_l0=2.8, duct_w=0.15),
+               lambda: make_env(ps_model="gcpm", duct_amp=-0.4,
+                                duct_l0=3.2, duct_w=0.2)],
+    ids=["lat", "raymain", "de", "iono_mlt", "gcpm", "gcpm_bpow_de",
+         "duct", "gcpm_duct"],
 )
 def test_fused_matches_autodiff(env_fn):
     env = env_fn()

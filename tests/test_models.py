@@ -288,4 +288,4 @@ def test_tilted_medium_guards_and_dispatch():
                                                env.b_tilt, env.b_tilt_phi)]
     np.testing.assert_allclose(a, b, rtol=1e-14)
     with pytest.raises(ValueError):
-        make_env(b_model="igrf")
+        make_env(b_model="t96")  # unimplemented field models are refused

@@ -19,7 +19,7 @@ from raytrace_tpu.ops import pallas_stepper
 def test_pallas_chunk_matches_xla_steps():
     env = make_env_lat()
     env = type(env)(
-        *[v if isinstance(v, str) else float(v) for v in env]
+        *[v if isinstance(v, (str, tuple)) else float(v) for v in env]
     )
     rhs_fn = lambda u, ff: rhs_mod.rhs_2d_lat(u, ff, env)
     cfg = SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4)
