@@ -136,6 +136,7 @@ def measure_tpu_ensemble():
         round_steps=(2048, 2048, 1024),
         chunk=256,
         bucket_floor=256,
+        want_carry=False,  # the bench reads results, not solver state
     )
 
     tracer(u0, f, valid)  # compile every bucket + warm run

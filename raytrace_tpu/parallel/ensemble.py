@@ -226,6 +226,7 @@ def make_rounds_tracer(
     stiff_switch: float = 0.5,
     stiff_unswitch: float = 0.02,
     stiff_stepper: str = "ros2x",
+    want_carry: bool = True,
 ):
     """Ensemble tracer with host-side bucketed re-batching.
 
@@ -265,7 +266,12 @@ def make_rounds_tracer(
     BASELINE.md) because late rounds run latency-bound at small widths.
     The returned `run(u0, f, valid)` holds its jitted start/continue
     programs, compiled once per bucket size and reused across rounds and
-    calls; `run.last_rounds` records per-round timing diagnostics."""
+    calls; `run.last_rounds` records per-round timing diagnostics.
+
+    want_carry=False skips the final full-carry fetch (the result fetches
+    only the u/t/status/step-count columns, ~60% less tunnel traffic) and
+    returns TraceResult(carry=None) -- use when the caller does not
+    checkpoint/resume from the result."""
     if frame == "2d_lat":
         rhs_fn = lambda u, ff: rhs_mod.rhs_2d_lat(
             u, ff, env, grad_mode=grad_mode, root=root)
@@ -306,10 +312,20 @@ def make_rounds_tracer(
             "packed float transport exactly"
         )
 
+    def _stat_cols(sd):
+        base = 4 * sd
+        return (base + T_OF["t"], base + I_OF["status"],
+                base + I_OF["n_accept"], base + I_OF["n_reject"])
+
+    # start/cont return (packed carry, bookkeeping columns) from ONE
+    # program: the 4-column stats mirror rides the round's dispatch
+    # instead of costing a second jit dispatch + fetch round-trip per
+    # round (~10-30 ms each on the tunneled chip)
     @partial(jax.jit, static_argnums=2)
     def start(u, ff, n):
         res = trace(rhs_fn, u, ff, **make_kw(n, base_stepper))
-        return pack_carry(res.carry, ff)
+        fl = pack_carry(res.carry, ff)
+        return fl, fl[:, jnp.asarray(_stat_cols(u.shape[1]))]
 
     # device-resident rounds: the full packed carry never leaves the chip
     # between rounds. Each round gathers its bucket by index, integrates,
@@ -320,13 +336,15 @@ def make_rounds_tracer(
     # transport had merely coalesced.
     @partial(jax.jit, static_argnums=(2, 3))
     def cont_sel(fl_full, sel, nr, st):
+        sd = packed_state_dim(fl_full)
         bucket = jnp.take(fl_full, sel, axis=0)
-        carry, ff = unpack_carry(bucket, packed_state_dim(fl_full))
+        carry, ff = unpack_carry(bucket, sd)
         res = trace(rhs_fn, carry.u, ff, carry0=carry, **make_kw(nr, st))
         out = pack_carry(res.carry, ff)
         # pad lanes are duplicates of sel[0]; duplicate-index scatter is
         # well-defined here because every duplicate writes identical rows
-        return fl_full.at[sel].set(out)
+        fl_new = fl_full.at[sel].set(out)
+        return fl_new, fl_new[:, jnp.asarray(_stat_cols(sd))]
 
     # small buckets are latency-bound on TPU (10k lanes ~ 80 VPU tiles
     # already borderline); keep at least bucket_floor lanes per round
@@ -336,16 +354,19 @@ def make_rounds_tracer(
     def round_len(i):
         return schedule[min(i, len(schedule) - 1)]
 
-    # per-state-dim jitted fetch of the 4 bookkeeping columns
-    _fetchers = {}
+    # jitted light final fetch: the result columns only (u, t, status,
+    # n_accept, n_reject) for want_carry=False
+    _final_fetchers = {}
 
-    def _stat_fetch(sd):
-        if sd not in _fetchers:
+    def _final_fetch(sd):
+        if sd not in _final_fetchers:
             base = 4 * sd
-            cols = (base + T_OF["t"], base + I_OF["status"],
-                    base + I_OF["n_accept"], base + I_OF["n_reject"])
-            _fetchers[sd] = jax.jit(lambda a: a[:, jnp.asarray(cols)])
-        return _fetchers[sd]
+            cols = tuple(range(sd)) + (
+                base + T_OF["t"], base + I_OF["status"],
+                base + I_OF["n_accept"], base + I_OF["n_reject"],
+            )
+            _final_fetchers[sd] = jax.jit(lambda a: a[:, jnp.asarray(cols)])
+        return _final_fetchers[sd]
 
     T_, ST_, ACC_, REJ_ = 0, 1, 2, 3  # columns of the host stats mirror
 
@@ -353,13 +374,12 @@ def make_rounds_tracer(
         run.last_rounds = []                  # per-round timing diagnostics
         n = u0.shape[0]
         sd = u0.shape[1]                      # state dimension
-        fetch = _stat_fetch(sd)
         first = min(round_len(0), max_steps)
         w0 = _clock()
         # the packed carry stays ON DEVICE across rounds; `hs` is the
         # host mirror of its 4 bookkeeping columns only
-        fl_dev = start(jnp.asarray(u0), jnp.asarray(f), first)
-        hs = np.asarray(fetch(fl_dev))
+        fl_dev, st_dev = start(jnp.asarray(u0), jnp.asarray(f), first)
+        hs = np.asarray(st_dev)
         run.last_rounds.append(dict(
             stepper=base_stepper, active=n, bucket=n, steps=first,
             attempted=-1, wall_s=_clock() - w0,
@@ -400,8 +420,10 @@ def make_rounds_tracer(
             acc0 = hs[idx, ACC_].copy()
             rej0 = hs[idx, REJ_].copy()
             t0 = hs[idx, T_].copy()
-            fl_dev = cont_sel(fl_dev, jnp.asarray(sel, jnp.int32), nr, st)
-            hs = np.asarray(fetch(fl_dev))
+            fl_dev, st_dev = cont_sel(
+                fl_dev, jnp.asarray(sel, jnp.int32), nr, st
+            )
+            hs = np.asarray(st_dev)
             att = (hs[idx, ACC_] - acc0) + (hs[idx, REJ_] - rej0)
             rf = (hs[idx, REJ_] - rej0) / np.maximum(att, 1)
             run.last_rounds.append(dict(
@@ -460,11 +482,22 @@ def make_rounds_tracer(
             i += 1
 
         run.last_stiff = stiff  # which rays ended on the ros2x pool
+        patch = override >= 0
+        if not want_carry:
+            # light fetch: result columns only (no solver-internal state)
+            cols = np.asarray(_final_fetch(sd)(fl_dev)).copy()
+            status = cols[:, sd + 1].astype(np.int32)
+            status[patch] = override[patch]
+            return TraceResult(
+                u=cols[:, :sd], t=cols[:, sd], status=status,
+                n_accept=cols[:, sd + 2].astype(np.int32),
+                n_reject=cols[:, sd + 3].astype(np.int32),
+                traj=None, carry=None,
+            )
         # one full fetch at the end; apply the host-side status overrides
         fl = np.asarray(fl_dev).copy()
         base = 4 * sd
         st_col = base + I_OF["status"]
-        patch = override >= 0
         fl[patch, st_col] = override[patch]
         final, _ = unpack_carry(fl, sd)
         return TraceResult(

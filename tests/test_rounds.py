@@ -165,3 +165,30 @@ def test_stall_detection_flags_wedged_rays():
     ]
     wedged = st == events.DT_UNDERFLOW
     assert total[wedged].max() < 8192
+
+
+def test_rounds_want_carry_false_matches():
+    """want_carry=False returns identical results (u, t, status, counts)
+    with carry=None -- the light final fetch is exact."""
+    mesh, env, u0, f, valid = _setup(tuple(np.linspace(0.6, 0.9, 8)))
+    kw = dict(
+        mesh=mesh, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE), max_steps=2048,
+        round_steps=512, bucket_floor=8,
+    )
+    full = make_rounds_tracer(env, **kw)(u0, f, valid)
+    light = make_rounds_tracer(env, want_carry=False, **kw)(u0, f, valid)
+    assert light.carry is None
+    np.testing.assert_array_equal(
+        np.asarray(light.status), np.asarray(full.status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(light.n_accept), np.asarray(full.n_accept)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(light.n_reject), np.asarray(full.n_reject)
+    )
+    np.testing.assert_allclose(np.asarray(light.u), np.asarray(full.u),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(light.t), np.asarray(full.t),
+                               rtol=1e-12)
