@@ -227,6 +227,7 @@ def make_rounds_tracer(
     stiff_unswitch: float = 0.02,
     stiff_stepper: str = "ros2x",
     want_carry: bool = True,
+    pipeline: int = 1,
 ):
     """Ensemble tracer with host-side bucketed re-batching.
 
@@ -271,7 +272,17 @@ def make_rounds_tracer(
     want_carry=False skips the final full-carry fetch (the result fetches
     only the u/t/status/step-count columns, ~60% less tunnel traffic) and
     returns TraceResult(carry=None) -- use when the caller does not
-    checkpoint/resume from the result."""
+    checkpoint/resume from the result.
+
+    pipeline: max parts a round's index set is decomposed into (binary
+    power-of-two-of-floor sizes, see _split_parts). All parts dispatch
+    before any stats fetch, so host bookkeeping and tunnel round-trips
+    can overlap device compute; per-ray results are exactly independent
+    of the grouping (test-pinned). Default 1 (one bucket per round):
+    on the tunneled single-chip setup every extra program costs more in
+    dispatch than it hides (measured 0.975 / 0.997 / 1.101 s at
+    pipeline 1 / 2 / 3 on the 10k headline) -- the knob exists for
+    topologies with genuinely asynchronous dispatch."""
     if frame == "2d_lat":
         rhs_fn = lambda u, ff: rhs_mod.rhs_2d_lat(
             u, ff, env, grad_mode=grad_mode, root=root)
@@ -320,7 +331,10 @@ def make_rounds_tracer(
     # start/cont return (packed carry, bookkeeping columns) from ONE
     # program: the 4-column stats mirror rides the round's dispatch
     # instead of costing a second jit dispatch + fetch round-trip per
-    # round (~10-30 ms each on the tunneled chip)
+    # round (~10-30 ms each on the tunneled chip). Round 0 has its own
+    # fused init+integrate program over the full batch (no gather/scatter,
+    # and there is no host bookkeeping to hide under it anyway --
+    # measured ~100 ms cheaper than init-then-cont on the 10k headline).
     @partial(jax.jit, static_argnums=2)
     def start(u, ff, n):
         res = trace(rhs_fn, u, ff, **make_kw(n, base_stepper))
@@ -370,19 +384,59 @@ def make_rounds_tracer(
 
     T_, ST_, ACC_, REJ_ = 0, 1, 2, 3  # columns of the host stats mirror
 
+    def _split_parts(idx_all, max_parts):
+        """Decompose an index set into <= max_parts contiguous parts whose
+        sizes are power-of-two multiples of the bucket floor (the last
+        part takes the remainder). Two jobs at once: (a) the binary
+        decomposition wastes less bucket padding than one power-of-two
+        bucket (e.g. 3370 rays -> 2048 + 1024 + 512 = 3584 lanes instead
+        of one 4096 bucket), and (b) the parts PIPELINE -- all parts are
+        dispatched back-to-back before any stats fetch, so the host
+        bookkeeping + tunnel round-trips of part k+1 hide under part k's
+        device compute (the device executes queued programs in order)."""
+        units = -(-idx_all.size // floor)
+        if units < 2 or max_parts < 2:
+            return [idx_all]
+        sizes, u = [], units
+        bit = 1 << (units.bit_length() - 1)
+        while bit:
+            if u >= bit:
+                sizes.append(bit)
+                u -= bit
+            bit >>= 1
+        while len(sizes) > max_parts:      # merge the small tail
+            sizes.append(sizes.pop() + sizes.pop())
+        # halve the largest while the part budget lasts (keeps powers of
+        # two, so the compiled bucket-size set stays small)
+        while len(sizes) < max_parts and max(sizes) >= 4:
+            m = max(sizes)
+            sizes.remove(m)
+            sizes += [m - m // 2, m // 2]
+        sizes.sort(reverse=True)
+        parts, startp = [], 0
+        for k, s in enumerate(sizes):
+            count = (
+                s * floor if k < len(sizes) - 1 else idx_all.size - startp
+            )
+            count = min(count, idx_all.size - startp)
+            parts.append(idx_all[startp:startp + count])
+            startp += count
+        return [p for p in parts if p.size]
+
     def run(u0, f, valid):
         run.last_rounds = []                  # per-round timing diagnostics
         n = u0.shape[0]
         sd = u0.shape[1]                      # state dimension
-        first = min(round_len(0), max_steps)
-        w0 = _clock()
         # the packed carry stays ON DEVICE across rounds; `hs` is the
         # host mirror of its 4 bookkeeping columns only
+        first = min(round_len(0), max_steps)
+        w0_start = _clock()
         fl_dev, st_dev = start(jnp.asarray(u0), jnp.asarray(f), first)
         hs = np.asarray(st_dev)
         run.last_rounds.append(dict(
             stepper=base_stepper, active=n, bucket=n, steps=first,
-            attempted=-1, wall_s=_clock() - w0,
+            attempted=int(hs[:, ACC_].sum() + hs[:, REJ_].sum()),
+            wall_s=_clock() - w0_start,
         ))
 
         # host-side status overrides (stall retirement): the device copy
@@ -410,34 +464,12 @@ def make_rounds_tracer(
             elif auto:
                 stiff[idx[still & (rf > stiff_switch)]] = True
 
-        def advance(idx, st, nr):
-            """One round for the index set idx with stepper st; returns the
-            per-ray (rejection fraction, phase-path progress) over it."""
-            nonlocal fl_dev, hs
-            w0 = _clock()
-            b = _bucket_size(idx.size, n, floor)
-            sel = np.concatenate([idx, np.repeat(idx[:1], b - idx.size)])
-            acc0 = hs[idx, ACC_].copy()
-            rej0 = hs[idx, REJ_].copy()
-            t0 = hs[idx, T_].copy()
-            fl_dev, st_dev = cont_sel(
-                fl_dev, jnp.asarray(sel, jnp.int32), nr, st
-            )
-            hs = np.asarray(st_dev)
-            att = (hs[idx, ACC_] - acc0) + (hs[idx, REJ_] - rej0)
-            rf = (hs[idx, REJ_] - rej0) / np.maximum(att, 1)
-            run.last_rounds.append(dict(
-                stepper=st, active=int(idx.size), bucket=b, steps=nr,
-                attempted=int(att.sum()), wall_s=_clock() - w0,
-            ))
-            return rf, hs[idx, T_] - t0
-
-        # round-1 bookkeeping (the start program ran all rays on the base
-        # stepper from t = 0)
+        # round-0 bookkeeping (the start program ran all rays on the base
+        # stepper from t = 0, so the baselines are zero)
         idx0 = np.nonzero(np.asarray(valid))[0]
         att0 = hs[idx0, ACC_] + hs[idx0, REJ_]
-        rf0 = hs[idx0, REJ_] / np.maximum(att0, 1)
-        settle(idx0, rf0, hs[idx0, T_], base_stepper)
+        settle(idx0, hs[idx0, REJ_] / np.maximum(att0, 1), hs[idx0, T_],
+               base_stepper)
 
         steps_done = first
         i = 1
@@ -466,9 +498,14 @@ def make_rounds_tracer(
                 if auto
                 else ((np.ones(n, bool), base_stepper),)
             )
+            # dispatch phase: queue every pool/part program without
+            # waiting; fetch phase below then drains the stats in order.
+            # Per-ray results are independent of the grouping (vmap lanes
+            # never interact), so splitting is exact.
+            jobs = []
             for mask, st in pools:
-                idx = np.nonzero(active & mask)[0]
-                if idx.size == 0:
+                idx_all = np.nonzero(active & mask)[0]
+                if idx_all.size == 0:
                     continue
                 # the stiff pool runs short rounds: an L-stable method
                 # covers the same span in far fewer steps, and rays that
@@ -476,8 +513,30 @@ def make_rounds_tracer(
                 # reject everything) reach the stall check after at most
                 # 1024 wasted attempts instead of a full dp5-length round
                 nr_pool = min(nr, 1024) if st == stiff_stepper else nr
-                rf, prog = advance(idx, st, nr_pool)
-                settle(idx, rf, prog, st)
+                for idx in _split_parts(idx_all, pipeline):
+                    w0 = _clock()
+                    b = _bucket_size(idx.size, n, floor)
+                    sel = np.concatenate(
+                        [idx, np.repeat(idx[:1], b - idx.size)]
+                    )
+                    acc0 = hs[idx, ACC_].copy()
+                    rej0 = hs[idx, REJ_].copy()
+                    t0 = hs[idx, T_].copy()
+                    fl_dev, st_dev = cont_sel(
+                        fl_dev, jnp.asarray(sel, jnp.int32), nr_pool, st
+                    )
+                    jobs.append((idx, st, nr_pool, b, acc0, rej0, t0, w0,
+                                 st_dev))
+            for idx, st, nr_pool, b, acc0, rej0, t0, w0, st_dev in jobs:
+                hs = np.asarray(st_dev)
+                att = (hs[idx, ACC_] - acc0) + (hs[idx, REJ_] - rej0)
+                rf = (hs[idx, REJ_] - rej0) / np.maximum(att, 1)
+                run.last_rounds.append(dict(
+                    stepper=st, active=int(idx.size), bucket=b,
+                    steps=nr_pool, attempted=int(att.sum()),
+                    wall_s=_clock() - w0,
+                ))
+                settle(idx, rf, prog=hs[idx, T_] - t0, st=st)
             steps_done += nr
             i += 1
 

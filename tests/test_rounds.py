@@ -34,11 +34,12 @@ def test_rounds_matches_single_shot_statuses():
     rounds = make_rounds_tracer(env, round_steps=512, bucket_floor=8,
                                 stall_progress=0.0, **kw)(u0, f, valid)
     single = make_ensemble_tracer(env, **kw)(jnp.asarray(u0), jnp.asarray(f))
+    v = np.asarray(valid)  # pad-row output is undefined by contract
     np.testing.assert_array_equal(
-        np.asarray(rounds.status), np.asarray(single.status)
+        np.asarray(rounds.status)[v], np.asarray(single.status)[v]
     )
     np.testing.assert_allclose(
-        np.asarray(rounds.u), np.asarray(single.u), rtol=1e-12
+        np.asarray(rounds.u)[v], np.asarray(single.u)[v], rtol=1e-12
     )
 
 
@@ -192,3 +193,28 @@ def test_rounds_want_carry_false_matches():
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(light.t), np.asarray(full.t),
                                rtol=1e-12)
+
+
+def test_rounds_pipeline_split_exact():
+    """Splitting a round's index set into pipelined parts must not change
+    any per-ray result (vmap lanes are independent)."""
+    mesh, env, u0, f, valid = _setup(
+        tuple(np.linspace(0.5, 1.0, 40)), chis=(-0.1, 0.0, 0.1, 0.2),
+    )  # 160 rays -> several parts at the fake-backend floor of 64
+    kw = dict(
+        mesh=mesh, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE), max_steps=2048,
+        round_steps=512,
+    )
+    one = make_rounds_tracer(env, pipeline=1, **kw)(u0, f, valid)
+    split = make_rounds_tracer(env, pipeline=3, **kw)(u0, f, valid)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(
+        np.asarray(split.status)[v], np.asarray(one.status)[v]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(split.n_accept)[v], np.asarray(one.n_accept)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(split.u)[v], np.asarray(one.u)[v], rtol=0, atol=0
+    )
