@@ -134,7 +134,7 @@ def measure_tpu_ensemble():
         # the bucket floor sits at the latency knee (256 lanes), and the
         # tail-merge in the tracer absorbs the stragglers
         round_steps=(2048, 2048, 1024),
-        chunk=256,
+        chunk=512,  # exit-check cadence: 512 measured ~2% over 256
         bucket_floor=256,
         want_carry=False,  # the bench reads results, not solver state
     )
