@@ -1,6 +1,6 @@
 """Environment (medium) models: dipole B-field, ionosphere, plasmasphere."""
 
-from . import dipole, ionosphere, plasmasphere
+from . import dipole, ionosphere, plasmasphere, storm
 from .medium import (
     EnvParams,
     b_mag,
@@ -22,4 +22,5 @@ __all__ = [
     "make_env_raymain",
     "ne_total_m3",
     "plasmasphere",
+    "storm",
 ]

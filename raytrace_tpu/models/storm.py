@@ -1,0 +1,113 @@
+"""Storm-time plasmasphere dynamics: a time-dependent env sequence.
+
+The reference's plasmasphere is a static snapshot driven by one number,
+``Kp_max`` -- "maximum Kp over the preceding 24 h" (plasmasphere.jl:42,
+via Lppi = 5.6 - 0.46 Kp_max, the CA1992 storm dependence). This module
+supplies the dynamics the snapshot implies but the reference never built:
+given a Kp time series, it produces the plasmapause history and one
+``EnvParams`` per requested epoch, with the observed asymmetry between
+storm phases:
+
+  - **Erosion** is fast: enhanced convection strips the outer
+    plasmasphere within hours of a Kp rise, so the plasmapause follows
+    the instantaneous CA1992 position inward with a short relaxation
+    time (``tau_erode``, ~3 h).
+  - **Refilling** is slow: after the storm the trough refills from the
+    ionosphere over days, so the plasmapause relaxes back outward with
+    ``tau_refill`` (~30 h at the plasmapause; full saturation at high L
+    takes days, Denton et al. 2012-class rates).
+
+The plasmapause state L_pp(t) follows the asymmetric relaxation
+
+    dL_pp/dt = -(L_pp - L_target(t)) / tau,
+    tau = tau_erode  if L_target < L_pp  (inward motion)
+        = tau_refill otherwise           (outward recovery)
+
+with L_target(t) = 5.6 - 0.46 * max(Kp over preceding 24 h) -- exactly
+the quantity the reference feeds its static model. Each epoch's env is
+then built by the standard host pre-solve with lppi pinned to L_pp(t),
+so the traced medium at every epoch is the same CA1992 physics the
+2D/3D kernels already know; time dependence lives entirely in the
+(host-side) parameter sequence. Ray group delays are seconds while
+plasmasphere dynamics are hours, so the frozen-medium-per-epoch
+approximation is exact for any single ray.
+"""
+
+import numpy as np
+
+from . import medium, plasmasphere
+
+
+def kp_max_24h(t_hours, kp_hours, kp_values):
+    """max Kp over the 24 h preceding each epoch in ``t_hours``.
+
+    kp_hours/kp_values: the Kp time series (piecewise-constant, standard
+    3-hourly cadence or any irregular sampling). Epochs before the first
+    sample use the first value."""
+    t_hours = np.atleast_1d(np.asarray(t_hours, np.float64))
+    kp_hours = np.asarray(kp_hours, np.float64)
+    kp_values = np.asarray(kp_values, np.float64)
+    out = np.empty_like(t_hours)
+    for i, t in enumerate(t_hours):
+        in_win = (kp_hours > t - 24.0) & (kp_hours <= t)
+        # the sample straddling the window start is still in effect
+        prior = np.nonzero(kp_hours <= t - 24.0)[0]
+        vals = list(kp_values[in_win])
+        if prior.size:
+            vals.append(kp_values[prior[-1]])
+        elif not vals:
+            vals.append(kp_values[0])
+        out[i] = max(vals)
+    return out
+
+
+def plasmapause_history(
+    t_hours,
+    kp_hours,
+    kp_values,
+    tau_erode=3.0,
+    tau_refill=30.0,
+    lpp0=None,
+    dt_hours=0.25,
+):
+    """L_pp(t): asymmetric-relaxation plasmapause driven by the Kp series.
+
+    Integrates the relaxation ODE (module docstring) from the first
+    epoch with an explicit fine step (dt_hours); lpp0 defaults to the
+    initial 24-h-Kp equilibrium. Returns L_pp at each ``t_hours``."""
+    t_hours = np.atleast_1d(np.asarray(t_hours, np.float64))
+    t0, t1 = float(t_hours.min()), float(t_hours.max())
+    grid = np.arange(t0, t1 + dt_hours, dt_hours)
+    target = plasmasphere.lppi_from_kp(kp_max_24h(grid, kp_hours, kp_values))
+    lpp = np.empty_like(grid)
+    lpp[0] = target[0] if lpp0 is None else float(lpp0)
+    for k in range(1, grid.size):
+        tau = tau_erode if target[k] < lpp[k - 1] else tau_refill
+        # exact relaxation over the substep (unconditionally stable)
+        a = np.exp(-dt_hours / tau)
+        lpp[k] = target[k] + (lpp[k - 1] - target[k]) * a
+    return np.interp(t_hours, grid, lpp)
+
+
+def storm_sequence(
+    t_hours,
+    kp_hours,
+    kp_values,
+    tau_erode=3.0,
+    tau_refill=30.0,
+    **env_kw,
+):
+    """One EnvParams per epoch, with lppi pinned to the dynamic L_pp(t).
+
+    env_kw passes through to make_env (b0, day, rbar, mlt, ps_model,
+    ducts, ...). Returns (envs, lpp) -- the env list and the plasmapause
+    history at the epochs."""
+    lpp = plasmapause_history(
+        t_hours, kp_hours, kp_values, tau_erode, tau_refill
+    )
+    envs = []
+    for L in lpp:
+        # invert Lppi = 5.6 - 0.46 Kp so make_env's pre-solve lands the
+        # plasmapause exactly at the dynamic position
+        envs.append(medium.make_env(kp_max=(5.6 - L) / 0.46, **env_kw))
+    return envs, lpp
