@@ -121,6 +121,73 @@ def stream_trajectory(
     return result, traj
 
 
+def resample_trajectory(rhs_fn, traj, f, t_query, u0=None):
+    """Continuous-solution interface: evaluate a recorded trajectory at
+    arbitrary phase-path points by cubic Hermite interpolation -- the
+    dense `sol(t)` output a DifferentialEquations.jl user gets from the
+    reference's solve (RayMain.jl:387 returns a continuous solution;
+    its plots sample it). Endpoint derivatives are re-evaluated with the
+    actual RHS at every snapshot, so the interpolant is genuine O(h^4)
+    between snapshots, not a polyline.
+
+    rhs_fn: the (u, f) -> du/dt used for the trace.
+    traj:   dict from trace(..., save_every>0): "u" (S, B, n), "t" (S, B).
+    f:      (B,) frequencies.
+    t_query: (Q,) shared, or (B, Q) per-ray, phase-path points.
+
+    u0: optional (B, n) initial states; snapshots start at attempted-step
+    save_every, so pass u0 to make the interpolant cover [0, t_end] (the
+    t = 0 anchor is prepended).
+
+    Returns (B, Q, n). Queries outside a ray's recorded span clamp to its
+    first/last snapshot (termination freezes t, so the landing state is
+    what out-of-range queries return)."""
+    import jax
+    import numpy as np
+
+    u_s = np.asarray(traj["u"])            # (S, B, n)
+    t_s = np.asarray(traj["t"])            # (S, B)
+    if u0 is not None:
+        u_s = np.concatenate([np.asarray(u0)[None], u_s], axis=0)
+        t_s = np.concatenate([np.zeros((1, t_s.shape[1]), t_s.dtype), t_s])
+    S, B, n = u_s.shape
+    f = np.asarray(f)
+    k_s = np.asarray(
+        jax.vmap(jax.vmap(rhs_fn, in_axes=(0, 0)), in_axes=(0, None))(
+            u_s, f
+        )
+    )                                       # (S, B, n)
+
+    t_query = np.asarray(t_query, t_s.dtype)
+    if t_query.ndim == 1:
+        t_query = np.broadcast_to(t_query, (B, t_query.size))
+    out = np.empty((B, t_query.shape[1], n), u_s.dtype)
+    for b in range(B):
+        tb = t_s[:, b]
+        # frozen-t tail after termination: keep the strictly increasing
+        # prefix (+1 so the landing snapshot stays reachable)
+        last = int(np.searchsorted(tb[1:] - tb[:-1] <= 0.0, True)) + 1
+        if last < 2:  # terminated before the first snapshot interval
+            out[b] = u_s[0, b]
+            continue
+        tb = tb[:last]
+        tq = np.clip(t_query[b], tb[0], tb[-1])
+        j = np.clip(np.searchsorted(tb, tq, side="right") - 1, 0, last - 2)
+        t0, t1 = tb[j], tb[j + 1]
+        h = np.where(t1 > t0, t1 - t0, 1.0)
+        s = np.clip((tq - t0) / h, 0.0, 1.0)[:, None]
+        u0, u1 = u_s[j, b], u_s[j + 1, b]
+        k0, k1 = k_s[j, b], k_s[j + 1, b]
+        s2, s3 = s * s, s * s * s
+        out[b] = (
+            (2.0 * s3 - 3.0 * s2 + 1.0) * u0
+            + ((s3 - 2.0 * s2 + s) * h[:, None]) * k0
+            + (-2.0 * s3 + 3.0 * s2) * u1
+            + ((s3 - s2) * h[:, None]) * k1
+        )
+    return out
+
+
 def trajectory_xy(traj_u, frame="2d_lat"):
     """(x, y) in RE for plotting: x = r cos(lat), y = r sin(lat)
     (RayTrace_lat.jl:351-352); colatitude frame uses x = r sin(theta),
