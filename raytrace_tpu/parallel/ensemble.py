@@ -218,7 +218,7 @@ def make_rounds_tracer(
     stepper: str = "auto",
     max_steps: int = 20000,
     round_steps=(2048, 2048, 1024),
-    chunk: int = 256,
+    chunk: int = 512,   # exit-check cadence (512 measured ~2% over 256 at 10k)
     grad_mode="fused",
     root=1.0,
     bucket_floor: int = 256,
@@ -596,9 +596,18 @@ def ensemble_stats(result, valid, lat_sign=1.0, lat_offset=0.0, xp=jnp):
     T = result.u[:, -1]
     lat_land = lat_sign * result.u[:, 1] + lat_offset
     l_land = result.u[:, 0] / xp.cos(lat_land) ** 2
-    denom = xp.maximum(xp.sum(hit), 1)
+    n_hit = xp.sum(hit)
+    denom = xp.maximum(n_hit, 1)
     out["mean_group_delay_s"] = xp.sum(xp.where(hit, T, 0.0)) / denom
     out["mean_landing_l"] = xp.sum(xp.where(hit, l_land, 0.0)) / denom
+    # medians too: rays that wrap over the pole land with cos(lat) ~ 0,
+    # and a single such outlier (L ~ 1e5) dominates the mean. Masked
+    # median via sort + dynamic index (works for np and jnp alike).
+    mid = xp.maximum(n_hit - 1, 0) // 2
+    out["median_landing_l"] = xp.sort(
+        xp.where(hit, l_land, xp.inf)
+    )[mid]
+    out["median_group_delay_s"] = xp.sort(xp.where(hit, T, xp.inf))[mid]
     out["total_accepted_steps"] = xp.sum(xp.where(valid, result.n_accept, 0))
     out["total_rejected_steps"] = xp.sum(xp.where(valid, result.n_reject, 0))
     return out

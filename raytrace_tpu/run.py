@@ -67,6 +67,9 @@ def run(config: RunConfig, out_dir=None, plots=False):
     # ps_smooth) stay python floats: they gate code paths at trace time,
     # and tracing ps_smooth=0.0 would send the smooth-blend path a zero
     # width (1/0 -> NaN gradients).
+    env_host = env  # python-float copy: tracer-cache keys read THIS one
+    # (float() on a tunneled device scalar is a ~30 ms round-trip; 18 of
+    # them per call cost ~0.5 s before this split)
     env = medium_mod.cast_env(env, dtype)
     mesh = make_ray_mesh()
     u0, f = _build_u0(config, dtype)
@@ -82,6 +85,9 @@ def run(config: RunConfig, out_dir=None, plots=False):
         stepper=config.stepper, max_steps=config.max_steps,
         grad_mode=config.grad_mode, root=config.root,
     )
+    # run() persists result columns, never the solver-internal carry, so
+    # the rounds path can take the light final fetch
+    rounds_kw = dict(common, want_carry=False)
 
     if config.save_every > 0:
         # trajectory mode: scan tracer (fixed shapes), sharded over the
@@ -107,12 +113,14 @@ def run(config: RunConfig, out_dir=None, plots=False):
         )
         result = traj_tracer(jnp.asarray(u0), jnp.asarray(f))
     elif config.use_rounds:
-        tracer = _cached_tracer(config, env, mesh, common, rounds=True)
+        tracer = _cached_tracer(
+            config, env, env_host, mesh, rounds_kw, rounds=True
+        )
         result = tracer(u0, f, valid)
     else:
         tracer = _cached_tracer(
-            config, env, mesh, {**common, "stepper": fixed_stepper},
-            rounds=False,
+            config, env, env_host, mesh,
+            {**common, "stepper": fixed_stepper}, rounds=False,
         )
         result = tracer(jnp.asarray(u0), jnp.asarray(f))
 
@@ -184,10 +192,15 @@ def run(config: RunConfig, out_dir=None, plots=False):
 _TRACER_CACHE = {}
 
 
-def _cached_tracer(config: RunConfig, env, mesh, common, rounds):
+def _cached_tracer(config: RunConfig, env, env_host, mesh, common, rounds):
+    # the key reads env_host (python floats) -- float() on the cast env's
+    # device scalars would block on a tunnel round-trip per field
     key = (
         rounds, config.to_json(),
-        tuple(v if isinstance(v, (str, tuple)) else float(v) for v in env),
+        tuple(
+            v if isinstance(v, (str, tuple)) else float(v)
+            for v in env_host
+        ),
         mesh.devices.size,
     )
     if key not in _TRACER_CACHE:

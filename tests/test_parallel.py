@@ -223,3 +223,26 @@ def test_multihost_single_process_matches_rounds_tracer():
     ref_stats = ensemble_stats(ref, valid[: u0.shape[0]], xp=np)
     for k, v in ref_stats.items():
         assert gstats[k] == pytest.approx(float(v), rel=1e-12), k
+
+
+def test_ensemble_stats_median_robust_to_polar_outlier():
+    """A single pole-grazing landing (cos lat ~ 0, L ~ 1e5) dominates
+    mean_landing_l; the median must not move."""
+    from raytrace_tpu.integrate.solve import TraceResult
+
+    n = 9
+    u = np.zeros((n, 4))
+    u[:, 0] = 1.0
+    u[:, 1] = 0.3                      # L = 1/cos^2(0.3) ~ 1.096
+    u[-1, 1] = np.pi / 2 - 1e-3        # polar outlier, L ~ 1e6
+    u[:, 3] = 3.0
+    res = TraceResult(
+        u=u, t=np.full(n, 600.0), status=np.ones(n, np.int32),
+        n_accept=np.full(n, 100, np.int32),
+        n_reject=np.zeros(n, np.int32),
+    )
+    stats = ensemble_stats(res, np.ones(n, bool), xp=np)
+    l_typ = 1.0 / np.cos(0.3) ** 2
+    assert float(stats["median_landing_l"]) == pytest.approx(l_typ, rel=1e-9)
+    assert float(stats["mean_landing_l"]) > 100.0  # the mean IS dominated
+    assert float(stats["median_group_delay_s"]) == pytest.approx(3.0)
