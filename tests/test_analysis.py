@@ -1,0 +1,67 @@
+"""Whistler dispersion analysis (analysis.py) against traced physics.
+
+The Eckersley check is a genuine end-to-end physics validation: the
+traced group delays of a low-band frequency sweep through the full
+medium must follow T ~ D0/sqrt(f) to within a few percent -- an
+emergent property of the dispersion relation + ray equations +
+integrator, not anything the code asserts directly.
+"""
+
+import numpy as np
+import pytest
+
+from raytrace_tpu import analysis
+from raytrace_tpu.constants import RE
+from raytrace_tpu.integrate import SolverConfig, StopSpec, trace
+from raytrace_tpu.models import make_env_lat
+from raytrace_tpu.ops import rhs
+
+R0 = (RE + 1.0e6) / RE
+
+
+def test_dispersion_measure_and_fit_roundtrip():
+    f = np.geomspace(1000.0, 8000.0, 12)
+    d_true = 40.0
+    T = d_true / np.sqrt(f)
+    out = analysis.fit_eckersley(T, f)
+    assert out["d0"] == pytest.approx(d_true, rel=1e-12)
+    assert out["rms_rel"] < 1e-12
+    assert out["n_used"] == 12
+    np.testing.assert_allclose(
+        analysis.dispersion_measure(T, f), d_true, rtol=1e-12
+    )
+
+
+def test_fit_filters_non_hits():
+    f = np.array([1000.0, 2000.0, 3000.0])
+    T = np.array([1.0, 0.7, np.nan])
+    st = np.array([1, 0, 1])
+    out = analysis.fit_eckersley(T, f, status=st)
+    assert out["n_used"] == 1
+    assert out["d0"] == pytest.approx(1.0 * np.sqrt(1000.0))
+
+
+def test_traced_sweep_obeys_eckersley():
+    """Low-band sweep along one launch: T sqrt(f) constant to a few %."""
+    env = make_env_lat()
+    freqs = np.geomspace(1000.0, 4000.0, 8)
+    n = freqs.size
+    u0 = np.zeros((n, 4))
+    u0[:, 0] = R0
+    u0[:, 1] = np.pi / 4
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env), u0, freqs,
+        cfg=SolverConfig(rtol=1e-7, atol=1e-12, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5.0e9 / RE), max_steps=20000,
+    )
+    st = np.asarray(res.status)
+    T = np.asarray(res.u)[:, 3]
+    assert (st == 1).sum() >= 6  # the band lands
+    out = analysis.fit_eckersley(T, freqs, status=st)
+    assert out["rms_rel"] < 0.08, out
+    # D0 in the plausible mid-latitude range (tens of s Hz^1/2)
+    assert 10.0 < out["d0"] < 200.0
+
+    fh, Th = analysis.hop_delays(res, freqs, group_idx=3)
+    assert fh.size == (st == 1).sum()
+    assert np.all(Th > 0)
