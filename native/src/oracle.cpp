@@ -40,13 +40,14 @@ struct Env {
   double ps_season, ps_trough;
   double de_weight;
   double duct_amp, duct_l0, duct_w;  // Gaussian L-shell density duct
+  double eta_he, eta_o;              // He+/O+ fractions of n_e
 };
 
-// env array protocol (raytrace_tpu/native.py::_env_array): 14 doubles in
+// env array protocol (raytrace_tpu/native.py::_env_array): 16 doubles in
 // the struct's field order
 Env env_from(const double* v) {
-  return Env{v[0], v[1], v[2],  v[3],  v[4],  v[5],  v[6],
-             v[7], v[8], v[9], v[10], v[11], v[12], v[13]};
+  return Env{v[0],  v[1],  v[2],  v[3],  v[4],  v[5],  v[6],  v[7],
+             v[8],  v[9], v[10], v[11], v[12], v[13], v[14], v[15]};
 }
 
 // ---- environment (reference: RayTrace_lat.jl:66-84, plasmasphere.jl) ----
@@ -88,19 +89,28 @@ double b_mag(double r, double lat, const Env& e) {
 
 // ---- dispersion (reference algebra: RayTrace_lat.jl:44-194) ----
 
-// mu = sqrt(|mu2_plus|) and the reference's closed-form dmu/dpsi
+// mu = sqrt(|mu2_plus|) and the reference's closed-form dmu/dpsi.
+// Multi-ion: singly charged He+ (4 mp) / O+ (16 mp) fractions of n_e,
+// protons carrying the rest (the reference is protons-only).
 void mu_dmudpsi(double ne, double bm, double f, double psi, double* mu_out,
-                double* dmudpsi_out, double* mu2_out) {
+                double* dmudpsi_out, double* mu2_out,
+                double eta_he = 0.0, double eta_o = 0.0) {
   double w = 2.0 * PI * f;
   double we2 = ne * Q_E * Q_E / (EPS0 * ME_KG);
-  double wp2 = ne * Q_E * Q_E / (EPS0 * MP_KG);
   double oe = Q_E * bm / ME_KG;
-  double op = Q_E * bm / MP_KG;
-  double R = 1.0 - (we2 / (w * w)) * (w / (w - oe)) -
-             (wp2 / (w * w)) * (w / (w + op));
-  double L = 1.0 - (we2 / (w * w)) * (w / (w + oe)) -
-             (wp2 / (w * w)) * (w / (w - op));
-  double P = 1.0 - we2 / (w * w) - wp2 / (w * w);
+  double R = 1.0 - (we2 / (w * w)) * (w / (w - oe));
+  double L = 1.0 - (we2 / (w * w)) * (w / (w + oe));
+  double P = 1.0 - we2 / (w * w);
+  const double fracs[3] = {1.0 - eta_he - eta_o, eta_he, eta_o};
+  const double mass[3] = {1.0, 4.0, 16.0};
+  for (int i = 0; i < 3; i++) {
+    if (fracs[i] == 0.0) continue;
+    double wi2 = fracs[i] * ne * Q_E * Q_E / (EPS0 * MP_KG * mass[i]);
+    double oi = Q_E * bm / (MP_KG * mass[i]);
+    R -= (wi2 / (w * w)) * (w / (w + oi));
+    L -= (wi2 / (w * w)) * (w / (w - oi));
+    P -= wi2 / (w * w);
+  }
   double D = 0.5 * (R - L), S = 0.5 * (R + L);
   double sp = std::sin(psi), cp = std::cos(psi);
   double s2 = sp * sp, c2 = cp * cp;
@@ -131,7 +141,7 @@ double mu_2d_lat(double r, double lat, double chi, double f, const Env& e) {
   double psi = PI / 2.0 + dip + chi;
   double mu, mu2;
   mu_dmudpsi(ne_total_m3(r, lat, e), b_mag(r, lat, e), f, psi, &mu, nullptr,
-             &mu2);
+             &mu2, e.eta_he, e.eta_o);
   return mu;
 }
 
@@ -157,7 +167,7 @@ void rhs_2d_lat(const double* u, double f0, const Env& e, int grad_mode,
   double dip = std::atan(2.0 * std::tan(lat));
   double psi = PI / 2.0 + dip + chi;
   mu_dmudpsi(ne_total_m3(r, lat, e), b_mag(r, lat, e), f, psi, &mu,
-             &dmudpsi_ref, &mu2);
+             &dmudpsi_ref, &mu2, e.eta_he, e.eta_o);
   double dmudr, dmudlat, dmudpsi, dmudf;
   dmudlat = (mu_2d_lat(r, lat + ha / 2, chi, f, e) -
              mu_2d_lat(r, lat - ha / 2, chi, f, e)) / ha;
@@ -195,7 +205,7 @@ void rhs_2d_colat(const double* u, double f0, const Env& e, int grad_mode,
   double dip = std::atan(2.0 * std::tan(lat));
   double psi = PI / 2.0 + dip + chi;
   mu_dmudpsi(ne_total_m3(r, lat, e), b_mag(r, lat, e), f, psi, &mu,
-             &dmudpsi_ref, &mu2);
+             &dmudpsi_ref, &mu2, e.eta_he, e.eta_o);
   double dmudr, dmudtheta, dmudpsi, dmudf;
   // d/dtheta = -d/dlat
   dmudtheta = -(mu_2d_lat(r, lat + ha / 2, chi, f, e) -
@@ -386,7 +396,8 @@ double mu_3d(double r, double theta, double phi, double rho_r, double rho_t,
   cospsi = std::max(-1.0, std::min(1.0, cospsi));
   double psi = std::acos(cospsi);  // RayTrace_3D.jl:138-141
   double mu, mu2;
-  mu_dmudpsi(ne_total_m3(r, lat, e), bmag, f, psi, &mu, nullptr, &mu2);
+  mu_dmudpsi(ne_total_m3(r, lat, e), bmag, f, psi, &mu, nullptr, &mu2,
+             e.eta_he, e.eta_o);
   return mu;
 }
 
@@ -423,7 +434,8 @@ void rhs_3d(const double* u, double f, const Env& e, int grad_mode,
     cospsi = std::max(-1.0, std::min(1.0, cospsi));
     double psi = std::acos(cospsi);
     double mu_ref, mu2, dmudpsi;
-    mu_dmudpsi(ne_total_m3(r, lat, e), bmag, f, psi, &mu_ref, &dmudpsi, &mu2);
+    mu_dmudpsi(ne_total_m3(r, lat, e), bmag, f, psi, &mu_ref, &dmudpsi, &mu2,
+               e.eta_he, e.eta_o);
     double sinpsi = std::sin(psi);
     auto sgn = [](double x) { return x > 0 ? 1.0 : (x < 0 ? -1.0 : 0.0); };
     double bk[3] = {br, bt, 0.0};

@@ -48,6 +48,8 @@ class MediumConfig:
                                     # trough < 0 (plasmasphere.duct_factor)
     duct_l0: float = 3.0            # duct center, L
     duct_w: float = 0.1             # duct Gaussian width, L
+    eta_he: float = 0.0             # He+ fraction of n_e (multi-ion)
+    eta_o: float = 0.0              # O+ fraction of n_e
 
     def build(self):
         fit = TRACED_FIT if self.iono_fit == "traced" else IRI_DAYSIDE_FIT
@@ -60,6 +62,7 @@ class MediumConfig:
             b_model=self.b_model, b_tilt=self.b_tilt,
             b_tilt_phi=self.b_tilt_phi, duct_amp=self.duct_amp,
             duct_l0=self.duct_l0, duct_w=self.duct_w,
+            eta_he=self.eta_he, eta_o=self.eta_o,
         )
 
 

@@ -39,5 +39,14 @@ FPE2_P = Q_E * Q_E * 1.0e6 / (EPS0 * M_P * 4.0 * math.pi * math.pi)
 FCE_E = Q_E / (M_E * 2.0 * math.pi)
 FCE_P = Q_E / (M_P * 2.0 * math.pi)
 
+# heavier singly-charged ions for multi-ion composition (an extension --
+# the reference is protons-only, RayMain.jl:154). Masses as exact proton
+# multiples (4, 16), the standard cold-plasma idealization of He+ / O+:
+# f_p^2 ~ n/m and f_c ~ 1/m.
+FPE2_HE = FPE2_P / 4.0
+FPE2_O = FPE2_P / 16.0
+FCE_HE = FCE_P / 4.0
+FCE_O = FCE_P / 16.0
+
 # scaled-time conversion: dT/dt' = (RE / C_LIGHT) * (1 + (f/mu) dmu/df)
 RE_OVER_C = RE / C_LIGHT

@@ -68,6 +68,13 @@ class EnvParams(NamedTuple):
     duct_w: float = 0.0              # duct Gaussian width, L
     igrf_coeffs: tuple = ()          # STATIC: 15 Schmidt coefficients (nT)
                                      # for b_model="igrf" (dipole.IGRF13_2020)
+    # multi-ion composition (extension; the reference is protons-only,
+    # RayMain.jl:154): He+/O+ number-density fractions of n_e under
+    # quasi-neutrality, protons carrying the rest. STATIC gates:
+    # python-float 0.0 compiles the species away (exact reference algebra
+    # and zero extra cost by default).
+    eta_he: float = 0.0
+    eta_o: float = 0.0
 
 
 def make_env(
@@ -91,6 +98,8 @@ def make_env(
     duct_amp=0.0,
     duct_l0=3.0,
     duct_w=0.1,
+    eta_he=0.0,
+    eta_o=0.0,
 ):
     """Build EnvParams; runs the host-side plasmapause pre-solve.
 
@@ -129,6 +138,11 @@ def make_env(
             raise ValueError("duct_w must be > 0 when duct_amp != 0")
         if duct_amp <= -1.0:
             raise ValueError("duct_amp <= -1 makes the density negative")
+    if eta_he < 0.0 or eta_o < 0.0 or eta_he + eta_o >= 1.0:
+        raise ValueError(
+            "ion fractions must satisfy 0 <= eta_he, eta_o and "
+            "eta_he + eta_o < 1 (protons carry the rest)"
+        )
     if b_model not in ("dipole", "tilted", "igrf"):
         raise ValueError(f"unknown b_model {b_model!r}")
     if b_model == "tilted":
@@ -176,13 +190,16 @@ def make_env(
         duct_amp=float(duct_amp),
         duct_l0=float(duct_l0),
         duct_w=float(duct_w),
+        eta_he=float(eta_he),
+        eta_o=float(eta_o),
     )
 
 
 # fields that gate code paths at trace time -- keep python floats (or
 # strings) when casting an EnvParams to device values
 STATIC_FIELDS = ("ps_weight", "de_weight", "ps_smooth", "iono_mix",
-                 "ps_model", "b_model", "duct_amp", "igrf_coeffs")
+                 "ps_model", "b_model", "duct_amp", "igrf_coeffs",
+                 "eta_he", "eta_o")
 
 
 def cast_env(env: EnvParams, dtype):

@@ -32,26 +32,55 @@ differentiated with jax.grad.
 
 import jax.numpy as jnp
 
-from ..constants import FCE_E, FCE_P, FPE2_E, FPE2_P
+from ..constants import (
+    FCE_E, FCE_HE, FCE_O, FCE_P, FPE2_E, FPE2_HE, FPE2_O, FPE2_P,
+)
 from ..models import dipole, medium
 
 
-def stix_rlp(ne_m3, bmag, f):
-    """Stix R, L, P for a quasi-neutral e-p plasma.
+def ion_species(eta_he=0.0, eta_o=0.0):
+    """[(fpe2_coeff * fraction, fce_coeff), ...] of the PRESENT singly-
+    charged ion species under quasi-neutrality n_e = n_p + n_He + n_O.
 
-    ne_m3: electron (= proton) density, m^-3; bmag: |B| in T; f: Hz.
-    Reference: RayMain.jl:156-176 (written there with angular frequencies;
-    this is the same expression in X = fpe^2/f^2, Y = fce/f ratio form)."""
+    Python-float-zero fractions drop their species at trace time (the
+    protons-only default compiles to the exact reference algebra).
+    Traced/nonzero fractions keep theirs."""
+    def _off(v):
+        return isinstance(v, float) and v == 0.0
+
+    frac_p = 1.0 - eta_he - eta_o
+    species = [(FPE2_P * frac_p, FCE_P)]
+    if not _off(eta_he):
+        species.append((FPE2_HE * eta_he, FCE_HE))
+    if not _off(eta_o):
+        species.append((FPE2_O * eta_o, FCE_O))
+    return species
+
+
+def stix_rlp(ne_m3, bmag, f, eta_he=0.0, eta_o=0.0):
+    """Stix R, L, P for a quasi-neutral multi-ion plasma.
+
+    ne_m3: electron density, m^-3; bmag: |B| in T; f: Hz. eta_he/eta_o:
+    He+/O+ number-density fractions of n_e (protons carry the rest --
+    the reference is protons-only, RayMain.jl:154, the default here).
+    Reference: RayMain.jl:156-176 (written there with angular
+    frequencies; this is the same expression in X = fpe^2/f^2,
+    Y = fce/f ratio form)."""
     n_cm3 = ne_m3 * 1.0e-6
     f2 = f * f
     xe = FPE2_E * n_cm3 / f2
-    xp = FPE2_P * n_cm3 / f2
     ye = FCE_E * bmag / f
-    yp = FCE_P * bmag / f
-    # R = 1 - Xe/(1 - Ye) - Xp/(1 + Yp);  L = 1 - Xe/(1 + Ye) - Xp/(1 - Yp)
-    r = 1.0 - xe / (1.0 - ye) - xp / (1.0 + yp)
-    l = 1.0 - xe / (1.0 + ye) - xp / (1.0 - yp)
-    p = 1.0 - xe - xp
+    # R = 1 - Xe/(1 - Ye) - sum_i Xi/(1 + Yi);
+    # L = 1 - Xe/(1 + Ye) - sum_i Xi/(1 - Yi)
+    r = 1.0 - xe / (1.0 - ye)
+    l = 1.0 - xe / (1.0 + ye)
+    p = 1.0 - xe
+    for fpe2_i, fce_i in ion_species(eta_he, eta_o):
+        xi = fpe2_i * n_cm3 / f2
+        yi = fce_i * bmag / f
+        r = r - xi / (1.0 + yi)
+        l = l - xi / (1.0 - yi)
+        p = p - xi
     return r, l, p
 
 
@@ -142,7 +171,7 @@ def mu_2d_lat(r, lat, chi, f, env: medium.EnvParams, root=1.0):
     sinpsi, cospsi = psi_trig_lat(lat, chi)
     ne = medium.ne_total_m3(r, lat, env)
     b = medium.b_mag(r, lat, env)
-    rr, ll, pp = stix_rlp(ne, b, f)
+    rr, ll, pp = stix_rlp(ne, b, f, env.eta_he, env.eta_o)
     return mu_from_mu2(mu2_signed_trig(rr, ll, pp, sinpsi, cospsi, root))
 
 
@@ -218,5 +247,5 @@ def mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams, root=1.0
     )
     lat = medium.mlat_3d(r, theta, phi, env)
     ne = medium.ne_total_m3(r, lat, env)
-    rr, ll, pp = stix_rlp(ne, b, f)
+    rr, ll, pp = stix_rlp(ne, b, f, env.eta_he, env.eta_o)
     return mu_from_mu2(mu2_signed_trig(rr, ll, pp, sinpsi, cospsi, root))

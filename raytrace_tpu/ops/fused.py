@@ -171,40 +171,56 @@ def _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat, L,
     return ne, ne_r, ne_lat
 
 
-def _stix_quartic_grads(ne, bm, f, sinpsi, cospsi, root):
+def _stix_quartic_grads(ne, bm, f, sinpsi, cospsi, root,
+                        eta_he=0.0, eta_o=0.0):
     """Shared core: mu plus d(mu)/d{ne, bm, f, psi} at fixed geometry.
 
     Returns (mu, dmu_dn, dmu_db, dmu_df, dmu_dpsi). The 2D and 3D entry
-    points supply their own geometry chain rules on top."""
+    points supply their own geometry chain rules on top. eta_he/eta_o:
+    He+/O+ fractions (dispersion.ion_species); the protons-only default
+    compiles to the exact two-species reference algebra."""
+    from .dispersion import ion_species
+
     # --- Stix ratio form + partials w.r.t. (ne, bm, f) ---
     inv_f = 1.0 / f
     ncm = ne * 1.0e-6
     xe = FPE2_E * ncm * inv_f * inv_f
-    xp = FPE2_P * ncm * inv_f * inv_f
     ye = FCE_E * bm * inv_f
-    yp = FCE_P * bm * inv_f
     ae = 1.0 / (1.0 - ye)
     be = 1.0 / (1.0 + ye)
-    ap = 1.0 / (1.0 + yp)
-    bp = 1.0 / (1.0 - yp)
-    R = 1.0 - xe * ae - xp * ap
-    L = 1.0 - xe * be - xp * bp
-    P = 1.0 - xe - xp
+    # species sums: Sa = sum x_i a_i, Say = sum x_i a_i^2 y_i (ditto b);
+    # per-ion a_i = 1/(1 + y_i), b_i = 1/(1 - y_i)
+    Sa = jnp.zeros_like(xe)
+    Sb = jnp.zeros_like(xe)
+    Say = jnp.zeros_like(xe)
+    Sby = jnp.zeros_like(xe)
+    Sx = jnp.zeros_like(xe)
+    for fpe2_i, fce_i in ion_species(eta_he, eta_o):
+        xi = fpe2_i * ncm * inv_f * inv_f
+        yi = fce_i * bm * inv_f
+        ai = 1.0 / (1.0 + yi)
+        bi = 1.0 / (1.0 - yi)
+        Sa = Sa + xi * ai
+        Sb = Sb + xi * bi
+        Say = Say + xi * ai * ai * yi
+        Sby = Sby + xi * bi * bi * yi
+        Sx = Sx + xi
+    R = 1.0 - xe * ae - Sa
+    L = 1.0 - xe * be - Sb
+    P = 1.0 - xe - Sx
     inv_ne = 1.0 / ne
     # d{R,L,P}/d(ne): X terms scale with ne
-    R_n = -(xe * ae + xp * ap) * inv_ne
-    L_n = -(xe * be + xp * bp) * inv_ne
-    P_n = -(xe + xp) * inv_ne
+    R_n = -(xe * ae + Sa) * inv_ne
+    L_n = -(xe * be + Sb) * inv_ne
+    P_n = -(xe + Sx) * inv_ne
     # d{R,L}/d(bm): Y terms scale with bm
     inv_bm = 1.0 / bm
-    R_b = (-xe * ae * ae * ye + xp * ap * ap * yp) * inv_bm
-    L_b = (xe * be * be * ye - xp * bp * bp * yp) * inv_bm
+    R_b = (-xe * ae * ae * ye + Say) * inv_bm
+    L_b = (xe * be * be * ye - Sby) * inv_bm
     # d{R,L,P}/df: X ~ f^-2, Y ~ f^-1
-    R_f = (2.0 * (xe * ae + xp * ap)
-           + (xe * ae * ae * ye - xp * ap * ap * yp)) * inv_f
-    L_f = (2.0 * (xe * be + xp * bp)
-           + (-xe * be * be * ye + xp * bp * bp * yp)) * inv_f
-    P_f = 2.0 * (xe + xp) * inv_f
+    R_f = (2.0 * (xe * ae + Sa) + (xe * ae * ae * ye - Say)) * inv_f
+    L_f = (2.0 * (xe * be + Sb) + (-xe * be * be * ye + Sby)) * inv_f
+    P_f = 2.0 * (xe + Sx) * inv_f
 
     # --- normalize (mu^2 is 1-homogeneous in (R,L,P); the (R,L,P)
     # partials of mu^2 are 0-homogeneous so they come out scale-free) ---
@@ -308,7 +324,7 @@ def mu_and_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, root=1.0):
 
     ne, ne_r, ne_lat = _ne_and_grads(r, lat, env)
     mu, dmu_dn, dmu_db, dmu_df, dmu_dpsi = _stix_quartic_grads(
-        ne, bm, f, sinpsi, cospsi, root
+        ne, bm, f, sinpsi, cospsi, root, env.eta_he, env.eta_o
     )
     dmudr = dmu_dn * ne_r + dmu_db * bm_r
     dmudlat = dmu_dn * ne_lat + dmu_db * bm_lat + dmu_dpsi * dpsi_dlat
@@ -363,7 +379,7 @@ def mu_and_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f,
 
     ne, ne_r, ne_lat = _ne_and_grads(r, lat, env)
     mu, dmu_dn, dmu_db, dmu_df, dmu_dpsi = _stix_quartic_grads(
-        ne, bm, f, sinpsi, cospsi, root
+        ne, bm, f, sinpsi, cospsi, root, env.eta_he, env.eta_o
     )
     dmudr = dmu_dn * ne_r + dmu_db * bm_r
     dmudtheta = -(dmu_dn * ne_lat + dmu_db * bm_lat) + dmu_dpsi * dpsi_dtheta

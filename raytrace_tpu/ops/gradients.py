@@ -46,6 +46,20 @@ REFERENCE = "reference"
 FUSED = "fused"
 
 
+def _require_protons_only(env):
+    """grad_mode='reference' reproduces the reference's closed forms,
+    which are written for the 2-species e-p plasma (RayMain.jl:154);
+    multi-ion envs must use autodiff/fused gradients."""
+    def _on(v):
+        return not (isinstance(v, float) and v == 0.0)
+
+    if _on(env.eta_he) or _on(env.eta_o):
+        raise ValueError(
+            "grad_mode='reference' is protons-only (the reference has no "
+            "ion composition); use the default fused/autodiff gradients"
+        )
+
+
 def mu_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, grad_mode=FUSED,
                     root=1.0):
     """(mu, dmu/dr, dmu/dlat, dmu/dpsi, dmu/df) at a latitude-frame state.
@@ -60,6 +74,7 @@ def mu_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, grad_mode=FUSED,
         dispersion.mu_2d_lat, argnums=(0, 1, 2, 3)
     )(r, lat, chi, f, env, root)
     if grad_mode == REFERENCE:
+        _require_protons_only(env)
         _, dmudchi = analytic.mu_dmudpsi_2d_lat(r, lat, chi, f, env)
         dmudr = jnp.zeros_like(dmudr)
     return mu, dmudr, dmudlat, dmudchi, dmudf
@@ -83,6 +98,7 @@ def mu_grads_2d_colat(r, theta, chi, f, env: medium.EnvParams, grad_mode=FUSED,
         dispersion.mu_2d_colat, argnums=(0, 1, 2, 3)
     )(r, theta, chi, f, env, root)
     if grad_mode == REFERENCE:
+        _require_protons_only(env)
         lat = jnp.pi / 2.0 - theta
         _, dmudchi = analytic.mu_dmudpsi_2d_lat(r, lat, chi, f, env)
         dmudr = jnp.zeros_like(dmudr)
@@ -121,6 +137,7 @@ def mu_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams,
         dispersion.mu_3d, argnums=(0, 1, 2, 3, 4, 5, 6)
     )(r, theta, phi, rho_r, rho_t, rho_p, f, env, root)
     if grad_mode == REFERENCE:
+        _require_protons_only(env)
         from ..models import dipole
 
         psi = dispersion.psi_3d(r, theta, phi, rho_r, rho_t, rho_p, env)
