@@ -28,6 +28,7 @@ quantity analyzed here.
 
 import numpy as np
 
+from .constants import C_LIGHT, FCE_E, M_E, Q_E
 from .integrate import events
 
 
@@ -63,6 +64,67 @@ def fit_eckersley(T, f, status=None):
         "rms_rel": float(np.sqrt(np.mean((resid / T) ** 2))),
         "n_used": int(T.size),
     }
+
+
+def cyclotron_resonance_energy_ev(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0):
+    """Minimum electron energy (eV) in first-order cyclotron resonance
+    with a parallel whistler: v_R = c (fce/f - 1) / mu_parallel, with
+    mu_parallel = sqrt(R) taken from THIS framework's own cold
+    dispersion (no high-density approximation). This is the energy of
+    the electrons a whistler can scatter/amplify -- the quantity
+    radiation-belt wave models evaluate along the ray. Non-relativistic
+    (standard for E_res below ~100 keV; values above that are
+    qualitative). In the dense-plasma limit it reduces to the textbook
+    E_B (fce/f)(1 - f/fce)^3 with E_B = B^2/(2 mu0 ne)."""
+    from .ops import dispersion
+
+    f = np.asarray(f, np.float64)
+    bmag = np.asarray(bmag, np.float64)
+    ne_m3 = np.asarray(ne_m3, np.float64)
+    r, _, _ = dispersion.stix_rlp(ne_m3, bmag, f, eta_he, eta_o)
+    mu2 = np.maximum(np.asarray(r, np.float64), 1.0e-30)
+    fce = FCE_E * bmag
+    v_r2 = C_LIGHT * C_LIGHT * (fce / f - 1.0) ** 2 / mu2
+    return 0.5 * M_E * v_r2 / Q_E
+
+
+def kp_critical_anisotropy(f, bmag):
+    """Kennel-Petschek critical temperature anisotropy A_c = f/(fce - f):
+    a parallel whistler at f grows only where the resonant electrons'
+    anisotropy A = T_perp/T_par - 1 exceeds A_c (Kennel & Petschek 1966).
+    Exact threshold, no distribution model needed."""
+    fce = FCE_E * np.asarray(bmag, np.float64)
+    return np.asarray(f, np.float64) / (fce - f)
+
+
+def resonance_profile_2d_lat(traj_u, f, env):
+    """(E_res [eV], A_c, fce [Hz]) along recorded 2D-lat trajectories.
+
+    traj_u: (S, B, 4) snapshots (or (S, 4) for one ray); f scalar or
+    (B,). Evaluates the local medium at every snapshot -- where E_res
+    dips (usually the equator crossing, the |B| minimum of the path) is
+    where the wave exchanges energy with the softest electrons and where
+    the KP threshold is lowest."""
+    from .models import medium
+
+    u = np.asarray(traj_u, np.float64)
+    squeeze = u.ndim == 2
+    if squeeze:
+        u = u[:, None, :]
+    r, lat = u[..., 0], u[..., 1]
+    bm = np.asarray(medium.b_mag(r, lat, env), np.float64)
+    ne = np.asarray(medium.ne_total_m3(r, lat, env), np.float64)
+    f = np.broadcast_to(np.asarray(f, np.float64), bm.shape)
+    e_res = cyclotron_resonance_energy_ev(
+        f, bm, ne,
+        float(env.eta_he) if isinstance(env.eta_he, float) else env.eta_he,
+        float(env.eta_o) if isinstance(env.eta_o, float) else env.eta_o,
+    )
+    a_c = kp_critical_anisotropy(f, bm)
+    out = {"e_res_ev": e_res, "a_crit": a_c, "fce_hz": FCE_E * bm}
+    if squeeze:
+        out = {k: v[:, 0] for k, v in out.items()}
+    return out
 
 
 def hop_delays(result, f, valid=None, group_idx=-1):

@@ -65,3 +65,55 @@ def test_traced_sweep_obeys_eckersley():
     fh, Th = analysis.hop_delays(res, freqs, group_idx=3)
     assert fh.size == (st == 1).sum()
     assert np.all(Th > 0)
+
+
+def test_resonance_energy_matches_dense_plasma_formula():
+    """E_res from the exact cold dispersion reduces to the textbook
+    E_B (fce/f)(1 - f/fce)^3 in the dense-plasma limit."""
+    from raytrace_tpu.constants import FCE_E
+
+    b, ne = 1.0e-6, 1.0e9  # fpe >> fce: dense
+    fce = FCE_E * b
+    f = np.array([0.1, 0.25, 0.45]) * fce
+    got = analysis.cyclotron_resonance_energy_ev(f, b, ne)
+    mu0 = 4.0e-7 * np.pi
+    e_b_ev = b * b / (2.0 * mu0 * ne) / 1.602e-19
+    want = e_b_ev * (fce / f) * (1.0 - f / fce) ** 3
+    np.testing.assert_allclose(got, want, rtol=2e-2)
+    # monotone: lower frequency resonates with harder electrons
+    assert got[0] > got[1] > got[2]
+
+
+def test_kp_threshold_limits():
+    from raytrace_tpu.constants import FCE_E
+
+    b = 1.0e-6
+    fce = FCE_E * b
+    a = analysis.kp_critical_anisotropy(np.array([0.1, 0.5, 0.9]) * fce, b)
+    np.testing.assert_allclose(a, [1.0 / 9.0, 1.0, 9.0], rtol=1e-12)
+
+
+def test_resonance_profile_along_canonical_ray():
+    """E_res along the traced canonical ray dips at the |B| minimum of
+    the path (the equator-most point), as it must."""
+    env = make_env_lat()
+    u0 = np.zeros((1, 4))
+    u0[0, 0] = R0
+    u0[0, 1] = np.pi / 4
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env), u0, np.array([2000.0]),
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE), max_steps=6000,
+        save_every=32,
+    )
+    u_t = np.asarray(res.traj["u"])[:, 0]
+    keep = np.diff(np.asarray(res.traj["t"])[:, 0], prepend=-1.0) > 0
+    prof = analysis.resonance_profile_2d_lat(u_t[keep], 2000.0, env)
+    e = prof["e_res_ev"]
+    assert np.all(np.isfinite(e)) and np.all(e > 0)
+    fce = prof["fce_hz"]
+    # E_res dips near (not exactly at) the |B| minimum: ne shifts it a
+    # little; require the dip to sit in the low-|B| part of the path
+    fce_at_dip = fce[e.argmin()]
+    assert fce_at_dip < fce.min() + 0.35 * (fce.max() - fce.min())
+    assert np.all(prof["a_crit"] > 0)

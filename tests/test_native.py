@@ -10,7 +10,7 @@ import pytest
 from raytrace_tpu import native
 from raytrace_tpu.constants import RE
 from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
-from raytrace_tpu.models import make_env_lat
+from raytrace_tpu.models import make_env, make_env_lat
 from raytrace_tpu.ops import gradients, rhs
 
 R0 = (RE + 1.0e6) / RE
@@ -179,3 +179,33 @@ def test_native_colat_trace_parity():
         res_n["u"][:2], np.asarray(res_j.u[0, :2]), rtol=1e-3
     )
     assert res_n["u"][3] == pytest.approx(float(res_j.u[0, 3]), rel=1e-4)
+
+
+def test_native_trace_parity_duct_multiion():
+    """Full-trajectory cross-language check with the extended medium
+    (duct + He+/O+ composition): the two independent integrators land the
+    same ray through the same extended physics."""
+    env_x = make_env(
+        b0=3.0696381e-5, duct_amp=0.5, duct_l0=2.6, duct_w=0.25,
+        eta_he=0.1, eta_o=0.05,
+    )
+    u0 = np.array([R0, 0.85, 0.0, 0.0])
+    t_max = 2.0e9 / RE
+    res_n = native.trace_2d_lat(
+        u0, 2000.0, env_x, rtol=1e-9, atol=1e-14, t_max=t_max,
+        max_steps=200000,
+    )
+    res_j = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env_x),
+        jnp.asarray(u0)[None], jnp.array([2000.0]),
+        cfg=SolverConfig(rtol=1e-9, atol=1e-14, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=t_max),
+        max_steps=200000, chunk=256,
+    )
+    assert res_n["status"] == int(res_j.status[0])
+    if res_n["status"] == events.HIT_EARTH:
+        l_n = res_n["u"][0] / np.cos(res_n["u"][1]) ** 2
+        l_j = float(res_j.u[0, 0]) / np.cos(float(res_j.u[0, 1])) ** 2
+        assert abs(l_n / l_j - 1.0) < 1e-4
+    assert res_n["u"][3] == pytest.approx(float(res_j.u[0, 3]), rel=1e-4)
+    assert res_n["t"] == pytest.approx(float(res_j.t[0]), rel=1e-4)
