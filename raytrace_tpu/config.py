@@ -213,6 +213,20 @@ def preset(name, **overrides):
             freqs=tuple(np.geomspace(500.0, 8000.0, 16)),
             rtol=1.0e-5, atol=1.0e-8,
         ),
+        # framework extension: He+-band EMIC rays in a multi-ion plasma
+        # (the '-' root the reference left commented out, RayMain.jl:243,
+        # in the composition that gives it its real band structure).
+        # Equatorial launches just below the local He+ gyrofrequency
+        # (fc_He ~ 1.9 Hz at L = 2 for the 2D-legacy B0).
+        "emic_heband": dict(
+            name="emic_heband", frame="2d_lat", wave_mode="emic",
+            medium=MediumConfig(b0=B0_2D, eta_he=0.1, eta_o=0.02),
+            r0=2.0,
+            lats=tuple(np.linspace(-0.1, 0.1, 8)),
+            chis=(0.0, 0.2),
+            freqs=(1.0, 1.4, 1.8),
+            t_max=200.0, max_steps=8000,
+        ),
     }
     d = presets[name]
     d.update(overrides)

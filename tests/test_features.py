@@ -265,3 +265,20 @@ def test_tilted_dipole_3d_trace_end_to_end():
     np.testing.assert_allclose(
         np.asarray(res_z.u[0]), np.asarray(res_0.u[0]), rtol=1e-5, atol=1e-8
     )
+
+
+def test_emic_preset_runs():
+    """The He+-band EMIC preset (multi-ion, '-' root) runs end-to-end on
+    the fake backend and makes real progress."""
+    import numpy as np
+
+    from raytrace_tpu.config import preset
+    from raytrace_tpu.run import run
+
+    cfg = preset("emic_heband", dtype="float64", max_steps=2000,
+                 use_rounds=False)
+    out = run(cfg)
+    res, valid = out["result"], np.asarray(out["valid"])
+    u = np.asarray(res.u)[valid]
+    assert np.all(np.isfinite(u))
+    assert float(np.asarray(res.t)[valid].min()) > 0.05

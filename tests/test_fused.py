@@ -69,3 +69,26 @@ def test_fused_3d_matches_autodiff():
         for i, (a, b) in enumerate(zip(g_a, g_b)):
             assert float(b) == pytest.approx(float(a), rel=1e-8,
                                              abs=1e-11), i
+
+
+def test_fused_3d_matches_autodiff_extended_medium():
+    """3D fused chain with the extended medium (duct + He+/O+): the
+    composition and duct terms flow through _ne_and_grads and the
+    species sums identically in 3D."""
+    env = make_env(duct_amp=0.4, duct_l0=3.0, duct_w=0.2,
+                   eta_he=0.1, eta_o=0.05)
+    rng = np.random.default_rng(41)
+    for _ in range(30):
+        r = float(rng.uniform(1.5, 5.0))
+        th = float(rng.uniform(0.4, 2.7))
+        ph = float(rng.uniform(-1.0, 1.0))
+        rr, rt, rp = (float(x) for x in rng.normal(size=3))
+        f = float(rng.uniform(100.0, 8.0e3))
+        mu_a, g_a = gradients.mu_grads_3d(
+            r, th, ph, rr, rt, rp, f, env, grad_mode=gradients.AUTODIFF
+        )
+        mu_b, g_b = fused.mu_and_grads_3d(r, th, ph, rr, rt, rp, f, env)
+        assert float(mu_b) == pytest.approx(float(mu_a), rel=1e-9)
+        for i, (a, b) in enumerate(zip(g_a, g_b)):
+            assert float(b) == pytest.approx(float(a), rel=1e-7,
+                                             abs=1e-11), i
