@@ -41,13 +41,14 @@ struct Env {
   double de_weight;
   double duct_amp, duct_l0, duct_w;  // Gaussian L-shell density duct
   double eta_he, eta_o;              // He+/O+ fractions of n_e
+  double ps_refill;                  // trough refill weight in [0, 1]
 };
 
-// env array protocol (raytrace_tpu/native.py::_env_array): 16 doubles in
+// env array protocol (raytrace_tpu/native.py::_env_array): 17 doubles in
 // the struct's field order
 Env env_from(const double* v) {
-  return Env{v[0],  v[1],  v[2],  v[3],  v[4],  v[5],  v[6],  v[7],
-             v[8],  v[9], v[10], v[11], v[12], v[13], v[14], v[15]};
+  return Env{v[0],  v[1],  v[2],  v[3],  v[4],  v[5],  v[6],  v[7],  v[8],
+             v[9], v[10], v[11], v[12], v[13], v[14], v[15], v[16]};
 }
 
 // ---- environment (reference: RayTrace_lat.jl:66-84, plasmasphere.jl) ----
@@ -66,6 +67,14 @@ double ne_total_m3(double r, double lat, const Env& e) {
   } else {
     ne_p = e.ps_trough * std::pow(L, -4.5) +
            (1.0 - std::exp((2.0 - L) / 10.0));
+    if (e.ps_refill != 0.0) {
+      // density-level trough refilling: log-space blend toward the
+      // saturated branch-1 profile (models/plasmasphere.py)
+      double log_ne1 = (-0.3145 * L + 3.9043) +
+                       e.ps_season * std::exp((2.0 - L) / 1.5);
+      ne_p = std::exp((1.0 - e.ps_refill) * std::log(ne_p) +
+                      e.ps_refill * log_ne1 * std::log(10.0));
+    }
   }
   if (e.duct_amp != 0.0) {
     // field-aligned Gaussian duct (models/plasmasphere.py::duct_factor)

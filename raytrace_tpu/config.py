@@ -50,6 +50,7 @@ class MediumConfig:
     duct_w: float = 0.1             # duct Gaussian width, L
     eta_he: float = 0.0             # He+ fraction of n_e (multi-ion)
     eta_o: float = 0.0              # O+ fraction of n_e
+    ps_refill: float = 0.0          # trough refill weight in [0, 1]
 
     def build(self):
         fit = TRACED_FIT if self.iono_fit == "traced" else IRI_DAYSIDE_FIT
@@ -63,6 +64,7 @@ class MediumConfig:
             b_tilt_phi=self.b_tilt_phi, duct_amp=self.duct_amp,
             duct_l0=self.duct_l0, duct_w=self.duct_w,
             eta_he=self.eta_he, eta_o=self.eta_o,
+            ps_refill=self.ps_refill,
         )
 
 

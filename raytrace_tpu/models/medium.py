@@ -75,6 +75,10 @@ class EnvParams(NamedTuple):
     # and zero extra cost by default).
     eta_he: float = 0.0
     eta_o: float = 0.0
+    # density-level trough refilling (STATIC, CA1992 only): 0 = eroded
+    # trough (reference-exact), 1 = refilled to the saturated profile;
+    # see plasmasphere.ne_plasma_cm3
+    ps_refill: float = 0.0
 
 
 def make_env(
@@ -100,6 +104,7 @@ def make_env(
     duct_w=0.1,
     eta_he=0.0,
     eta_o=0.0,
+    ps_refill=0.0,
 ):
     """Build EnvParams; runs the host-side plasmapause pre-solve.
 
@@ -143,6 +148,10 @@ def make_env(
             "ion fractions must satisfy 0 <= eta_he, eta_o and "
             "eta_he + eta_o < 1 (protons carry the rest)"
         )
+    if not 0.0 <= ps_refill <= 1.0:
+        raise ValueError("ps_refill must lie in [0, 1]")
+    if ps_refill != 0.0 and ps_model != "ca1992":
+        raise ValueError("ps_refill blends the CA1992 trough only")
     if b_model not in ("dipole", "tilted", "igrf"):
         raise ValueError(f"unknown b_model {b_model!r}")
     if b_model == "tilted":
@@ -192,6 +201,7 @@ def make_env(
         duct_w=float(duct_w),
         eta_he=float(eta_he),
         eta_o=float(eta_o),
+        ps_refill=float(ps_refill),
     )
 
 
@@ -199,7 +209,7 @@ def make_env(
 # strings) when casting an EnvParams to device values
 STATIC_FIELDS = ("ps_weight", "de_weight", "ps_smooth", "iono_mix",
                  "ps_model", "b_model", "duct_amp", "igrf_coeffs",
-                 "eta_he", "eta_o")
+                 "eta_he", "eta_o", "ps_refill")
 
 
 def cast_env(env: EnvParams, dtype):
@@ -244,7 +254,7 @@ def ne_total_m3(r, lat, env: EnvParams):
     else:
         ne_p = plasmasphere.ne_plasma_cm3(
             L, env.lppi, env.lppo, env.ne_lppi, env.ps_season, env.ps_trough,
-            env.ps_smooth,
+            env.ps_smooth, env.ps_refill,
         )
     if not (isinstance(env.duct_amp, float) and env.duct_amp == 0.0):
         ne_p = ne_p * plasmasphere.duct_factor(

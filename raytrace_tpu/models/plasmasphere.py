@@ -82,7 +82,8 @@ def initialize_plasmasphere(lppi, day, rbar, mlt):
 LN10 = 2.302585092994046
 
 
-def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c, smooth=0.0):
+def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c, smooth=0.0,
+                  refill=0.0):
     """CA1992 plasmasphere density (cm^-3), branchless on device.
 
     trough_c = 5800 + 300 mlt. Reference: RayTrace_lat.jl:72-81.
@@ -96,7 +97,15 @@ def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c, smooth=0.0):
     by smoothing (~77% either way) -- that stiffness lives in the ray
     dynamics near reflection points (which is why the reference reaches
     for CVODE_BDF), not in the density model's C0 seams.
-    Default 0.0 = reference-exact."""
+    Default 0.0 = reference-exact.
+
+    refill in [0, 1]: density-level trough recovery (extension; the
+    reference trough is the fully eroded state). The trough branch is
+    blended in LOG space toward the saturated branch-1 profile extended
+    beyond the plasmapause: 0 = eroded (reference-exact), 1 = fully
+    refilled to saturation. Physically w = 1 - exp(-dt/tau_refill) with
+    tau_refill ~ days (Denton et al. 2012-class rates);
+    storm.plasmapause_history supplies the epoch weights."""
     log_ne1 = (-0.3145 * L + 3.9043) + a_season * jnp.exp((2.0 - L) / 1.5)
     ne1 = jnp.exp(LN10 * log_ne1)
     ne2 = ne_lppi * jnp.exp(LN10 * (lppi - L) / 0.1)
@@ -109,6 +118,10 @@ def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c, smooth=0.0):
             "ps_smooth must be a static python float (it selects a code "
             "path at trace time); got a traced value. Keep it out of any "
             "jnp-cast of EnvParams."
+        )
+    if not (isinstance(refill, float) and refill == 0.0):
+        ne3 = jnp.exp(
+            (1.0 - refill) * jnp.log(ne3) + refill * (LN10 * log_ne1)
         )
     hard = jnp.where(L <= lppi, ne1, jnp.where(L <= lppo, ne2, ne3))
     if smooth == 0.0:

@@ -61,6 +61,32 @@ def kp_max_24h(t_hours, kp_hours, kp_values):
     return out
 
 
+def _histories(t_hours, kp_hours, kp_values, tau_erode, tau_refill,
+               tau_density, lpp0, dt_hours):
+    """(grid, lpp, w_refill) on the fine grid (shared integrator)."""
+    t_hours = np.atleast_1d(np.asarray(t_hours, np.float64))
+    t0, t1 = float(t_hours.min()), float(t_hours.max())
+    grid = np.arange(t0, t1 + dt_hours, dt_hours)
+    target = plasmasphere.lppi_from_kp(kp_max_24h(grid, kp_hours, kp_values))
+    lpp = np.empty_like(grid)
+    w = np.empty_like(grid)
+    lpp[0] = target[0] if lpp0 is None else float(lpp0)
+    w[0] = 1.0
+    for k in range(1, grid.size):
+        eroding = target[k] < lpp[k - 1]
+        tau = tau_erode if eroding else tau_refill
+        # exact relaxation over the substep (unconditionally stable)
+        a = np.exp(-dt_hours / tau)
+        lpp[k] = target[k] + (lpp[k - 1] - target[k]) * a
+        # trough refill weight: convection strips the refilled plasma on
+        # the erosion timescale; quiet times refill toward saturation on
+        # the (slower still) density timescale
+        w_tgt, tau_w = (0.0, tau_erode) if eroding else (1.0, tau_density)
+        aw = np.exp(-dt_hours / tau_w)
+        w[k] = w_tgt + (w[k - 1] - w_tgt) * aw
+    return grid, lpp, w
+
+
 def plasmapause_history(
     t_hours,
     kp_hours,
@@ -76,17 +102,33 @@ def plasmapause_history(
     epoch with an explicit fine step (dt_hours); lpp0 defaults to the
     initial 24-h-Kp equilibrium. Returns L_pp at each ``t_hours``."""
     t_hours = np.atleast_1d(np.asarray(t_hours, np.float64))
-    t0, t1 = float(t_hours.min()), float(t_hours.max())
-    grid = np.arange(t0, t1 + dt_hours, dt_hours)
-    target = plasmasphere.lppi_from_kp(kp_max_24h(grid, kp_hours, kp_values))
-    lpp = np.empty_like(grid)
-    lpp[0] = target[0] if lpp0 is None else float(lpp0)
-    for k in range(1, grid.size):
-        tau = tau_erode if target[k] < lpp[k - 1] else tau_refill
-        # exact relaxation over the substep (unconditionally stable)
-        a = np.exp(-dt_hours / tau)
-        lpp[k] = target[k] + (lpp[k - 1] - target[k]) * a
+    grid, lpp, _ = _histories(
+        t_hours, kp_hours, kp_values, tau_erode, tau_refill, 48.0, lpp0,
+        dt_hours,
+    )
     return np.interp(t_hours, grid, lpp)
+
+
+def refill_history(
+    t_hours,
+    kp_hours,
+    kp_values,
+    tau_erode=3.0,
+    tau_refill=30.0,
+    tau_density=48.0,
+    dt_hours=0.25,
+):
+    """w(t) in [0, 1]: density-level trough refill weight for
+    EnvParams.ps_refill (plasmasphere.ne_plasma_cm3). Erosion intervals
+    strip it toward 0 on tau_erode; quiet intervals refill toward 1 on
+    tau_density (~2 days -- the plasmapause position recovers faster
+    than the trough density saturates, hence the separate timescale)."""
+    t_hours = np.atleast_1d(np.asarray(t_hours, np.float64))
+    grid, _, w = _histories(
+        t_hours, kp_hours, kp_values, tau_erode, tau_refill, tau_density,
+        None, dt_hours,
+    )
+    return np.interp(t_hours, grid, w)
 
 
 def storm_sequence(
@@ -95,19 +137,30 @@ def storm_sequence(
     kp_values,
     tau_erode=3.0,
     tau_refill=30.0,
+    refill=False,
+    tau_density=48.0,
     **env_kw,
 ):
     """One EnvParams per epoch, with lppi pinned to the dynamic L_pp(t).
 
     env_kw passes through to make_env (b0, day, rbar, mlt, ps_model,
-    ducts, ...). Returns (envs, lpp) -- the env list and the plasmapause
-    history at the epochs."""
-    lpp = plasmapause_history(
-        t_hours, kp_hours, kp_values, tau_erode, tau_refill
+    ducts, composition, ...). refill=True additionally sets each epoch's
+    ps_refill to the density-level trough recovery weight
+    (refill_history). Returns (envs, lpp) -- the env list and the
+    plasmapause history at the epochs."""
+    t_hours = np.atleast_1d(np.asarray(t_hours, np.float64))
+    grid, lpp_g, w_g = _histories(
+        t_hours, kp_hours, kp_values, tau_erode, tau_refill, tau_density,
+        None, 0.25,
     )
+    lpp = np.interp(t_hours, grid, lpp_g)
+    w = np.interp(t_hours, grid, w_g)
     envs = []
-    for L in lpp:
+    for L, wk in zip(lpp, w):
         # invert Lppi = 5.6 - 0.46 Kp so make_env's pre-solve lands the
         # plasmapause exactly at the dynamic position
-        envs.append(medium.make_env(kp_max=(5.6 - L) / 0.46, **env_kw))
+        kw = dict(env_kw)
+        if refill:
+            kw["ps_refill"] = float(wk)
+        envs.append(medium.make_env(kp_max=(5.6 - L) / 0.46, **kw))
     return envs, lpp

@@ -57,7 +57,7 @@ def ensure_built():
 
 
 def _env_array(env):
-    # explicit 16-double layout matching the C++ Env struct (oracle.cpp
+    # explicit 17-double layout matching the C++ Env struct (oracle.cpp
     # env_from) -- independent of EnvParams field ordering. Features the
     # oracle does not implement are refused rather than silently dropped.
     if float(env.ps_smooth) != 0.0:
@@ -86,7 +86,7 @@ def _env_array(env):
             env.ps_weight, env.lppi, env.lppo, env.ne_lppi,
             env.ps_season, env.ps_trough, env.de_weight,
             env.duct_amp, env.duct_l0, env.duct_w,
-            env.eta_he, env.eta_o,
+            env.eta_he, env.eta_o, env.ps_refill,
         ],
         np.float64,
     )

@@ -99,6 +99,18 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
     e3 = jnp.exp((2.0 - L) / 10.0)
     ne3 = p3 + (1.0 - e3)
     dne3 = -4.5 * p3 / Ls + e3 / 10.0
+    refill_on = not (
+        isinstance(env.ps_refill, float) and env.ps_refill == 0.0
+    )
+    if refill_on:
+        # density-level trough recovery (plasmasphere.ne_plasma_cm3):
+        # log-space blend of the trough toward the saturated branch-1
+        # profile; value and d/dL together
+        w_r = env.ps_refill
+        ln3_eff = (1.0 - w_r) * jnp.log(ne3) + w_r * (LN10 * g1)
+        dln3_eff = (1.0 - w_r) * (dne3 / ne3) + w_r * (dne1 / ne1)
+        ne3 = jnp.exp(ln3_eff)
+        dne3 = ne3 * dln3_eff
     smooth_on = not (
         isinstance(env.ps_smooth, float) and env.ps_smooth == 0.0
     )

@@ -91,3 +91,80 @@ def test_storm_epoch_env_traces():
     u_quiet, u_storm = land(envs[0]), land(envs[1])
     assert np.all(np.isfinite(u_quiet)) and np.all(np.isfinite(u_storm))
     assert abs(u_quiet[1] - u_storm[1]) > 1e-3
+
+
+def test_refill_blends_trough_to_saturation():
+    """ps_refill: 0 = reference-exact trough, 1 = saturated branch-1
+    profile, monotone in between (log-space blend)."""
+    L = np.array([4.5, 5.5, 7.0])
+    kw = dict(lppi=3.0, lppo=3.5, ne_lppi=100.0, a_season=0.2,
+              trough_c=6400.0)
+    ne0 = np.asarray(plasmasphere.ne_plasma_cm3(L, **kw))
+    ne1 = np.asarray(plasmasphere.ne_plasma_cm3(L, refill=1.0, **kw))
+    ne_half = np.asarray(plasmasphere.ne_plasma_cm3(L, refill=0.5, **kw))
+    # full refill equals the saturated branch-1 formula
+    log_sat = (-0.3145 * L + 3.9043) + 0.2 * np.exp((2.0 - L) / 1.5)
+    np.testing.assert_allclose(ne1, 10.0 ** log_sat, rtol=1e-10)
+    # saturated >> eroded in the trough; half-refill strictly between
+    assert np.all(ne1 > ne0)
+    assert np.all((ne_half > ne0) & (ne_half < ne1))
+    # inside the plasmasphere nothing changes
+    Lin = np.array([2.0, 2.8])
+    np.testing.assert_allclose(
+        np.asarray(plasmasphere.ne_plasma_cm3(Lin, refill=0.7, **kw)),
+        np.asarray(plasmasphere.ne_plasma_cm3(Lin, **kw)), rtol=1e-12,
+    )
+
+
+def test_refill_fused_and_native_parity():
+    from raytrace_tpu import native
+    from raytrace_tpu.ops import dispersion, fused, gradients
+
+    env = make_env(b0=3.0696381e-5, ps_refill=0.6)
+    rng = np.random.default_rng(17)
+    for _ in range(25):
+        r = float(rng.uniform(1.2, 6.0))
+        lat = float(rng.uniform(-1.0, 1.0))
+        chi = float(rng.uniform(-1.0, 1.0))
+        f = float(rng.uniform(500.0, 8000.0))
+        ad = gradients.mu_grads_2d_lat(r, lat, chi, f, env,
+                                       grad_mode=gradients.AUTODIFF)
+        fz = fused.mu_and_grads_2d_lat(r, lat, chi, f, env)
+        for i, (a, b) in enumerate(zip(ad, fz)):
+            assert float(b) == pytest.approx(float(a), rel=1e-8,
+                                             abs=1e-12), i
+    try:
+        native.ensure_built()
+    except Exception:
+        pytest.skip("native oracle unavailable")
+    r = rng.uniform(1.5, 6.0, 40)
+    lat = rng.uniform(-1.0, 1.0, 40)
+    chi = rng.uniform(-1.0, 1.0, 40)
+    f = rng.uniform(500.0, 8000.0, 40)
+    got = native.mu_2d_lat_batch(r, lat, chi, f, env)
+    want = np.array([
+        float(dispersion.mu_2d_lat(*a, env)) for a in zip(r, lat, chi, f)
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_refill_history_dynamics():
+    """The trough refill weight drops fast during the storm and recovers
+    more slowly than the plasmapause position."""
+    hours, kp = _storm_kp()
+    t = np.arange(0.0, 72.0, 1.0)
+    w = storm.refill_history(t, hours, kp)
+    lpp = storm.plasmapause_history(t, hours, kp)
+    assert w[0] == pytest.approx(1.0)
+    i30, i71 = np.searchsorted(t, 30.0), np.searchsorted(t, 71.0)
+    assert w[i30] < 0.2            # stripped during the main phase
+    assert 0.05 < w[i71] < 0.8     # recovering, far from saturated
+    # normalized recovery: density lags the plasmapause position
+    quiet = lpp[0]
+    lpp_rec = (lpp[i71] - lpp.min()) / (quiet - lpp.min())
+    w_rec = w[i71] - w.min()
+    assert w_rec < lpp_rec
+    # and storm_sequence(refill=True) wires it into the envs
+    envs, _ = storm.storm_sequence([0.0, 30.0], hours, kp, refill=True)
+    assert envs[0].ps_refill > 0.9
+    assert envs[1].ps_refill < 0.2
