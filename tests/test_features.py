@@ -282,3 +282,29 @@ def test_emic_preset_runs():
     u = np.asarray(res.u)[valid]
     assert np.all(np.isfinite(u))
     assert float(np.asarray(res.t)[valid].min()) > 0.05
+
+
+def test_profiling_harness():
+    """utils.profiling: the timed context blocks on device values and
+    ray_steps_per_sec computes the headline metric."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytrace_tpu.integrate.solve import TraceResult
+    from raytrace_tpu.utils import profiling
+
+    h = profiling.Timing()
+    with profiling.timed(h) as t:
+        t.value = jnp.arange(1024.0).sum()
+    assert h.wall_s is not None and h.wall_s > 0.0
+
+    res = TraceResult(
+        u=np.zeros((4, 4)), t=np.zeros(4),
+        status=np.ones(4, np.int32),
+        n_accept=np.array([100, 200, 300, 400], np.int32),
+        n_reject=np.array([10, 20, 30, 40], np.int32),
+    )
+    valid = np.array([True, True, True, False])
+    got = profiling.ray_steps_per_sec(res, wall_s=2.0, valid=valid,
+                                      n_devices=2)
+    assert got == (110 + 220 + 330) / 2.0 / 2
