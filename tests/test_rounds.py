@@ -218,3 +218,43 @@ def test_rounds_pipeline_split_exact():
     np.testing.assert_allclose(
         np.asarray(split.u)[v], np.asarray(one.u)[v], rtol=0, atol=0
     )
+
+
+def test_packed_carry_roundtrip_exact():
+    """pack_carry/unpack_carry: every field survives the flat float
+    transport bit-exactly, including the int32 counters riding as floats
+    (bounded by max_steps << 2^24, inside the f32 mantissa)."""
+    from raytrace_tpu.integrate.solve import RayCarry
+    from raytrace_tpu.parallel.ensemble import (
+        pack_carry, packed_state_dim, unpack_carry,
+    )
+
+    rng = np.random.default_rng(3)
+    for dtype in (np.float32, np.float64):
+        B, n = 7, 4
+        carry = RayCarry(
+            u=rng.normal(size=(B, n)).astype(dtype),
+            t=rng.uniform(0, 100, B).astype(dtype),
+            dt=rng.uniform(1e-6, 1e-1, B).astype(dtype),
+            k1=rng.normal(size=(B, n)).astype(dtype),
+            errold=rng.uniform(1e-4, 10, B).astype(dtype),
+            status=rng.integers(0, 8, B).astype(np.int32),
+            n_accept=rng.integers(0, 1 << 23, B).astype(np.int32),
+            n_reject=rng.integers(0, 1 << 23, B).astype(np.int32),
+            u_prev=rng.normal(size=(B, n)).astype(dtype),
+            dt_prev=rng.uniform(1e-6, 1e-1, B).astype(dtype),
+            u_lo=(1e-9 * rng.normal(size=(B, n))).astype(dtype),
+            rejected=rng.integers(0, 2, B).astype(np.int32),
+            n_tiny=rng.integers(0, 64, B).astype(np.int32),
+            caution=rng.integers(0, 61, B).astype(np.int32),
+        )
+        f = rng.uniform(500, 8000, B).astype(dtype)
+        fl = np.asarray(pack_carry(carry, jnp.asarray(f)))
+        assert packed_state_dim(fl) == n
+        back, f_back = unpack_carry(fl, n)
+        np.testing.assert_array_equal(np.asarray(f_back), f)
+        for name in carry._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(back, name)), getattr(carry, name),
+                err_msg=name,
+            )
