@@ -24,10 +24,17 @@ HIT_EQUATOR = 4        # magnetic-equator crossing (optional stop)
 ESCAPED = 5            # r exceeded the outer ceiling
 INVALID = 6            # non-finite state (the reference's DomainError class)
 DT_UNDERFLOW = 7       # adaptive dt fell below dt_min
+MAX_STEPS = 8          # step budget exhausted while still integrable --
+                       # CVODE's maxsteps semantics (its solve warns at
+                       # mxstep, RayMain.jl:387); a final result never
+                       # reports ACTIVE. trace(carry0=...) resumes these
+                       # rays (the status resets to ACTIVE on resume), so
+                       # budget exhaustion stays non-terminal for
+                       # checkpoint/restart and the rounds tracer.
 
 STATUS_NAMES = (
     "ACTIVE", "HIT_EARTH", "MAX_PHASE_TIME", "MAX_GROUP_TIME",
-    "HIT_EQUATOR", "ESCAPED", "INVALID", "DT_UNDERFLOW",
+    "HIT_EQUATOR", "ESCAPED", "INVALID", "DT_UNDERFLOW", "MAX_STEPS",
 )
 
 

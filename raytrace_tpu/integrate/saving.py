@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from ..models import dipole, medium
 from ..ops import analytic, dispersion
+from . import events
 
 
 def make_save_fn_2d_lat(env: medium.EnvParams):
@@ -48,17 +49,25 @@ def make_save_fn_2d_colat(env: medium.EnvParams):
 def make_save_fn_3d(env: medium.EnvParams):
     """3D SavedValues channel -- the callback the reference left TODO
     (RayTrace_3D.jl:374-387): (mu, dmudpsi, dip, psi) with psi from the
-    B.rho vector geometry (RayTrace_3D.jl:136-141)."""
+    B.rho vector geometry (RayTrace_3D.jl:136-141).
+
+    Field-model-general: |B| comes from the vector field (b_vec -- valid
+    for the tilted/IGRF models, where the dipole-only b_mag would raise)
+    and the density is organized by the MAGNETIC latitude (mlat_3d), the
+    same composition the 3D compute path itself uses (ops/dispersion.py
+    mu_3d). dip is the dipole dip at magnetic latitude -- exact for
+    "dipole"/"tilted", the degree-1 approximation for "igrf"."""
 
     def save_fn(u, f):
-        r, theta = u[0], u[1]
+        r, theta, phi = u[0], u[1], u[2]
         rho = (u[3], u[4], u[5])
-        lat = jnp.pi / 2.0 - theta
-        psi = dispersion.psi_3d(r, theta, u[2], *rho, env)
-        ne = medium.ne_total_m3(r, lat, env)
-        b = medium.b_mag(r, lat, env)
+        psi = dispersion.psi_3d(r, theta, phi, *rho, env)
+        mlat = medium.mlat_3d(r, theta, phi, env)
+        ne = medium.ne_total_m3(r, mlat, env)
+        br, bt, bp = medium.b_vec(r, theta, phi, env)
+        b = jnp.sqrt(br * br + bt * bt + bp * bp)
         mu, dmudpsi = analytic.mu_and_dmudpsi(ne, b, f, psi)
-        dip = dipole.dip_angle_colat(theta)
+        dip = dipole.dip_angle_lat(mlat)
         return jnp.stack([mu, dmudpsi, dip, psi])
 
     return save_fn
@@ -113,7 +122,10 @@ def stream_trajectory(
         )
         carry = result.carry
         chunks.append({k: np.asarray(v) for k, v in result.traj.items()})
-        if not bool((np.asarray(carry.status) == 0).any()):
+        # MAX_STEPS = chunk budget exhausted, still integrable: the next
+        # chunk's trace(carry0=...) resumes those rays
+        status = np.asarray(carry.status)
+        if not bool(np.isin(status, (events.ACTIVE, events.MAX_STEPS)).any()):
             break
     traj = {
         k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]
@@ -165,8 +177,13 @@ def resample_trajectory(rhs_fn, traj, f, t_query, u0=None):
     for b in range(B):
         tb = t_s[:, b]
         # frozen-t tail after termination: keep the strictly increasing
-        # prefix (+1 so the landing snapshot stays reachable)
-        last = int(np.searchsorted(tb[1:] - tb[:-1] <= 0.0, True)) + 1
+        # prefix (+1 so the landing snapshot stays reachable). argmax, not
+        # searchsorted: the boolean diff array need not be False..True
+        # sorted (t can fail to advance over one mid-flight save interval
+        # during an all-rejected stretch and then resume), and a binary
+        # search over an unsorted array could truncate mid-flight.
+        non_inc = tb[1:] - tb[:-1] <= 0.0
+        last = int(np.argmax(non_inc)) + 1 if non_inc.any() else tb.size
         if last < 2:  # terminated before the first snapshot interval
             out[b] = u_s[0, b]
             continue

@@ -29,7 +29,7 @@ from ..constants import RE
 from . import events
 from .events import StopSpec
 from .steppers import (
-    dopri5_step, rk4_step, ros2_step, ros2x_step, ros4x_step,
+    bs3_step, dopri5_step, rk4_step, ros2_step, ros2x_step, ros4x_step,
 )
 
 
@@ -172,7 +172,8 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
               group_idx: int, adaptive: bool, stepper: str = "dopri5"):
     """One attempted step for one ray; no-op when the ray is not ACTIVE.
 
-    stepper: "dopri5" (adaptive explicit, default) | "ros2" / "ros2x" /
+    stepper: "dopri5" (adaptive explicit, default) | "bs3" (adaptive
+    explicit 3(2), half the stage cost per attempt) | "ros2" / "ros2x" /
     "ros4x" (adaptive linearly implicit L-stable, orders 2 / 3 / 4 -- the
     stiff tier) | "rk4" (fixed step, selected by adaptive=False).
     Controller exponents scale with the stepper's order."""
@@ -196,6 +197,10 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
     elif stepper == "ros4x":
         order = 4.0
         out = ros4x_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
+        accept = out.err <= cfg.accept_tol
+    elif stepper == "bs3":
+        order = 3.0
+        out = bs3_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
         accept = out.err <= cfg.accept_tol
     else:
         if stepper != "dopri5":
@@ -391,6 +396,17 @@ def trace(
     step_b = jax.vmap(step)
     if carry0 is None:
         carry0 = jax.vmap(lambda u, ff: init_carry(rhs_fn, u, ff, cfg))(u0, f)
+    else:
+        # MAX_STEPS means "budget ran out, still integrable": resuming
+        # from a checkpointed carry re-activates exactly those rays, so
+        # budget exhaustion composes transparently with checkpoint/resume
+        # and with the rounds tracer's per-round trace calls.
+        carry0 = carry0._replace(
+            status=jnp.where(
+                carry0.status == events.MAX_STEPS, events.ACTIVE,
+                carry0.status,
+            ).astype(jnp.int32)
+        )
 
     if save_every == 0:
         n_chunks = -(-max_steps // chunk)
@@ -418,6 +434,13 @@ def trace(
 
         carry, traj = jax.lax.scan(outer, carry0, None, length=n_outer)
 
+    # rays alive at budget exhaustion report MAX_STEPS, never ACTIVE
+    # (CVODE's maxsteps semantics); trace(carry0=...) resumes them.
+    carry = carry._replace(
+        status=jnp.where(
+            carry.status == events.ACTIVE, events.MAX_STEPS, carry.status
+        ).astype(jnp.int32)
+    )
     carry = jax.vmap(lambda c, ff: refine_events(rhs_fn, c, ff, spec))(carry, f)
     return TraceResult(
         u=carry.u, t=carry.t, status=carry.status,

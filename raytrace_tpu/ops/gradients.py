@@ -60,12 +60,26 @@ def _require_protons_only(env):
         )
 
 
+def _require_dipole_2d(env):
+    """The 2D frames assume the centered axial dipole (the fused chain
+    hand-codes its geometry and would otherwise silently trace
+    centered-dipole physics for a tilted/IGRF env; autodiff raises via
+    medium.b_mag). Tilted/IGRF media are 3D-only -- same contract as
+    medium.b_mag."""
+    if env.b_model != "dipole":
+        raise ValueError(
+            "the 2D frames assume the centered axial dipole; "
+            f"b_model={env.b_model!r} is 3D-only"
+        )
+
+
 def mu_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, grad_mode=FUSED,
                     root=1.0):
     """(mu, dmu/dr, dmu/dlat, dmu/dpsi, dmu/df) at a latitude-frame state.
 
     root=+1.0 traces the whistler branch (B+F)/2A; root=-1.0 the EMIC
     branch the reference leaves commented out (RayMain.jl:243)."""
+    _require_dipole_2d(env)
     if grad_mode == FUSED:
         from . import fused
 
@@ -86,6 +100,7 @@ def mu_grads_2d_colat(r, theta, chi, f, env: medium.EnvParams, grad_mode=FUSED,
 
     dip(theta) == dip(lat = pi/2 - theta), so the fused latitude chain
     serves here with dmu/dtheta = -dmu/dlat."""
+    _require_dipole_2d(env)
     if grad_mode == FUSED:
         from . import fused
 

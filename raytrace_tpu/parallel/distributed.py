@@ -103,14 +103,58 @@ def local_mesh():
     return mesh_mod.make_ray_mesh(jax.local_devices())
 
 
+def _weighted_median(values, weights):
+    """Median of `values` under nonnegative `weights` (the smallest value
+    at which the cumulative weight reaches half the total). Zero-weight
+    entries never influence the result; all-zero weights return 0.0."""
+    values = np.asarray(values, np.float64)
+    weights = np.asarray(weights, np.float64)
+    order = np.argsort(values)
+    v, w = values[order], weights[order]
+    cum = np.cumsum(w)
+    total = cum[-1] if cum.size else 0.0
+    if total <= 0.0:
+        return 0.0
+    return float(v[np.searchsorted(cum, 0.5 * total)])
+
+
+def combine_stat_rows(rows) -> dict:
+    """Pure combination of per-process ensemble_stats rows into global
+    statistics (one dict per process, identical key sets).
+
+    - plain keys (counts, totals) SUM across processes;
+    - `mean_*` keys recombine weighted by each process's surface-hit
+      count (exact: the per-process means are hit-count-weighted sums);
+    - `median_*` keys are NOT sum-combinable -- the global value is the
+      hit-weighted median of the per-process medians. That is exact at
+      process_count == 1 and a standard median-of-medians estimator
+      otherwise (the exact global median would need the raw per-ray
+      values, which stay process-local by design -- only a few hundred
+      bytes of stats ever cross DCN)."""
+    out = {}
+    hits = np.asarray(
+        [r.get("n_hit_earth", 0.0) for r in rows], np.float64
+    )
+    total_hits = max(float(hits.sum()), 1.0)
+    for k in rows[0]:
+        vals = np.asarray([r[k] for r in rows], np.float64)
+        if k.startswith("mean_"):
+            out[k] = float(np.sum(vals * hits) / total_hits)
+        elif k.startswith("median_"):
+            out[k] = _weighted_median(vals, hits)
+        else:
+            out[k] = float(vals.sum())
+    return out
+
+
 def aggregate_stats(stats: dict) -> dict:
     """Combine per-process ensemble_stats dicts into global statistics.
 
-    Counts and totals sum across processes; the mean fields are
-    recombined weighted by each process's surface-hit count. Runs a
-    process_allgather when process_count > 1; a pure pass-through (modulo
-    float casting) single-process, so the same code path is exercised by
-    the single-host tests."""
+    Gathers every process's stats row with process_allgather when
+    process_count > 1 (a single-process run skips the collective), then
+    delegates to the pure `combine_stat_rows` -- which is what the
+    synthetic multi-row unit tests and the 2-process integration test
+    both exercise."""
     local = {k: float(v) for k, v in stats.items()}
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -121,16 +165,7 @@ def aggregate_stats(stats: dict) -> dict:
         rows = [dict(zip(keys, row)) for row in allv]
     else:
         rows = [local]
-    out = {}
-    hits = np.asarray([r.get("n_hit_earth", 0.0) for r in rows])
-    total_hits = max(float(hits.sum()), 1.0)
-    for k in rows[0]:
-        vals = np.asarray([r[k] for r in rows])
-        if k.startswith("mean_"):
-            out[k] = float(np.sum(vals * hits) / total_hits)
-        else:
-            out[k] = float(vals.sum())
-    return out
+    return combine_stat_rows(rows)
 
 
 def trace_ensemble_multihost(env, u0, f, valid=None, *, tracer_kw=None):

@@ -226,6 +226,7 @@ def make_rounds_tracer(
     stiff_switch: float = 0.5,
     stiff_unswitch: float = 0.02,
     stiff_stepper: str = "ros2x",
+    base_stepper: str = "dopri5",
     want_carry: bool = True,
     pipeline: int = 1,
 ):
@@ -242,8 +243,14 @@ def make_rounds_tracer(
     `stiff_unswitch`. Pools are separate compiled programs over the same
     RayCarry, so the switch is exact (dt/controller state carry over) and
     costs nothing per step -- a per-step lax.cond would execute BOTH
-    steppers on every lane under vmap. Explicit "dopri5"/"ros2"/"ros2x"
-    pin the method for every ray.
+    steppers on every lane under vmap. Explicit "dopri5"/"bs3"/"ros2"/
+    "ros2x" pin the method for every ray.
+
+    base_stepper: auto mode's NON-STIFF pool method ("dopri5" default;
+    "bs3" halves the stage cost per attempt -- the right choice when the
+    workload rides dt_max rather than the error estimator, which the
+    headline ensemble does: median accepted dt = 0.985 dt_max,
+    benchmarks/perf_r03.json). Ignored unless stepper == "auto".
 
     stall_progress: rays whose phase path advanced less than this (RE)
     over a whole round are marked DT_UNDERFLOW and dropped. Rays wedged
@@ -305,8 +312,11 @@ def make_rounds_tracer(
         else (int(round_steps),)
     )
 
+    # base_stepper only applies in auto mode (the non-stiff pool's
+    # method); an explicit stepper pins every ray to that method
     auto = stepper == "auto"
-    base_stepper = "dopri5" if auto else stepper
+    if not auto:
+        base_stepper = stepper
 
     def make_kw(n, st):
         return dict(
@@ -451,10 +461,18 @@ def make_rounds_tracer(
         # stall check instead of an (expensive) ros2x round.
         stiff = np.zeros(n, bool)
 
+        # a round's trace marks unfinished rays MAX_STEPS (the per-round
+        # budget ran out, still integrable); the next round's resume
+        # re-activates them, so "alive" here means ACTIVE or MAX_STEPS
+        def _alive(status_col):
+            return (status_col == events.ACTIVE) | (
+                status_col == events.MAX_STEPS
+            )
+
         def settle(idx, rf, prog, st):
             """Post-round bookkeeping for the rays in idx: stall
             retirement first, then stiff-pool membership updates."""
-            still = (hs[idx, ST_] == events.ACTIVE) & (override[idx] < 0)
+            still = _alive(hs[idx, ST_]) & (override[idx] < 0)
             if stall_progress > 0.0:
                 stalled = still & (prog < stall_progress)
                 override[idx[stalled]] = events.DT_UNDERFLOW
@@ -475,8 +493,7 @@ def make_rounds_tracer(
         i = 1
         while steps_done < max_steps:
             active = (
-                (hs[:, ST_] == events.ACTIVE) & (override < 0)
-                & np.asarray(valid)
+                _alive(hs[:, ST_]) & (override < 0) & np.asarray(valid)
             )
             if not active.any():
                 break
@@ -603,11 +620,17 @@ def ensemble_stats(result, valid, lat_sign=1.0, lat_offset=0.0, xp=jnp):
     # medians too: rays that wrap over the pole land with cos(lat) ~ 0,
     # and a single such outlier (L ~ 1e5) dominates the mean. Masked
     # median via sort + dynamic index (works for np and jnp alike).
+    # Empty hit set falls back to 0.0 like the mean fields (the inf
+    # padding value at index 0 would otherwise flow into run-record JSON
+    # as the non-standard 'Infinity' token).
     mid = xp.maximum(n_hit - 1, 0) // 2
-    out["median_landing_l"] = xp.sort(
-        xp.where(hit, l_land, xp.inf)
-    )[mid]
-    out["median_group_delay_s"] = xp.sort(xp.where(hit, T, xp.inf))[mid]
+    any_hit = n_hit > 0
+    out["median_landing_l"] = xp.where(
+        any_hit, xp.sort(xp.where(hit, l_land, xp.inf))[mid], 0.0
+    )
+    out["median_group_delay_s"] = xp.where(
+        any_hit, xp.sort(xp.where(hit, T, xp.inf))[mid], 0.0
+    )
     out["total_accepted_steps"] = xp.sum(xp.where(valid, result.n_accept, 0))
     out["total_rejected_steps"] = xp.sum(xp.where(valid, result.n_reject, 0))
     return out

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy end-to-end suites; fast gate runs -m 'not slow'
+
 from raytrace_tpu import native
 from raytrace_tpu.constants import RE
 from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace

@@ -225,6 +225,114 @@ def test_multihost_single_process_matches_rounds_tracer():
         assert gstats[k] == pytest.approx(float(v), rel=1e-12), k
 
 
+def test_combine_stat_rows_synthetic_multirow():
+    """The pure cross-process recombination on >= 2 synthetic rows:
+    counts sum, means recombine hit-weighted, and medians are the
+    hit-weighted median of per-process medians -- NOT a sum (summing
+    medians was the round-2 defect: ~P times too large in any real
+    multi-host run)."""
+    from raytrace_tpu.parallel.distributed import combine_stat_rows
+
+    rows = [
+        {"n_hit_earth": 6.0, "mean_landing_l": 2.0,
+         "median_landing_l": 2.1, "total_accepted_steps": 100.0},
+        {"n_hit_earth": 2.0, "mean_landing_l": 4.0,
+         "median_landing_l": 4.5, "total_accepted_steps": 50.0},
+        {"n_hit_earth": 0.0, "mean_landing_l": 0.0,
+         "median_landing_l": 0.0, "total_accepted_steps": 7.0},
+    ]
+    out = combine_stat_rows(rows)
+    assert out["n_hit_earth"] == 8.0
+    assert out["total_accepted_steps"] == 157.0
+    assert out["mean_landing_l"] == pytest.approx((6 * 2.0 + 2 * 4.0) / 8)
+    # hit-weighted median of medians: cumulative weight reaches half the
+    # total (4 of 8 hits) at the first row's median. A zero-hit process
+    # must never influence it; a sum (2.1 + 4.5 + 0.0 = 6.6) fails here.
+    assert out["median_landing_l"] == pytest.approx(2.1)
+    # degenerate cases: one row is the identity; all-zero hits -> 0.0
+    one = combine_stat_rows(rows[:1])
+    assert one["median_landing_l"] == pytest.approx(2.1)
+    assert one["mean_landing_l"] == pytest.approx(2.0)
+    empty = combine_stat_rows([rows[2], rows[2]])
+    assert empty["median_landing_l"] == 0.0
+
+
+@pytest.mark.slow
+def test_multihost_two_real_processes():
+    """REAL 2-process DCN integration: two subprocesses initialize
+    jax.distributed against a localhost coordinator, trace their slices
+    of one global grid, and aggregate stats through process_allgather.
+    Asserts the global stats equal the pure combine_stat_rows of the two
+    local rows (would have caught the round-2 summed-medians defect) and
+    that both processes agree on the global result (SPMD)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from raytrace_tpu.parallel.distributed import combine_stat_rows
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_multihost_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), "2", str(i)],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    local, glob = {}, {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("LOCAL "):
+                _, pid, payload = line.split(" ", 2)
+                local[int(pid)] = json.loads(payload)
+            elif line.startswith("GLOBAL "):
+                _, pid, payload = line.split(" ", 2)
+                glob[int(pid)] = json.loads(payload)
+    assert set(local) == {0, 1} and set(glob) == {0, 1}
+    # SPMD: both processes computed the same global stats
+    assert glob[0] == glob[1]
+    # the collective gathered exactly the two local rows; the global
+    # result is their pure recombination
+    expect = combine_stat_rows([local[0], local[1]])
+    for k, v in expect.items():
+        assert glob[0][k] == pytest.approx(v, rel=1e-12, abs=1e-12), k
+    # medians really combined as medians: bounded by the per-process
+    # medians (a sum would exceed the max whenever both are positive)
+    meds = [local[i]["median_landing_l"] for i in (0, 1)]
+    if min(meds) > 0:
+        assert min(meds) <= glob[0]["median_landing_l"] <= max(meds)
+    # every valid ray traced somewhere: hit + retired counts cover the grid
+    n_rays = 8
+    total = sum(
+        v for k, v in glob[0].items()
+        if k.startswith("n_") and k != "n_active"
+    )
+    assert total == n_rays
+
+
 def test_ensemble_stats_median_robust_to_polar_outlier():
     """A single pole-grazing landing (cos lat ~ 0, L ~ 1e5) dominates
     mean_landing_l; the median must not move."""

@@ -105,6 +105,55 @@ def test_auto_stepper_pool_handoff():
     )
 
 
+def test_rounds_tracer_3d_auto_stiff_pool():
+    """The production rounds path on the 7-state 3D frame: packed carry
+    transport at state_dim=7, the stiff pool (ros2x with the unpivoted
+    7x7 W-solve), and stepper='auto' hand-off -- previously exercised
+    only by the bench. Statuses must match the pure-DP5 rounds run and
+    the hand-off must preserve the physics."""
+    from raytrace_tpu.models import make_env
+    from raytrace_tpu.parallel.ensemble import packed_state_dim
+
+    mesh = make_ray_mesh()
+    env = make_env()
+    lats = np.linspace(0.6, 0.9, 4)
+    u0 = np.zeros((4, 7))
+    u0[:, 0] = R0
+    u0[:, 1] = np.pi / 2 - lats
+    u0[:, 3] = 1.0
+    u0[:, 4] = 1.0
+    f = np.full(4, 1000.0)
+    u0, f, valid = pad_batch(u0, f, mesh)
+    kw = dict(
+        mesh=mesh, frame="3d",
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE, lat_sign=-1.0,
+                      lat_offset=np.pi / 2),
+        max_steps=2048, round_steps=256, bucket_floor=8,
+    )
+    auto_tr = make_rounds_tracer(
+        env, stepper="auto", stiff_switch=0.001, stiff_unswitch=0.0, **kw
+    )
+    res_auto = auto_tr(u0, f, valid)
+    # the forced-low threshold really sent rays through the ros2x pool
+    assert auto_tr.last_stiff is not None and auto_tr.last_stiff.any()
+    res_dp5 = make_rounds_tracer(env, stepper="dopri5", **kw)(u0, f, valid)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(
+        np.asarray(res_auto.status)[v], np.asarray(res_dp5.status)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_auto.u)[v, :2], np.asarray(res_dp5.u)[v, :2],
+        rtol=5e-3, atol=5e-3,
+    )
+    # packed transport really carried the 7-state frame
+    from raytrace_tpu.parallel.ensemble import pack_carry
+
+    assert res_auto.carry is not None
+    fl = pack_carry(res_auto.carry, jnp.asarray(f))
+    assert packed_state_dim(fl) == 7
+
+
 def test_nan_error_estimate_retires_ray_on_device():
     """A ray whose RHS hits a dispersion singularity produces a NaN error
     estimate; the controller must treat it as a hard rejection (dt to the
