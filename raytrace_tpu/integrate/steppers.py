@@ -108,11 +108,41 @@ def _solve4(W, b):
     return inv @ b
 
 
+def _solve_nopivot(W, b):
+    """Branch-free unpivoted Gaussian elimination, statically unrolled.
+
+    Serves every W-matrix size beyond the 4x4 adjugate (the 7-state 3D
+    frame in particular). No pivoting is safe for the SAME reason the
+    adjugate is (see _solve4): W = I - h*gamma*J is within O(h) of the
+    identity at accepted step sizes, so every pivot is ~1 and elimination
+    is well-conditioned without row exchanges. jnp.linalg.solve would
+    lower batched pivoted LU under vmap -- the measured 30-60x Rosenbrock
+    step penalty -- while this unrolls to ~n^3/3 fused vector ops. n is
+    static, so the Python loops unroll at trace time (n = 7: ~100 row
+    ops)."""
+    n = W.shape[0]
+    rows = [W[i] for i in range(n)]
+    rhs = [b[i] for i in range(n)]
+    for k in range(n):
+        inv = 1.0 / rows[k][k]
+        for i in range(k + 1, n):
+            m = rows[i][k] * inv
+            rows[i] = rows[i] - m * rows[k]
+            rhs[i] = rhs[i] - m * rhs[k]
+    x = [None] * n
+    for k in reversed(range(n)):
+        acc = rhs[k]
+        for j in range(k + 1, n):
+            acc = acc - rows[k][j] * x[j]
+        x[k] = acc / rows[k][k]
+    return jnp.stack(x)
+
+
 def _solve_w(W, b):
     """Linear solve specialized for the small Rosenbrock W-matrices."""
     if W.shape[0] == 4:
         return _solve4(W, b)
-    return jnp.linalg.solve(W, b)
+    return _solve_nopivot(W, b)
 
 
 def ros2_step(rhs_fn, u, k1, dt, rtol, atol):
@@ -242,6 +272,35 @@ def ros4x_step(rhs_fn, u, k1, dt, rtol, atol):
     scale = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u_new))
     err = jnp.sqrt(jnp.mean(jnp.square(err_vec / scale)))
     return StepOut(u_new, k_end, err, u_new - u)
+
+
+def bs3_step(rhs_fn, u, k1, dt, rtol, atol):
+    """One Bogacki-Shampine 3(2) attempt (the classic ode23 pair).
+
+    FSAL like DP5 but with HALF the stage cost: 3 fresh RHS evals per
+    attempt (k1 carried) vs DP5's 6. Order 3, so at equal tolerance it
+    takes more, cheaper steps -- the cheaper-per-attempt experiment for
+    the headline workload (BASELINE.md roofline: the per-attempt RHS
+    dependency chain IS the throughput ceiling, so halving stage count
+    can beat a ~2x step-count increase). Tableau (Bogacki & Shampine
+    1989): c = (1/2, 3/4, 1), a21 = 1/2, a32 = 3/4,
+    b = (2/9, 1/3, 4/9) with the 3rd-order solution's own evaluation
+    serving as k4 = f(u_new) (FSAL), embedded 2nd-order
+    b* = (7/24, 1/4, 1/3, 1/8)."""
+    k2 = rhs_fn(u + (0.5 * dt) * k1)
+    k3 = rhs_fn(u + (0.75 * dt) * k2)
+    incr = dt * (
+        (2.0 / 9.0) * k1 + (1.0 / 3.0) * k2 + (4.0 / 9.0) * k3
+    )
+    u_new = u + incr
+    k4 = rhs_fn(u_new)          # FSAL: next attempt's k1
+    err_vec = dt * (
+        (2.0 / 9.0 - 7.0 / 24.0) * k1 + (1.0 / 3.0 - 0.25) * k2
+        + (4.0 / 9.0 - 1.0 / 3.0) * k3 - 0.125 * k4
+    )
+    scale = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u_new))
+    err = jnp.sqrt(jnp.mean(jnp.square(err_vec / scale)))
+    return StepOut(u_new, k4, err, incr)
 
 
 def dopri5_step(rhs_fn, u, k1, dt, rtol, atol):

@@ -169,3 +169,56 @@ def test_trajectory_mode_snapshots():
     # snapshot times are non-decreasing
     ts = np.asarray(res.traj["t"][:, 0])
     assert np.all(np.diff(ts) >= 0)
+
+
+def test_bs3_order_three_and_whistler_parity():
+    """Bogacki-Shampine 3(2): third-order convergence on a smooth ODE and
+    landing parity with DP5 on the canonical whistler ray."""
+    import jax
+
+    from raytrace_tpu.integrate.steppers import bs3_step
+
+    # fixed-step convergence on u' = -u + sin(t) (smooth, nonstiff):
+    # global error ~ h^3 -> halving h cuts it ~8x
+    def f_aug(u):
+        # autonomous augmentation: u = (y, t)
+        return jnp.array([-u[0] + jnp.sin(u[1]), 1.0])
+
+    def integrate(h, n):
+        u = jnp.array([1.0, 0.0])
+        for _ in range(n):
+            out = bs3_step(f_aug, u, f_aug(u), h, 1.0, 1.0)
+            u = out.u_new
+        return u[0]
+
+    # exact solution of y' = -y + sin t, y(0)=1:
+    # y = (sin t - cos t)/2 + 1.5 e^-t
+    t_end = 1.0
+    exact = (np.sin(t_end) - np.cos(t_end)) / 2 + 1.5 * np.exp(-t_end)
+    e1 = abs(float(integrate(1.0 / 16, 16)) - exact)
+    e2 = abs(float(integrate(1.0 / 32, 32)) - exact)
+    ratio = e1 / e2
+    assert 5.0 < ratio < 12.0, ratio  # ~8 for order 3
+
+    # whistler landing parity vs DP5 at the same tolerance
+    env = medium.make_env_lat()
+    u0 = jnp.array([[R0, np.pi / 4, 0.0, 0.0]])
+    f = jnp.array([1000.0])
+    kw = dict(
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e9 / RE), max_steps=8192,
+    )
+    rhs_fn = lambda u, ff: rhs.rhs_2d_lat(u, ff, env)  # noqa: E731
+    res_bs = trace(rhs_fn, u0, f, stepper="bs3", **kw)
+    res_dp = trace(rhs_fn, u0, f, stepper="dopri5", **kw)
+    assert int(res_bs.status[0]) == int(res_dp.status[0]) == events.HIT_EARTH
+    np.testing.assert_allclose(
+        np.asarray(res_bs.u)[0, :2], np.asarray(res_dp.u)[0, :2],
+        rtol=5e-3, atol=5e-3,
+    )
+    # the canonical ray rides dt_max (mean accepted dt ~ 0.95 dt_max for
+    # DP5 at this tolerance), so the order-3 pair needs only slightly
+    # more steps at HALF the stage cost per attempt -- the measured basis
+    # for the bs3 headline experiment (benchmarks/perf_r03.py)
+    n_bs, n_dp = int(res_bs.n_accept[0]), int(res_dp.n_accept[0])
+    assert n_bs < 1.5 * n_dp, (n_bs, n_dp)

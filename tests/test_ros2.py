@@ -243,3 +243,59 @@ def test_ros2x_stiff_efficiency_vs_ros2():
     assert int(r3.status[0]) == events.MAX_PHASE_TIME
     assert float(r3.u[0, 0]) == pytest.approx(exact, abs=1e-5)
     assert int(r3.n_accept[0]) * 2 < int(r2.n_accept[0])
+
+
+def test_solve_nopivot_matches_pivoted_lu():
+    """The unrolled unpivoted W-solve (7-state stiff tier) against
+    numpy's pivoted LU on random near-identity W = I - h*g*J matrices --
+    the regime the no-pivoting argument (every pivot ~ 1) covers."""
+    import jax
+
+    from raytrace_tpu.integrate.steppers import _solve_nopivot, _solve_w
+
+    rng = np.random.default_rng(7)
+    for n in (3, 5, 7):
+        for scale in (1e-3, 0.1, 0.4):
+            W = np.eye(n) + scale * rng.standard_normal((n, n))
+            b = rng.standard_normal(n)
+            x = np.asarray(_solve_nopivot(jnp.asarray(W), jnp.asarray(b)))
+            np.testing.assert_allclose(
+                x, np.linalg.solve(W, b), rtol=1e-9, atol=1e-12
+            )
+    # _solve_w dispatches: 4 -> adjugate, else -> unpivoted elimination;
+    # both batch cleanly under vmap (no pivoted-LU lowering)
+    for n in (4, 7):
+        W = np.eye(n)[None] + 0.05 * rng.standard_normal((8, n, n))
+        b = rng.standard_normal((8, n))
+        xb = np.asarray(jax.vmap(_solve_w)(jnp.asarray(W), jnp.asarray(b)))
+        np.testing.assert_allclose(
+            xb, np.linalg.solve(W, b), rtol=1e-8, atol=1e-11
+        )
+
+
+def test_ros2x_7state_whistler_trace():
+    """ros2x on the 7-state 3D frame: the W-solves go through the
+    unpivoted 7x7 elimination (previously a vmapped pivoted-LU fallback
+    measured 30-60x slower). The ray must integrate to the surface with
+    physics matching DP5."""
+    from raytrace_tpu.models import make_env
+
+    env = make_env()
+    u0 = jnp.array(
+        [[(RE + 1.0e6) / RE, np.pi / 4, 0.0, 1.0, 1.0, 0.0, 0.0]]
+    )
+    f = jnp.array([1000.0])
+    kw = dict(
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE, lat_sign=-1.0,
+                      lat_offset=np.pi / 2),
+        group_idx=6, max_steps=4096,
+    )
+    rhs_fn = lambda u, ff: rhs.rhs_3d(u, ff, env)  # noqa: E731
+    res_ros = trace(rhs_fn, u0, f, stepper="ros2x", **kw)
+    res_dp5 = trace(rhs_fn, u0, f, stepper="dopri5", **kw)
+    assert int(res_ros.status[0]) == int(res_dp5.status[0])
+    np.testing.assert_allclose(
+        np.asarray(res_ros.u)[0, :2], np.asarray(res_dp5.u)[0, :2],
+        rtol=5e-3, atol=5e-3,
+    )
