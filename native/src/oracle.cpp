@@ -42,13 +42,16 @@ struct Env {
   double duct_amp, duct_l0, duct_w;  // Gaussian L-shell density duct
   double eta_he, eta_o;              // He+/O+ fractions of n_e
   double ps_refill;                  // trough refill weight in [0, 1]
+  double ps_refill_q;                // tau(L) ~ L^q exponent (0 = global)
+  double ps_refill_lref;             // shell where ps_refill is exact
 };
 
-// env array protocol (raytrace_tpu/native.py::_env_array): 17 doubles in
+// env array protocol (raytrace_tpu/native.py::_env_array): 19 doubles in
 // the struct's field order
 Env env_from(const double* v) {
   return Env{v[0],  v[1],  v[2],  v[3],  v[4],  v[5],  v[6],  v[7],  v[8],
-             v[9], v[10], v[11], v[12], v[13], v[14], v[15], v[16]};
+             v[9], v[10], v[11], v[12], v[13], v[14], v[15], v[16], v[17],
+             v[18]};
 }
 
 // ---- environment (reference: RayTrace_lat.jl:66-84, plasmasphere.jl) ----
@@ -69,11 +72,20 @@ double ne_total_m3(double r, double lat, const Env& e) {
            (1.0 - std::exp((2.0 - L) / 10.0));
     if (e.ps_refill != 0.0) {
       // density-level trough refilling: log-space blend toward the
-      // saturated branch-1 profile (models/plasmasphere.py)
+      // saturated branch-1 profile (models/plasmasphere.py). With
+      // ps_refill_q > 0 the weight is per-L (refill_weight: each shell
+      // refills on its own tau ~ L^q clock; ps_refill applies exactly
+      // at L = ps_refill_lref).
+      double w = e.ps_refill;
+      if (e.ps_refill_q != 0.0) {
+        double ex = std::pow(e.ps_refill_lref / L, e.ps_refill_q);
+        double keep = std::max(1.0 - w, 1e-30);
+        w = 1.0 - std::pow(keep, ex);
+      }
       double log_ne1 = (-0.3145 * L + 3.9043) +
                        e.ps_season * std::exp((2.0 - L) / 1.5);
-      ne_p = std::exp((1.0 - e.ps_refill) * std::log(ne_p) +
-                      e.ps_refill * log_ne1 * std::log(10.0));
+      ne_p = std::exp((1.0 - w) * std::log(ne_p) +
+                      w * log_ne1 * std::log(10.0));
     }
   }
   if (e.duct_amp != 0.0) {

@@ -79,6 +79,13 @@ class EnvParams(NamedTuple):
     # trough (reference-exact), 1 = refilled to the saturated profile;
     # see plasmasphere.ne_plasma_cm3
     ps_refill: float = 0.0
+    # L-dependent refill timescale exponent (STATIC): tau(L) ~ L^q, so
+    # ps_refill is the weight at L = ps_refill_lref and each shell
+    # refills on its own clock (plasmasphere.refill_weight; q ~ 4 is the
+    # flux-tube-volume scaling -- days at high L, hours low). 0 = the
+    # global per-epoch weight.
+    ps_refill_q: float = 0.0
+    ps_refill_lref: float = 4.0
 
 
 def make_env(
@@ -105,6 +112,8 @@ def make_env(
     eta_he=0.0,
     eta_o=0.0,
     ps_refill=0.0,
+    ps_refill_q=0.0,
+    ps_refill_lref=4.0,
 ):
     """Build EnvParams; runs the host-side plasmapause pre-solve.
 
@@ -152,6 +161,10 @@ def make_env(
         raise ValueError("ps_refill must lie in [0, 1]")
     if ps_refill != 0.0 and ps_model != "ca1992":
         raise ValueError("ps_refill blends the CA1992 trough only")
+    if ps_refill_q < 0.0 or ps_refill_lref <= 0.0:
+        raise ValueError(
+            "ps_refill_q must be >= 0 and ps_refill_lref > 0"
+        )
     if b_model not in ("dipole", "tilted", "igrf"):
         raise ValueError(f"unknown b_model {b_model!r}")
     if b_model == "tilted":
@@ -202,6 +215,8 @@ def make_env(
         eta_he=float(eta_he),
         eta_o=float(eta_o),
         ps_refill=float(ps_refill),
+        ps_refill_q=float(ps_refill_q),
+        ps_refill_lref=float(ps_refill_lref),
     )
 
 
@@ -209,7 +224,8 @@ def make_env(
 # strings) when casting an EnvParams to device values
 STATIC_FIELDS = ("ps_weight", "de_weight", "ps_smooth", "iono_mix",
                  "ps_model", "b_model", "duct_amp", "igrf_coeffs",
-                 "eta_he", "eta_o", "ps_refill")
+                 "eta_he", "eta_o", "ps_refill", "ps_refill_q",
+                 "ps_refill_lref")
 
 
 def cast_env(env: EnvParams, dtype):
@@ -254,7 +270,8 @@ def ne_total_m3(r, lat, env: EnvParams):
     else:
         ne_p = plasmasphere.ne_plasma_cm3(
             L, env.lppi, env.lppo, env.ne_lppi, env.ps_season, env.ps_trough,
-            env.ps_smooth, env.ps_refill,
+            env.ps_smooth, env.ps_refill, env.ps_refill_q,
+            env.ps_refill_lref,
         )
     if not (isinstance(env.duct_amp, float) and env.duct_amp == 0.0):
         ne_p = ne_p * plasmasphere.duct_factor(

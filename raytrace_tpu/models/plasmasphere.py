@@ -82,8 +82,34 @@ def initialize_plasmasphere(lppi, day, rbar, mlt):
 LN10 = 2.302585092994046
 
 
+def refill_weight(L, w0, q, lref=4.0):
+    """Per-L trough refill weight from the epoch weight w0 at L = lref.
+
+    Refilling from the ionosphere is NOT uniform in L: the flux-tube
+    volume grows ~ L^4 while the ionospheric source is fixed, so the
+    refill timescale is hours at low L and days at high L (Denton et al.
+    2012-class rates). Model: tau(L) = tau_ref (L/lref)^q. An epoch
+    weight w0 = 1 - exp(-t/tau_ref) (what storm.refill_history produces
+    at the reference shell) then maps to
+
+        w(L) = 1 - (1 - w0)^((lref/L)^q)
+
+    -- the same elapsed quiet time t applied to each shell's own
+    timescale. q = 0 recovers the global (L-independent) weight; the
+    function is exactly w0 at L = lref, monotonically decreasing in L for
+    q > 0, -> 1 as L -> 0 and -> 0 as L -> inf (an infinite flux tube
+    never refills). Written in exp/log form (Pallas-lowerable); the
+    1 - w0 floor keeps w0 = 1 finite (w -> 1 at every finite L)."""
+    if isinstance(q, float) and q == 0.0:
+        return w0
+    Lsafe = jnp.maximum(L, 1e-6)
+    e = jnp.exp(q * (jnp.log(lref) - jnp.log(Lsafe)))  # (lref/L)^q
+    ln_keep = jnp.log(jnp.maximum(1.0 - w0, 1e-30))
+    return 1.0 - jnp.exp(e * ln_keep)
+
+
 def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c, smooth=0.0,
-                  refill=0.0):
+                  refill=0.0, refill_q=0.0, refill_lref=4.0):
     """CA1992 plasmasphere density (cm^-3), branchless on device.
 
     trough_c = 5800 + 300 mlt. Reference: RayTrace_lat.jl:72-81.
@@ -105,7 +131,13 @@ def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c, smooth=0.0,
     beyond the plasmapause: 0 = eroded (reference-exact), 1 = fully
     refilled to saturation. Physically w = 1 - exp(-dt/tau_refill) with
     tau_refill ~ days (Denton et al. 2012-class rates);
-    storm.plasmapause_history supplies the epoch weights."""
+    storm.plasmapause_history supplies the epoch weights.
+
+    refill_q > 0 makes the weight L-DEPENDENT via refill_weight():
+    `refill` is then the weight at L = refill_lref and each shell refills
+    on its own timescale tau ~ L^refill_q (q ~ 4, the flux-tube-volume
+    scaling: days at high L, hours low). refill_q = 0 (default) keeps
+    the global per-epoch weight."""
     log_ne1 = (-0.3145 * L + 3.9043) + a_season * jnp.exp((2.0 - L) / 1.5)
     ne1 = jnp.exp(LN10 * log_ne1)
     ne2 = ne_lppi * jnp.exp(LN10 * (lppi - L) / 0.1)
@@ -120,9 +152,8 @@ def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c, smooth=0.0,
             "jnp-cast of EnvParams."
         )
     if not (isinstance(refill, float) and refill == 0.0):
-        ne3 = jnp.exp(
-            (1.0 - refill) * jnp.log(ne3) + refill * (LN10 * log_ne1)
-        )
+        w = refill_weight(L, refill, refill_q, refill_lref)
+        ne3 = jnp.exp((1.0 - w) * jnp.log(ne3) + w * (LN10 * log_ne1))
     hard = jnp.where(L <= lppi, ne1, jnp.where(L <= lppo, ne2, ne3))
     if smooth == 0.0:
         return hard

@@ -57,7 +57,7 @@ def ensure_built():
 
 
 def _env_array(env):
-    # explicit 17-double layout matching the C++ Env struct (oracle.cpp
+    # explicit 19-double layout matching the C++ Env struct (oracle.cpp
     # env_from) -- independent of EnvParams field ordering. Features the
     # oracle does not implement are refused rather than silently dropped.
     if float(env.ps_smooth) != 0.0:
@@ -87,6 +87,7 @@ def _env_array(env):
             env.ps_season, env.ps_trough, env.de_weight,
             env.duct_amp, env.duct_l0, env.duct_w,
             env.eta_he, env.eta_o, env.ps_refill,
+            env.ps_refill_q, env.ps_refill_lref,
         ],
         np.float64,
     )

@@ -168,3 +168,101 @@ def test_refill_history_dynamics():
     envs, _ = storm.storm_sequence([0.0, 30.0], hours, kp, refill=True)
     assert envs[0].ps_refill > 0.9
     assert envs[1].ps_refill < 0.2
+
+
+def test_refill_weight_l_dependence():
+    """Per-L refill (tau ~ L^q): exact at the reference shell, monotone
+    decreasing in L (high shells refill slower), q = 0 reduces to the
+    global weight, and the limits are physical."""
+    L = np.linspace(1.5, 10.0, 40)
+    w0 = 0.6
+    w = np.asarray(plasmasphere.refill_weight(L, w0, 4.0, lref=4.0))
+    # exact at lref
+    assert float(
+        plasmasphere.refill_weight(np.array(4.0), w0, 4.0, 4.0)
+    ) == pytest.approx(w0, rel=1e-12)
+    # monotone decreasing in L (w saturates to 1.0 exactly at the lowest
+    # shells in float64 -- keep - 1 underflows -- so the global test is
+    # non-strict, with strictness checked away from saturation)
+    assert np.all(np.diff(w) <= 0.0)
+    mid = (L > 2.5) & (L < 8.0)
+    assert np.all(np.diff(w[mid]) < 0.0)
+    # bounded and physical limits: low shells nearly saturated, high
+    # shells nearly eroded
+    assert np.all((w > 0.0) & (w <= 1.0))
+    assert w[0] > 0.98          # L = 1.5 refills ~ (4/1.5)^4 ~ 50x faster
+    assert w[-1] < 0.05         # L = 10 ~ 39x slower
+    # q = 0: global weight everywhere
+    np.testing.assert_allclose(
+        np.asarray(plasmasphere.refill_weight(L, w0, 0.0)), w0
+    )
+    # w0 = 1 stays exactly saturated at finite L (the 1e-30 floor)
+    assert float(
+        plasmasphere.refill_weight(np.array(3.0), 1.0, 4.0)
+    ) == pytest.approx(1.0)
+
+
+def test_refill_l_dependent_density_monotone_and_saturation():
+    """With tau ~ L^q, a partially refilled epoch leaves the low-L trough
+    near saturation and the high-L trough near eroded; the 2-day
+    density timescale saturates the reference shell."""
+    kw = dict(lppi=3.0, lppo=3.5, ne_lppi=100.0, a_season=0.2,
+              trough_c=6400.0)
+    L = np.linspace(4.0, 9.0, 30)
+    ne_eroded = np.asarray(plasmasphere.ne_plasma_cm3(L, **kw))
+    ne_sat = np.asarray(plasmasphere.ne_plasma_cm3(L, refill=1.0, **kw))
+    ne_ldep = np.asarray(
+        plasmasphere.ne_plasma_cm3(L, refill=0.5, refill_q=4.0,
+                                   refill_lref=4.0, **kw)
+    )
+    # between the envelopes everywhere
+    assert np.all((ne_ldep >= ne_eroded - 1e-12) & (ne_ldep <= ne_sat + 1e-12))
+    # recovery fraction (log space) decreases with L
+    frac = (np.log(ne_ldep) - np.log(ne_eroded)) / (
+        np.log(ne_sat) - np.log(ne_eroded)
+    )
+    assert np.all(np.diff(frac) < 0.0)
+    assert frac[0] == pytest.approx(0.5, rel=1e-6)   # exact at lref
+    # 2-day saturation: after ~4 quiet days at tau_density = 48 h the
+    # epoch weight at the reference shell approaches 1 (1 - e^-2 ~ 0.86
+    # at 2 days; > 0.85 by day 4)
+    t = np.arange(0.0, 96.0, 1.0)
+    w = storm.refill_history(t, [0.0], [1.0])  # quiet the whole time
+    i48 = np.searchsorted(t, 48.0)
+    assert w[i48] > 0.6
+    assert w[-1] > 0.85
+    assert np.all(np.diff(w) >= -1e-12)  # monotone recovery when quiet
+
+
+def test_refill_l_dependent_fused_autodiff_native_parity():
+    """The fused gradient chain carries the dw/dL term; autodiff and the
+    C++ oracle agree on the L-dependent refill medium."""
+    from raytrace_tpu import native
+    from raytrace_tpu.ops import dispersion, fused, gradients
+
+    env = make_env(b0=3.0696381e-5, ps_refill=0.6, ps_refill_q=4.0)
+    rng = np.random.default_rng(23)
+    for _ in range(20):
+        r = float(rng.uniform(3.8, 7.5))   # trough territory
+        lat = float(rng.uniform(-0.4, 0.4))
+        chi = float(rng.uniform(-1.0, 1.0))
+        f = float(rng.uniform(500.0, 8000.0))
+        ad = gradients.mu_grads_2d_lat(r, lat, chi, f, env,
+                                       grad_mode=gradients.AUTODIFF)
+        fz = fused.mu_and_grads_2d_lat(r, lat, chi, f, env)
+        for i, (a, b) in enumerate(zip(ad, fz)):
+            assert float(b) == pytest.approx(float(a), rel=1e-8,
+                                             abs=1e-12), i
+    try:
+        native.ensure_built()
+    except Exception:
+        pytest.skip("native oracle unavailable")
+    r = rng.uniform(3.8, 7.5, 30)
+    lat = rng.uniform(-0.4, 0.4, 30)
+    chi = rng.uniform(-1.0, 1.0, 30)
+    f = rng.uniform(500.0, 8000.0, 30)
+    got = native.mu_2d_lat_batch(r, lat, chi, f, env)
+    want = np.array([
+        float(dispersion.mu_2d_lat(*a, env)) for a in zip(r, lat, chi, f)
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-9)
