@@ -51,6 +51,9 @@ class MediumConfig:
     eta_he: float = 0.0             # He+ fraction of n_e (multi-ion)
     eta_o: float = 0.0              # O+ fraction of n_e
     ps_refill: float = 0.0          # trough refill weight in [0, 1]
+    ps_refill_q: float = 0.0        # tau(L) ~ L^q exponent (0 = global
+                                    # weight; ~4 = flux-tube-volume rates)
+    ps_refill_lref: float = 4.0     # shell where ps_refill applies exactly
 
     def build(self):
         fit = TRACED_FIT if self.iono_fit == "traced" else IRI_DAYSIDE_FIT
@@ -64,7 +67,8 @@ class MediumConfig:
             b_tilt_phi=self.b_tilt_phi, duct_amp=self.duct_amp,
             duct_l0=self.duct_l0, duct_w=self.duct_w,
             eta_he=self.eta_he, eta_o=self.eta_o,
-            ps_refill=self.ps_refill,
+            ps_refill=self.ps_refill, ps_refill_q=self.ps_refill_q,
+            ps_refill_lref=self.ps_refill_lref,
         )
 
 
@@ -93,10 +97,16 @@ class RunConfig:
     stepper: str = "auto"           # "auto" (rounds tracer switches
                                     # DP5 <-> ros2x per ray on rejection
                                     # bursts, like CVODE's method choice)
-                                    # | "dopri5" | "ros2" | "ros2x" |
-                                    # "ros4x"; non-rounds paths resolve
-                                    # "auto" to dopri5
+                                    # | "dopri5" | "bs3" | "ros2" |
+                                    # "ros2x" | "ros4x"; non-rounds paths
+                                    # resolve "auto" to dopri5
     max_steps: int = 20000
+    base_stepper: str = "dopri5"    # auto mode's non-stiff pool method;
+                                    # "bs3" halves the stage cost per
+                                    # attempt (the headline ensemble rides
+                                    # dt_max, so the order drop costs ~5%
+                                    # more steps for ~1.7x wall --
+                                    # benchmarks/perf_r03b.json)
     grad_mode: str = "fused"
     wave_mode: str = "whistler"     # "whistler" (+ root) | "emic" (- root)
     # stop conditions
@@ -206,14 +216,18 @@ def preset(name, **overrides):
             medium=MediumConfig(b0=B0_3D),
             lats=(np.pi / 4,), freqs=(1000.0,), rho0=(1.0, 1.0, 0.0),
         ),
-        # config 5: the 10k multi-frequency ensemble (headline bench)
+        # config 5: the 10k multi-frequency ensemble (headline bench).
+        # auto stepping over the BS3 base: the ensemble rides dt_max
+        # (median accepted dt = 0.985 dt_max, perf_r03.json), so the
+        # half-cost 3(2) pair wins 1.7x wall at the same tolerance
+        # contract; the stiff ros2x pool is unchanged.
         "ensemble10k": dict(
             name="ensemble10k", frame="2d_lat",
             medium=MediumConfig(b0=B0_2D),
             lats=tuple(np.linspace(0.45, 1.1, 40)),
             chis=tuple(np.linspace(-0.5, 0.5, 16)),
             freqs=tuple(np.geomspace(500.0, 8000.0, 16)),
-            rtol=1.0e-5, atol=1.0e-8,
+            rtol=1.0e-5, atol=1.0e-8, base_stepper="bs3",
         ),
         # framework extension: He+-band EMIC rays in a multi-ion plasma
         # (the '-' root the reference left commented out, RayMain.jl:243,

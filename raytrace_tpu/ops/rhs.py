@@ -39,12 +39,15 @@ def rhs_2d_lat(u, f, env: medium.EnvParams, legacy_freq_state=False,
     mu, dmudr, dmudlat, dmudpsi, dmudf = gradients.mu_grads_2d_lat(
         r, lat, chi, freq, env, grad_mode, root
     )
+    # two reciprocals serve every term: 1/mu == mu * inv_mu2 (the
+    # dependency-chain roofline is op-bound, BASELINE.md)
     sinchi, coschi = jnp.sin(chi), jnp.cos(chi)
     inv_mu2 = 1.0 / (mu * mu)
+    inv_mu2_r = inv_mu2 * (1.0 / r)
     dr = inv_mu2 * (mu * coschi + dmudpsi * sinchi)
-    dlat = inv_mu2 / r * (mu * sinchi - dmudpsi * coschi)
-    dchi = inv_mu2 / r * (dmudlat * coschi - (r * dmudr + mu) * sinchi)
-    dT = RE_OVER_C * (1.0 + (freq / mu) * dmudf)
+    dlat = inv_mu2_r * (mu * sinchi - dmudpsi * coschi)
+    dchi = inv_mu2_r * (dmudlat * coschi - (r * dmudr + mu) * sinchi)
+    dT = RE_OVER_C * (1.0 + (freq * mu * inv_mu2) * dmudf)
     return jnp.stack([dr, dlat, dchi, dT])
 
 
@@ -60,10 +63,11 @@ def rhs_2d_colat(u, f, env: medium.EnvParams, legacy_freq_state=False,
     )
     sinchi, coschi = jnp.sin(chi), jnp.cos(chi)
     inv_mu2 = 1.0 / (mu * mu)
+    inv_mu2_r = inv_mu2 * (1.0 / r)
     dr = inv_mu2 * (mu * coschi - dmudpsi * sinchi)
-    dtheta = inv_mu2 / r * (mu * sinchi + dmudpsi * coschi)
-    dchi = inv_mu2 / r * (dmudtheta * coschi - (r * dmudr + mu) * sinchi)
-    dT = RE_OVER_C * (1.0 + (freq / mu) * dmudf)
+    dtheta = inv_mu2_r * (mu * sinchi + dmudpsi * coschi)
+    dchi = inv_mu2_r * (dmudtheta * coschi - (r * dmudr + mu) * sinchi)
+    dT = RE_OVER_C * (1.0 + (freq * mu * inv_mu2) * dmudf)
     return jnp.stack([dr, dtheta, dchi, dT])
 
 
@@ -76,15 +80,22 @@ def rhs_3d(u, f, env: medium.EnvParams, grad_mode=gradients.FUSED,
         gradients.mu_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env,
                               grad_mode, root)
     )
+    # three reciprocals serve all seven equations (1/mu == mu * inv_mu2)
     sintheta, costheta = jnp.sin(theta), jnp.cos(theta)
     inv_mu2 = 1.0 / (mu * mu)
+    inv_mu = mu * inv_mu2
+    inv_r = 1.0 / r
+    inv_st = 1.0 / sintheta
+    inv_mu2_r = inv_mu2 * inv_r
     dr = inv_mu2 * (rho_r - mu * dmudrr)
-    dtheta = inv_mu2 / r * (rho_t - mu * dmudrt)
-    dphi = inv_mu2 / (r * sintheta) * (rho_p - mu * dmudrp)
-    drho_r = dmudr / mu + rho_t * dtheta + rho_p * dphi * sintheta
-    drho_t = (dmudtheta / mu - rho_t * dr + r * rho_p * dphi * costheta) / r
+    dtheta = inv_mu2_r * (rho_t - mu * dmudrt)
+    dphi = inv_mu2_r * inv_st * (rho_p - mu * dmudrp)
+    drho_r = dmudr * inv_mu + rho_t * dtheta + rho_p * dphi * sintheta
+    drho_t = (
+        dmudtheta * inv_mu - rho_t * dr + r * rho_p * dphi * costheta
+    ) * inv_r
     drho_p = (
-        dmudphi / mu - rho_p * dr * sintheta - r * rho_p * dtheta * costheta
-    ) / (r * sintheta)
-    dT = RE_OVER_C * (1.0 + (f / mu) * dmudf)
+        dmudphi * inv_mu - rho_p * dr * sintheta - r * rho_p * dtheta * costheta
+    ) * (inv_r * inv_st)
+    dT = RE_OVER_C * (1.0 + (f * inv_mu) * dmudf)
     return jnp.stack([dr, dtheta, dphi, drho_r, drho_t, drho_p, dT])

@@ -86,8 +86,11 @@ def run(config: RunConfig, out_dir=None, plots=False):
         grad_mode=config.grad_mode, root=config.root,
     )
     # run() persists result columns, never the solver-internal carry, so
-    # the rounds path can take the light final fetch
-    rounds_kw = dict(common, want_carry=False)
+    # the rounds path can take the light final fetch. base_stepper only
+    # exists on the rounds tracer (auto mode's non-stiff pool method).
+    rounds_kw = dict(
+        common, want_carry=False, base_stepper=config.base_stepper
+    )
 
     if config.save_every > 0:
         # trajectory mode: scan tracer (fixed shapes), sharded over the
