@@ -198,8 +198,11 @@ def tpu_ensemble_with_retries(attempts=4, timeout_s=900):
 
 def pallas_record():
     """Latest on-chip Pallas measurement (benchmarks/pallas_on_chip.py)."""
-    path = os.path.join(REPO, "benchmarks", "pallas_r02.json")
-    if not os.path.exists(path):
+    for name in ("pallas_r03.json", "pallas_r02.json"):
+        path = os.path.join(REPO, "benchmarks", name)
+        if os.path.exists(path):
+            break
+    else:
         return None
     with open(path) as fh:
         rec = json.load(fh)

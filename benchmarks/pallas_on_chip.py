@@ -6,7 +6,7 @@ ops/pallas_stepper.py). This harness runs each attempt in a fresh
 subprocess under a hard timeout -- the same strategy bench.py uses for
 large XLA compiles -- and records a machine-readable result either way:
 
-  benchmarks/pallas_r02.json
+  benchmarks/pallas_r03.json
     {"ok": true, lane_steps_per_s, parity_max_err, ...}        on success
     {"ok": false, "attempts": N, "failure": "..."} after N retried hangs
 
@@ -21,7 +21,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "benchmarks", "pallas_r02.json")
+OUT = os.path.join(REPO, "benchmarks", "pallas_r03.json")
 
 N_RAYS = 16384
 N_STEPS = 256
@@ -106,7 +106,7 @@ def attempt():
     # widest block whose per-step intermediate stack fits scoped VMEM
     pallas_s = None
     block_used = None
-    for block in (512, 256):
+    for block in (1024, 512, 256):
         try:
             pallas_chunk = jax.jit(make_pallas_chunk(
                 rhs_fn, cfg, spec, group_idx=3, adaptive=True,

@@ -48,8 +48,8 @@ def main():
     u0, f = build_launch(spec)
     kw = dict(
         cfg=SolverConfig(rtol=1e-5, atol=1e-8, dt0=1e-4),
-        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE),
-        max_steps=400, round_steps=256, chunk=64, bucket_floor=8,
+        spec=StopSpec(r_floor=1.0, t_max=5e9 / RE),
+        max_steps=2000, round_steps=1024, chunk=64, bucket_floor=8,
     )
     res, v_l, gstats = dist.trace_ensemble_multihost(env, u0, f, tracer_kw=kw)
     local = {

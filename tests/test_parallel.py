@@ -302,15 +302,19 @@ def test_multihost_two_real_processes():
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(out)
 
+    # raw_decode: Gloo's C-level "[Gloo] Rank ... connected" banner can
+    # land on the same stdout line as the worker's print (no newline
+    # ordering guarantee across the two write paths)
+    dec = json.JSONDecoder()
     local, glob = {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("LOCAL "):
                 _, pid, payload = line.split(" ", 2)
-                local[int(pid)] = json.loads(payload)
+                local[int(pid)] = dec.raw_decode(payload)[0]
             elif line.startswith("GLOBAL "):
                 _, pid, payload = line.split(" ", 2)
-                glob[int(pid)] = json.loads(payload)
+                glob[int(pid)] = dec.raw_decode(payload)[0]
     assert set(local) == {0, 1} and set(glob) == {0, 1}
     # SPMD: both processes computed the same global stats
     assert glob[0] == glob[1]
