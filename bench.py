@@ -197,12 +197,18 @@ def tpu_ensemble_with_retries(attempts=4, timeout_s=900):
 
 
 def pallas_record():
-    """Latest on-chip Pallas measurement (benchmarks/pallas_on_chip.py)."""
+    """Latest SUCCESSFUL on-chip Pallas measurement (the r03 re-run hit a
+    full Mosaic-relay outage -- 5/5 compile hangs -- recorded in
+    pallas_r03.json; the kernel-tier decision is closed in DESIGN.md)."""
+    path = None
     for name in ("pallas_r03.json", "pallas_r02.json"):
-        path = os.path.join(REPO, "benchmarks", name)
-        if os.path.exists(path):
-            break
-    else:
+        cand = os.path.join(REPO, "benchmarks", name)
+        if os.path.exists(cand):
+            with open(cand) as fh:
+                if json.load(fh).get("ok"):
+                    path = cand
+                    break
+    if path is None:
         return None
     with open(path) as fh:
         rec = json.load(fh)
