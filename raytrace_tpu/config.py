@@ -229,6 +229,18 @@ def preset(name, **overrides):
             freqs=tuple(np.geomspace(500.0, 8000.0, 16)),
             rtol=1.0e-5, atol=1.0e-8, base_stepper="bs3",
         ),
+        # 3D knee stress: 7-state rays launched so their trajectories
+        # traverse L ~ Lppi..Lppo (the plasmapause gradient region that
+        # drives DP5 rejection bursts and the auto-mode ros2x pool --
+        # with the 7x7 unpivoted W-solve, steppers._solve_nopivot).
+        "knee_3d": dict(
+            name="knee_3d", frame="3d",
+            medium=MediumConfig(b0=B0_3D),
+            lats=tuple(np.linspace(0.9, 1.15, 12)),
+            freqs=(500.0, 1000.0, 2000.0),
+            rho0=(1.0, 1.0, 0.0),
+            rtol=1.0e-5, atol=1.0e-8,
+        ),
         # framework extension: He+-band EMIC rays in a multi-ion plasma
         # (the '-' root the reference left commented out, RayMain.jl:243,
         # in the composition that gives it its real band structure).

@@ -307,3 +307,28 @@ def test_packed_carry_roundtrip_exact():
                 np.asarray(getattr(back, name)), getattr(carry, name),
                 err_msg=name,
             )
+
+
+def test_knee_3d_preset_completes_under_auto():
+    """VERDICT r2 item 4 done-criterion: the 3D knee-style stress preset
+    completes under stepper='auto' (7-state stiff pool on the unpivoted
+    W-solve -- no pivoted-LU path exists anymore) with every valid ray
+    reaching a terminal status."""
+    import pytest
+
+    pytest.importorskip("raytrace_tpu.run")
+    from raytrace_tpu.config import preset
+    from raytrace_tpu.run import run
+
+    cfg = preset("knee_3d", max_steps=3000,
+                 lats=tuple(np.linspace(0.9, 1.15, 4)),
+                 freqs=(1000.0,), dtype="float64")
+    out = run(cfg)
+    status = np.asarray(out["result"].status)[np.asarray(out["valid"])]
+    assert status.shape[0] == 4
+    assert (status != events.ACTIVE).all()
+    # the preset exercises real terminal physics, not a wall of budget
+    # exhaustion: at least half the rays resolve to a physical stop
+    phys = np.isin(status, (events.HIT_EARTH, events.MAX_PHASE_TIME,
+                            events.DT_UNDERFLOW))
+    assert phys.sum() >= 2, status
