@@ -227,6 +227,8 @@ def make_rounds_tracer(
     stiff_unswitch: float = 0.02,
     stiff_stepper: str = "ros2x",
     base_stepper: str = "dopri5",
+    order_switch_dt: float = 0.0,
+    order_unswitch_dt: float = 0.5,
     want_carry: bool = True,
     pipeline: int = 1,
 ):
@@ -251,6 +253,26 @@ def make_rounds_tracer(
     workload rides dt_max rather than the error estimator, which the
     headline ensemble does: median accepted dt = 0.985 dt_max,
     benchmarks/perf_r03.json). Ignored unless stepper == "auto".
+
+    With a cheap base (base_stepper="bs3"), auto mode runs THREE pools
+    -- the round-granularity version of CVODE's order selection:
+      - bs3 while the ray rides the dt ceiling (order is irrelevant
+        there, stage cost is everything);
+      - dopri5 for ACCURACY-limited rays (mean accepted dt over a round
+        below order_switch_dt * dt_max at low rejection): order 5 takes
+        ~epsilon^(-2/15) ~ 4.6x bigger steps than order 3 at the same
+        tolerance for 2x the stage cost -- the straggler tail's regime;
+      - ros2x for stiff rays (rejection burst), as before.
+    order_switch_dt/order_unswitch_dt give the hysteresis; switching is
+    exact for the same reason the stiff hand-off is (the carry holds
+    dt + controller memory, and FSAL k1 is a plain RHS eval for every
+    explicit method). Default OFF (order_switch_dt=0): measured on the
+    tunneled chip (benchmarks/perf_r03d.json), the dp5 pool cuts
+    attempted steps by ~230k and rescues 23 budget-exhausted stragglers
+    (MAX_STEPS 31 -> 8) but the extra per-round program costs ~5% wall
+    -- the same dispatch-economics law as pipeline>1. Enable (~0.12) on
+    hosts with cheap dispatch or when completion within a fixed budget
+    matters more than wall.
 
     stall_progress: rays whose phase path advanced less than this (RE)
     over a whole round are marked DT_UNDERFLOW and dropped. Rays wedged
@@ -317,6 +339,12 @@ def make_rounds_tracer(
     auto = stepper == "auto"
     if not auto:
         base_stepper = stepper
+    # third pool (order selection) only exists when the base is cheaper
+    # than dopri5 -- see the docstring
+    order_pools = (
+        auto and base_stepper != "dopri5" and order_switch_dt > 0.0
+    )
+    _dtmax = float(cfg.dt_max)
 
     def make_kw(n, st):
         return dict(
@@ -460,6 +488,9 @@ def make_rounds_tracer(
         # singularity -- not stiff-solvable; it gets DT_UNDERFLOW from the
         # stall check instead of an (expensive) ros2x round.
         stiff = np.zeros(n, bool)
+        # per-ray accuracy-limited flag (order_pools): mean accepted dt
+        # far below the ceiling at low rejection -> the dopri5 pool
+        slow = np.zeros(n, bool)
 
         # a round's trace marks unfinished rays MAX_STEPS (the per-round
         # budget ran out, still integrable); the next round's resume
@@ -469,9 +500,9 @@ def make_rounds_tracer(
                 status_col == events.MAX_STEPS
             )
 
-        def settle(idx, rf, prog, st):
+        def settle(idx, rf, prog, st, acc_delta):
             """Post-round bookkeeping for the rays in idx: stall
-            retirement first, then stiff-pool membership updates."""
+            retirement first, then stiff/order pool membership updates."""
             still = _alive(hs[idx, ST_]) & (override[idx] < 0)
             if stall_progress > 0.0:
                 stalled = still & (prog < stall_progress)
@@ -481,13 +512,24 @@ def make_rounds_tracer(
                 stiff[idx[still & (rf < stiff_unswitch)]] = False
             elif auto:
                 stiff[idx[still & (rf > stiff_switch)]] = True
+            if order_pools:
+                # mean accepted dt over this round vs the ceiling: rays
+                # accepting tiny steps at low rejection are accuracy-
+                # limited -> order 5 takes ~4.6x bigger steps at 2x cost
+                md = prog / np.maximum(acc_delta, 1)
+                ok = still & ~stiff[idx]
+                slow[idx[
+                    ok & (md < order_switch_dt * _dtmax)
+                    & (rf < stiff_switch)
+                ]] = True
+                slow[idx[ok & (md > order_unswitch_dt * _dtmax)]] = False
 
         # round-0 bookkeeping (the start program ran all rays on the base
         # stepper from t = 0, so the baselines are zero)
         idx0 = np.nonzero(np.asarray(valid))[0]
         att0 = hs[idx0, ACC_] + hs[idx0, REJ_]
         settle(idx0, hs[idx0, REJ_] / np.maximum(att0, 1), hs[idx0, T_],
-               base_stepper)
+               base_stepper, hs[idx0, ACC_])
 
         steps_done = first
         i = 1
@@ -507,14 +549,22 @@ def make_rounds_tracer(
             else:
                 nr = min(round_len(i), max_steps - steps_done)
             # snapshot pool membership: rays marked stiff by THIS round's
-            # dp5 settle must wait for the next round, or they would run
+            # settle must wait for the next round, or they would run
             # both pools in one round (double-stepping past max_steps)
             pool_mask = stiff.copy()
-            pools = (
-                ((~pool_mask, base_stepper), (pool_mask, stiff_stepper))
-                if auto
-                else ((np.ones(n, bool), base_stepper),)
-            )
+            if order_pools:
+                slow_mask = slow.copy() & ~pool_mask
+                pools = (
+                    (~pool_mask & ~slow_mask, base_stepper),
+                    (slow_mask, "dopri5"),
+                    (pool_mask, stiff_stepper),
+                )
+            elif auto:
+                pools = (
+                    (~pool_mask, base_stepper), (pool_mask, stiff_stepper)
+                )
+            else:
+                pools = ((np.ones(n, bool), base_stepper),)
             # dispatch phase: queue every pool/part program without
             # waiting; fetch phase below then drains the stats in order.
             # Per-ray results are independent of the grouping (vmap lanes
@@ -553,11 +603,13 @@ def make_rounds_tracer(
                     steps=nr_pool, attempted=int(att.sum()),
                     wall_s=_clock() - w0,
                 ))
-                settle(idx, rf, prog=hs[idx, T_] - t0, st=st)
+                settle(idx, rf, prog=hs[idx, T_] - t0, st=st,
+                       acc_delta=hs[idx, ACC_] - acc0)
             steps_done += nr
             i += 1
 
         run.last_stiff = stiff  # which rays ended on the ros2x pool
+        run.last_slow = slow    # which rays ended on the dopri5 pool
         patch = override >= 0
         if not want_carry:
             # light fetch: result columns only (no solver-internal state)
@@ -583,6 +635,7 @@ def make_rounds_tracer(
         )
 
     run.last_stiff = None
+    run.last_slow = None
     run.last_rounds = []
     return run
 

@@ -332,3 +332,38 @@ def test_knee_3d_preset_completes_under_auto():
     phys = np.isin(status, (events.HIT_EARTH, events.MAX_PHASE_TIME,
                             events.DT_UNDERFLOW))
     assert phys.sum() >= 2, status
+
+
+def test_auto_order_pool_bs3_to_dp5():
+    """Three-pool auto order selection: with a forced-low dt threshold
+    every ray re-pools from the BS3 base into the dopri5 pool after
+    round 0 (order_switch_dt=10 makes every mean dt 'accuracy-limited');
+    the cross-order hand-off must preserve the physics."""
+    mesh, env, u0, f, valid = _setup(tuple(np.linspace(0.6, 0.9, 4)))
+    kw = dict(
+        mesh=mesh, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE), max_steps=4096,
+        round_steps=256, bucket_floor=8,
+    )
+    tr = make_rounds_tracer(
+        env, stepper="auto", base_stepper="bs3",
+        order_switch_dt=10.0, order_unswitch_dt=1.0e9, **kw
+    )
+    res = tr(u0, f, valid)
+    assert tr.last_slow is not None and tr.last_slow.any()
+    res_dp5 = make_rounds_tracer(env, stepper="dopri5", **kw)(u0, f, valid)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(
+        np.asarray(res.status)[v], np.asarray(res_dp5.status)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.u)[v, :2], np.asarray(res_dp5.u)[v, :2],
+        rtol=5e-3, atol=5e-3,
+    )
+    # and with the pool disabled (order_switch_dt=0) the bs3-base run is
+    # pure two-pool: no ray lands on the dopri5 pool
+    tr2 = make_rounds_tracer(
+        env, stepper="auto", base_stepper="bs3", order_switch_dt=0.0, **kw
+    )
+    tr2(u0, f, valid)
+    assert tr2.last_slow is not None and not tr2.last_slow.any()
