@@ -73,8 +73,9 @@ def test_ros2_stiff_decay_accuracy():
     assert float(ros.u[0, 0]) == pytest.approx(exact, abs=1e-3)
     assert int(ros.n_accept[0]) < 1500
     # DP5 cannot finish: stability limits dt to ~3.3/LAM, needing ~90k
-    # steps for t=3 -- it exhausts the 4000-step budget
-    assert int(dp5.status[0]) == events.ACTIVE
+    # steps for t=3 -- it exhausts the 4000-step budget (reported as
+    # MAX_STEPS since round 3; a final result never says ACTIVE)
+    assert int(dp5.status[0]) == events.MAX_STEPS
 
 
 def test_ros2_whistler_trace():
@@ -269,7 +270,8 @@ def test_solve_nopivot_matches_pivoted_lu():
         b = rng.standard_normal((8, n))
         xb = np.asarray(jax.vmap(_solve_w)(jnp.asarray(W), jnp.asarray(b)))
         np.testing.assert_allclose(
-            xb, np.linalg.solve(W, b), rtol=1e-8, atol=1e-11
+            xb, np.linalg.solve(W, b[..., None])[..., 0],
+            rtol=1e-8, atol=1e-11,
         )
 
 
