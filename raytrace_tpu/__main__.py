@@ -26,6 +26,12 @@ def main(argv=None):
                         " (variational Jacobian; lands in the run record)")
     p.add_argument("--dump-config", action="store_true",
                    help="print the resolved RunConfig JSON and exit")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process SPMD run: every process traces its "
+                        "slice of the (identical) launch grid and the "
+                        "statistics aggregate across processes "
+                        "(jax.distributed; pod metadata autodetected, or "
+                        "a single-process pass-through)")
     args = p.parse_args(argv)
 
     from .config import RunConfig, preset
@@ -49,6 +55,9 @@ def main(argv=None):
         print(config.to_json())
         return 0
 
+    if args.multihost:
+        return _run_multihost(config)
+
     from .run import run, summarize
 
     t0 = time.perf_counter()
@@ -67,6 +76,49 @@ def main(argv=None):
     )
     for k, v in out["paths"].items():
         print(f"  {k}: {v}")
+    return 0
+
+
+def _run_multihost(config):
+    """The DCN scale-out path (SURVEY.md 5.8): SPMD over processes.
+
+    Every process builds the identical global grid, traces its
+    contiguous slice on its own addressable devices, and the terminal
+    statistics aggregate with one process_allgather. Single-process this
+    is a pure pass-through, so the flag is safe to use everywhere."""
+    import json
+
+    import numpy as np
+
+    import jax
+
+    from .models import medium as medium_mod
+    from .parallel import distributed as dist
+    from .run import _build_u0, summarize
+
+    dist.ensure_initialized()
+    env = config.medium.build()
+    dtype = np.float32 if config.dtype == "float32" else np.float64
+    env = medium_mod.cast_env(env, dtype)
+    u0, f = _build_u0(config, dtype)
+    tracer_kw = dict(
+        frame=config.frame, cfg=config.solver(), spec=config.stop(),
+        adaptive=config.adaptive, stepper=config.stepper,
+        base_stepper=config.base_stepper, max_steps=config.max_steps,
+        grad_mode=config.grad_mode, root=config.root, want_carry=False,
+    )
+    t0 = time.perf_counter()
+    res, v_l, gstats = dist.trace_ensemble_multihost(
+        env, u0, f, tracer_kw=tracer_kw
+    )
+    wall = time.perf_counter() - t0
+    pid, cnt = jax.process_index(), jax.process_count()
+    print(
+        f"{config.name}[{pid}/{cnt}]: {int(np.asarray(v_l).sum())} local "
+        f"rays, {wall:.2f}s | {summarize(res, v_l)}"
+    )
+    if pid == 0:
+        print("GLOBAL " + json.dumps({k: float(v) for k, v in gstats.items()}))
     return 0
 
 

@@ -143,3 +143,78 @@ def hop_delays(result, f, valid=None, group_idx=-1):
     if valid is not None:
         keep &= np.asarray(valid)
     return f[keep], u[keep, group_idx]
+
+
+def landing_footprint(u0, f, result, valid=None, frame="2d_lat"):
+    """Conjugate-point table: launch -> landing mapping per ray.
+
+    The observable a ground-based whistler receiver network works with
+    (the reference plots single trajectories; ensembles make the
+    footprint a first-class product): for every valid ray,
+
+      launch_lat  magnetic latitude at launch (rad)
+      freq_hz     wave frequency
+      status      terminal events.* code
+      hit         True where the ray reached the surface
+      landing_lat magnetic latitude of the surface intercept (rad; only
+                  meaningful where hit)
+      landing_l   dipole L of the landing field line r/cos^2(lat)
+      group_delay one-hop travel time (s; only meaningful where hit)
+      conjugate   True where the ray landed in the opposite hemisphere
+                  (canonical mid-latitude whistlers land near the
+                  equator on either side; the flag plus
+                  count_equator_crossings' parity classifies the path
+                  topology)
+
+    frame: '2d_lat' | '2d_colat' | '3d' (colatitude frames convert
+    state[1] via lat = pi/2 - theta; the 3D frame reports geographic
+    latitude -- for tilted/IGRF media convert with medium.mlat_3d)."""
+    u0 = np.asarray(u0)
+    uf = np.asarray(result.u)
+    status = np.asarray(result.status)
+    f = np.asarray(f)
+    n = u0.shape[0]
+    keep = np.ones(n, bool) if valid is None else np.asarray(valid)
+    sign, off = (1.0, 0.0) if frame == "2d_lat" else (-1.0, np.pi / 2)
+    lat0 = sign * u0[:, 1] + off
+    lat1 = sign * uf[:, 1] + off
+    hit = (status == events.HIT_EARTH) & keep
+    g_idx = 6 if frame == "3d" else 3
+    return {
+        "launch_lat": lat0[keep],
+        "freq_hz": np.broadcast_to(f, (n,))[keep],
+        "status": status[keep],
+        "hit": hit[keep],
+        "landing_lat": lat1[keep],
+        "landing_l": uf[keep, 0] / np.cos(lat1[keep]) ** 2,
+        "group_delay_s": uf[keep, g_idx],
+        "conjugate": (np.sign(lat1) != np.sign(lat0))[keep],
+    }
+
+
+def count_equator_crossings(traj_u, frame="2d_lat"):
+    """Magnetic-equator crossings per ray from recorded snapshots.
+
+    The magnetospherically-reflected (MR) whistler diagnostic. Parity
+    invariant: the count is odd iff the ray lands in the conjugate
+    hemisphere; even counts mean it turned back into its launch
+    hemisphere (the canonical 45-deg ray reflects southward past the
+    equator and returns -- 2 crossings, landing at +2.7 deg). Counts
+    sign changes of latitude along the snapshot axis; the frozen post-
+    termination tail contributes none (the state stops changing).
+
+    traj_u: (S, B, n) (or (S, n) for one ray). Snapshot cadence bounds
+    resolution: crossings closer than one save interval merge."""
+    u = np.asarray(traj_u)
+    squeeze = u.ndim == 2
+    if squeeze:
+        u = u[:, None, :]
+    sign, off = (1.0, 0.0) if frame == "2d_lat" else (-1.0, np.pi / 2)
+    lat = sign * u[..., 1] + off
+    s = np.sign(lat)
+    # a snapshot exactly at 0 inherits the previous side (no double count)
+    for i in range(1, s.shape[0]):
+        z = s[i] == 0.0
+        s[i][z] = s[i - 1][z]
+    crossings = (s[1:] * s[:-1] < 0).sum(axis=0)
+    return crossings[0] if squeeze else crossings

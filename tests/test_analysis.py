@@ -12,7 +12,7 @@ import pytest
 
 from raytrace_tpu import analysis
 from raytrace_tpu.constants import RE
-from raytrace_tpu.integrate import SolverConfig, StopSpec, trace
+from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
 from raytrace_tpu.models import make_env_lat
 from raytrace_tpu.ops import rhs
 
@@ -117,3 +117,79 @@ def test_resonance_profile_along_canonical_ray():
     fce_at_dip = fce[e.argmin()]
     assert fce_at_dip < fce.min() + 0.35 * (fce.max() - fce.min())
     assert np.all(prof["a_crit"] > 0)
+
+
+def test_landing_footprint_conjugate_mapping():
+    """Northern-hemisphere launches that reach the surface land in the
+    conjugate (southern) hemisphere with L near the launch field line."""
+    import jax.numpy as jnp
+
+    from raytrace_tpu.analysis import landing_footprint
+    from raytrace_tpu.constants import RE
+    from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
+    from raytrace_tpu.models import make_env_lat
+    from raytrace_tpu.ops import rhs
+
+    env = make_env_lat()
+    lats = np.linspace(0.6, 0.8, 3)
+    u0 = np.zeros((3, 4))
+    u0[:, 0] = (RE + 1.0e6) / RE
+    u0[:, 1] = lats
+    f = np.full(3, 1000.0)
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env),
+        jnp.asarray(u0), jnp.asarray(f),
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e9 / RE), max_steps=8192,
+    )
+    fp = landing_footprint(u0, f, res)
+    assert fp["launch_lat"].shape == (3,)
+    assert fp["hit"].any()
+    h = fp["hit"]
+    # whistlers at these launch latitudes land near the equator at far
+    # lower |latitude| than the launch (the canonical 45-deg ray lands
+    # at +2.7 deg); r is event-refined to the surface exactly
+    assert (np.abs(fp["landing_lat"][h]) < fp["launch_lat"][h]).all()
+    assert np.allclose(fp["landing_l"][h] * np.cos(fp["landing_lat"][h]) ** 2,
+                       1.0, atol=1e-6)
+    assert (fp["group_delay_s"][h] > 0).all()
+    # the conjugate flag is consistent with the latitude signs
+    np.testing.assert_array_equal(
+        fp["conjugate"][h],
+        np.sign(fp["landing_lat"][h]) != np.sign(fp["launch_lat"][h]),
+    )
+
+
+def test_count_equator_crossings_one_hop_is_odd():
+    """A surface-hitting one-hop whistler crosses the equator an odd
+    number of times; a synthetic non-crossing path counts zero."""
+    import jax.numpy as jnp
+
+    from raytrace_tpu.analysis import count_equator_crossings
+    from raytrace_tpu.constants import RE
+    from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
+    from raytrace_tpu.models import make_env_lat
+    from raytrace_tpu.ops import rhs
+
+    env = make_env_lat()
+    u0 = jnp.array([[(RE + 1.0e6) / RE, np.pi / 4, 0.0, 0.0]])
+    f = jnp.array([1000.0])
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env), u0, f,
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e9 / RE),
+        max_steps=8192, save_every=8,
+    )
+    assert int(res.status[0]) == events.HIT_EARTH
+    n_cross = int(count_equator_crossings(res.traj["u"][:, 0, :]))
+    # parity invariant: crossing count is odd iff the ray lands in the
+    # conjugate hemisphere (the canonical ray reflects southward past
+    # the equator and comes back -- 2 crossings, same-hemisphere landing
+    # at +2.7 deg)
+    assert n_cross >= 1
+    same_hemisphere = float(res.u[0, 1]) > 0.0
+    assert (n_cross % 2 == 0) == same_hemisphere
+    # synthetic stay-north path: zero crossings
+    fake = np.zeros((10, 4))
+    fake[:, 1] = 0.5
+    assert int(count_equator_crossings(fake)) == 0

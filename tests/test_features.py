@@ -310,3 +310,34 @@ def test_profiling_harness():
     got = profiling.ray_steps_per_sec(res, wall_s=2.0, valid=valid,
                                       n_devices=2)
     assert got == (110 + 220 + 330) / 2.0 / 2
+
+
+def test_cli_dump_config_and_multihost_single_process(tmp_path, capsys):
+    """CLI surface: --dump-config round-trips; --multihost runs the DCN
+    scale-out path (single-process pass-through here) end-to-end and
+    prints the aggregated global stats."""
+    import json
+
+    from raytrace_tpu.__main__ import main
+
+    rc = main(["lat_fan", "--dump-config"])
+    assert rc == 0
+    dumped = capsys.readouterr().out
+    cfg = RunConfig.from_json(dumped)
+    assert cfg.name == "lat_fan"
+
+    small = preset(
+        "lat_fan", lats=tuple(np.linspace(0.6, 0.8, 3)), chis=(0.0,),
+        freqs=(1000.0,), max_steps=1500, t_max=5e9 / RE,
+    )
+    path = tmp_path / "small.json"
+    small.to_json(str(path))
+    rc = main([str(path), "--multihost"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "GLOBAL " in out
+    gstats = json.loads(out.split("GLOBAL ", 1)[1].splitlines()[0])
+    assert gstats["n_active"] == 0
+    total = sum(v for k, v in gstats.items()
+                if k.startswith("n_") and k != "n_active")
+    assert total == 3
