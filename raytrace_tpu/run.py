@@ -91,6 +91,15 @@ def run(config: RunConfig, out_dir=None, plots=False):
     rounds_kw = dict(
         common, want_carry=False, base_stepper=config.base_stepper
     )
+    # tiny batches cannot re-bucket profitably (they are already at or
+    # below the bucket floor) but still pay ~10-30 ms tunnel dispatch
+    # PER ROUND; run them as one full-budget round (measured: the
+    # single-ray raymain preset spends most of its 0.13-0.32 s wall on
+    # round dispatches). Device-side wedge retirement (n_tiny counter)
+    # still guards them; only the host-side round-granularity stall
+    # check is forgone.
+    if int(np.asarray(valid).sum()) <= 64:
+        rounds_kw["round_steps"] = (config.max_steps,)
 
     if config.save_every > 0:
         # trajectory mode: scan tracer (fixed shapes), sharded over the
