@@ -97,9 +97,10 @@ class RunConfig:
     stepper: str = "auto"           # "auto" (rounds tracer switches
                                     # DP5 <-> ros2x per ray on rejection
                                     # bursts, like CVODE's method choice)
-                                    # | "dopri5" | "bs3" | "ros2" |
-                                    # "ros2x" | "ros4x"; non-rounds paths
-                                    # resolve "auto" to dopri5
+                                    # | "dopri5" | "bs3" | "heun2" |
+                                    # "ros2" | "ros2x" | "ros4x";
+                                    # non-rounds paths resolve "auto"
+                                    # to dopri5
     max_steps: int = 20000
     base_stepper: str = "dopri5"    # auto mode's non-stiff pool method;
                                     # "bs3" halves the stage cost per

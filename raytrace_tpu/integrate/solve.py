@@ -29,7 +29,8 @@ from ..constants import RE
 from . import events
 from .events import StopSpec
 from .steppers import (
-    bs3_step, dopri5_step, rk4_step, ros2_step, ros2x_step, ros4x_step,
+    bs3_step, dopri5_step, heun21_step, rk4_step, ros2_step, ros2x_step,
+    ros4x_step,
 )
 
 
@@ -201,6 +202,10 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
     elif stepper == "bs3":
         order = 3.0
         out = bs3_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
+        accept = out.err <= cfg.accept_tol
+    elif stepper == "heun2":
+        order = 2.0
+        out = heun21_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
         accept = out.err <= cfg.accept_tol
     else:
         if stepper != "dopri5":

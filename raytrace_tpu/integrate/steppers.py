@@ -303,6 +303,41 @@ def bs3_step(rhs_fn, u, k1, dt, rtol, atol):
     return StepOut(u_new, k4, err, incr)
 
 
+def heun21_step(rhs_fn, u, k1, dt, rtol, atol):
+    """One Heun (explicit trapezoid) 2(1) attempt -- the cheapest rung.
+
+    Two fresh RHS evals per attempt (k1 carried): k2 at the Euler
+    predictor, plus the FSAL end-derivative at u_new. Advance with the
+    order-2 trapezoid u + dt (k1 + k2)/2; the embedded order-1 solution
+    is the Euler predictor itself, so the error estimate is
+    dt (k2 - k1)/2 at zero extra cost (local extrapolation, same
+    convention as bs3/dopri5: advance high, control low).
+
+    Rationale: the headline ensemble rides dt_max, not the error
+    estimator (median accepted dt = 0.985 dt_max, BASELINE.md), so the
+    binding cost is stage count per attempt. Order 2's penalty is a
+    larger error estimate at the SAME dt -- err ~ (dt/h*)^2 instead of
+    (dt/h*)^3 -- which pushes accuracy-limited rays below the ceiling
+    earlier than bs3 would.
+
+    MEASURED ANSWER (benchmarks/perf_r03e.json): the step inflation
+    wins. On the 10,240-ray headline, heun2 needs 35.4M attempted steps
+    vs bs3's 21.5M (+65%: at rtol 1e-5 the order-2 estimator takes most
+    rays off the dt_max ceiling entirely), so 2/3 the stage cost nets
+    0.711 s vs 0.577 s wall. BS3 sits at the sweet spot of the order
+    ladder for this workload; heun2 stays available as the cheapest
+    rung for coarser tolerances (physics parity is fine: 96.7% status
+    agreement, median landing-L within 2e-4 of bs3)."""
+    k2 = rhs_fn(u + dt * k1)
+    incr = (0.5 * dt) * (k1 + k2)
+    u_new = u + incr
+    k_end = rhs_fn(u_new)       # FSAL: next attempt's k1
+    err_vec = (0.5 * dt) * (k2 - k1)
+    scale = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u_new))
+    err = jnp.sqrt(jnp.mean(jnp.square(err_vec / scale)))
+    return StepOut(u_new, k_end, err, incr)
+
+
 def dopri5_step(rhs_fn, u, k1, dt, rtol, atol):
     """One DP5(4) attempt. Returns proposed state, FSAL k7, RMS error norm.
 

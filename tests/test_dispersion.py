@@ -132,3 +132,39 @@ def test_canonical_ic_value():
     expect, _ = oracle.mu_lat_raymain_env(R0, LAT0, 0.0, 5000.0)
     assert got == pytest.approx(expect, rel=1e-10)
     assert got == pytest.approx(50.672, rel=1e-3)
+
+
+def test_quartic_residual_vanishes():
+    """Property: the selected root satisfies A mu^4 - B mu^2 + C = 0.
+
+    The reference solves the Booker quartic A mu^4 - B mu^2 + C = 0
+    (RayMain.jl:186-202); our product-root branch (dispersion.py:115-119)
+    must return a mu^2 that plugs back into the quartic with a residual
+    at rounding level of the normalized coefficients, on BOTH branches
+    (whistler root=+1, EMIC root=-1) and in both propagating and
+    evanescent (mu^2 < 0) regimes."""
+    env = medium.make_env_lat()
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        r = float(rng.uniform(R0, 6.0))
+        lat = float(rng.uniform(-1.2, 1.2))
+        chi = float(rng.uniform(-3.0, 3.0))
+        f = float(rng.uniform(100.0, 30000.0))
+        root = 1.0 if rng.uniform() < 0.7 else -1.0
+        ne = float(medium.ne_total_m3(r, lat, env))
+        b = float(medium.b_mag(r, lat, env))
+        rr, ll, pp = (float(x) for x in dispersion.stix_rlp(ne, b, f))
+        psi = float(dispersion.psi_lat(lat, chi))
+        mu2 = float(dispersion.mu2_signed(rr, ll, pp, psi, root))
+        # normalized coefficients, same scaling as mu2_signed_trig
+        s = max(abs(rr), abs(ll), abs(pp))
+        rn, ln, pn = rr / s, ll / s, pp / s
+        sn, dn = 0.5 * (rn + ln), 0.5 * (rn - ln)
+        sin2, cos2 = np.sin(psi) ** 2, np.cos(psi) ** 2
+        a = sn * sin2 + pn * cos2
+        bq = rn * ln * sin2 + pn * sn * (1.0 + cos2)
+        c = pn * rn * ln
+        m = mu2 / s
+        residual = a * m * m - bq * m + c
+        scale = max(abs(a * m * m), abs(bq * m), abs(c), 1e-300)
+        assert abs(residual) / scale < 5e-13, (r, lat, chi, f, root)

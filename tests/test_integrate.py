@@ -230,3 +230,52 @@ def test_bs3_order_three_and_whistler_parity():
     # for the bs3 headline experiment (benchmarks/perf_r03.py)
     n_bs, n_dp = int(res_bs.n_accept[0]), int(res_dp.n_accept[0])
     assert n_bs < 1.5 * n_dp, (n_bs, n_dp)
+
+
+def test_heun2_order_two_and_whistler_parity():
+    """Heun 2(1): second-order convergence on a smooth ODE and landing
+    parity with BS3 on the canonical whistler ray (the cheapest rung of
+    the stage-cost ladder, benchmarks/perf_r03e.py)."""
+    from raytrace_tpu.integrate.steppers import heun21_step
+
+    def f_aug(u):
+        return jnp.array([-u[0] + jnp.sin(u[1]), 1.0])
+
+    def integrate(h, n):
+        u = jnp.array([1.0, 0.0])
+        for _ in range(n):
+            out = heun21_step(f_aug, u, f_aug(u), h, 1.0, 1.0)
+            u = out.u_new
+        return u[0]
+
+    t_end = 1.0
+    exact = (np.sin(t_end) - np.cos(t_end)) / 2 + 1.5 * np.exp(-t_end)
+    e1 = abs(float(integrate(1.0 / 16, 16)) - exact)
+    e2 = abs(float(integrate(1.0 / 32, 32)) - exact)
+    ratio = e1 / e2
+    assert 3.0 < ratio < 6.0, ratio  # ~4 for order 2
+
+    # the FSAL k_end must be the RHS at the accepted state (next k1)
+    u = jnp.array([1.0, 0.0])
+    out = heun21_step(f_aug, u, f_aug(u), 0.1, 1.0, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(out.k_end), np.asarray(f_aug(out.u_new)), rtol=1e-6
+    )
+
+    # whistler landing parity vs BS3 at the same tolerance
+    env = medium.make_env_lat()
+    u0 = jnp.array([[R0, np.pi / 4, 0.0, 0.0]])
+    f = jnp.array([1000.0])
+    kw = dict(
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e9 / RE), max_steps=16384,
+    )
+    rhs_fn = lambda u, ff: rhs.rhs_2d_lat(u, ff, env)  # noqa: E731
+    res_h = trace(rhs_fn, u0, f, stepper="heun2", **kw)
+    res_bs = trace(rhs_fn, u0, f, stepper="bs3", **kw)
+    assert int(res_h.status[0]) == int(res_bs.status[0]) == events.HIT_EARTH
+    uh, ub = np.asarray(res_h.u)[0], np.asarray(res_bs.u)[0]
+    l_h = uh[0] / np.cos(uh[1]) ** 2
+    l_b = ub[0] / np.cos(ub[1]) ** 2
+    np.testing.assert_allclose(l_h, l_b, rtol=1e-2)
+    np.testing.assert_allclose(uh[3], ub[3], rtol=5e-3)
