@@ -102,6 +102,17 @@ class RunConfig:
                                     # non-rounds paths resolve "auto"
                                     # to dopri5
     max_steps: int = 20000
+    dt_max: float = 1.0e6 / RE      # phase-path step ceiling (reference
+                                    # dtmax = 1e6 m, RayTrace_lat.jl:338)
+    ds_max: float = 0.0             # arc-length step ceiling (RE units);
+                                    # 0 keeps the pure phase ceiling. The
+                                    # principled production setting is
+                                    # ds_max ~ the medium's gradient
+                                    # length (~0.1 RE: plasmapause knee
+                                    # 0.1 L, ionosphere scale height
+                                    # 0.24 RE) with dt_max raised -- see
+                                    # SolverConfig.ds_max and
+                                    # benchmarks/perf_r03f.json
     base_stepper: str = "dopri5"    # auto mode's non-stiff pool method;
                                     # "bs3" halves the stage cost per
                                     # attempt (the headline ensemble rides
@@ -142,7 +153,10 @@ class RunConfig:
             # tolerances are honored on float64 runs.
             rtol = max(rtol, 1.2e-6)
             atol = max(atol, 1.0e-9)
-        return SolverConfig(rtol=rtol, atol=atol, dt0=self.dt0)
+        return SolverConfig(
+            rtol=rtol, atol=atol, dt0=self.dt0,
+            dt_max=self.dt_max, ds_max=self.ds_max,
+        )
 
     def stop(self):
         lat_sign, lat_offset = (

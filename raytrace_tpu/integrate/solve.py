@@ -79,6 +79,21 @@ class SolverConfig(NamedTuple):
                                     # invisible to the error estimator but
                                     # perfectly visible in dt. 0 disables.
     stall_count: float = 64.0
+    ds_max: float = 0.0            # arc-length step ceiling, scaled (RE)
+                                   # units; 0 disables. The reference's
+                                   # dtmax = 1e6 m (RayTrace_lat.jl:338)
+                                   # caps PHASE path, but its physical job
+                                   # is resolving spatial structure of the
+                                   # medium -- and the spatial rate
+                                   # |dx/dtau| ~ 1/mu varies ~100x along a
+                                   # whistler ray, so a fixed phase ceiling
+                                   # over-resolves space exactly where the
+                                   # plasma is densest. ds_max caps the
+                                   # ARC LENGTH per step instead, computed
+                                   # from the FSAL carry k1 at zero extra
+                                   # cost (see _arc_rate); dt_max remains
+                                   # active as an outer bound (set it large
+                                   # to run on the arc ceiling alone).
 
 
 class RayCarry(NamedTuple):
@@ -169,6 +184,21 @@ def _sel(cond, a, b):
     return jnp.where(m, a, b)
 
 
+def _arc_rate(u, k1):
+    """Spatial speed ds/dtau of the ray from the FSAL derivative carry.
+
+    Spherical line element: ds^2 = dr^2 + (r dlat)^2 for the 4-state 2D
+    frames (u = [r, lat-or-colat, chi, T]) plus (r sin(theta) dphi)^2 for
+    the 7-state 3D frame (u = [r, theta, phi, rho, T]); k1 holds the
+    corresponding rates, so this is free per attempt."""
+    r = u[0]
+    s2 = k1[0] * k1[0] + (r * k1[1]) * (r * k1[1])
+    if u.shape[0] >= 7:
+        vp = r * jnp.sin(u[1]) * k1[2]
+        s2 = s2 + vp * vp
+    return jnp.sqrt(s2)
+
+
 def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
               group_idx: int, adaptive: bool, stepper: str = "dopri5"):
     """One attempted step for one ray; no-op when the ray is not ACTIVE.
@@ -180,8 +210,25 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
     Controller exponents scale with the stepper's order."""
     active = carry.status == events.ACTIVE
     rhs1 = lambda u: rhs_fn(u, f)
+    # step ceiling: reference phase-path dtmax, optionally tightened (or
+    # in practice mostly LOOSENED, since mu > 1 for whistlers) by the
+    # arc-length ceiling ds_max / (ds/dtau) -- see SolverConfig.ds_max
+    dt_cap = jnp.asarray(cfg.dt_max, carry.dt.dtype)
+    if adaptive:
+        arc_cap = jnp.where(
+            jnp.asarray(cfg.ds_max) > 0.0,
+            jnp.maximum(
+                cfg.ds_max / jnp.maximum(_arc_rate(carry.u, carry.k1), 1e-30),
+                cfg.dt_min,
+            ),
+            jnp.asarray(jnp.inf, carry.dt.dtype),
+        )
+        dt_cap = jnp.minimum(dt_cap, arc_cap)
     # do not overshoot the phase-path budget (CVODE integrates to tstop)
-    dt_eff = jnp.minimum(carry.dt, jnp.maximum(spec.t_max - carry.t, cfg.dt_min))
+    dt_eff = jnp.minimum(
+        jnp.minimum(carry.dt, dt_cap),
+        jnp.maximum(spec.t_max - carry.t, cfg.dt_min),
+    )
 
     order = 5.0
     if not adaptive:
@@ -268,7 +315,7 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
         )
         dt_next = jnp.clip(
             dt_eff * jnp.where(accept, fac_acc, fac_rej),
-            cfg.dt_min, cfg.dt_max,
+            cfg.dt_min, dt_cap,
         )
         underflow = (~accept) & (dt_eff <= cfg.dt_min * (1.0 + 1.0e-6))
         errold_new = jnp.where(accept, jnp.maximum(err, 1.0e-4), carry.errold)

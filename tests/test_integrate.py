@@ -279,3 +279,55 @@ def test_heun2_order_two_and_whistler_parity():
     l_b = ub[0] / np.cos(ub[1]) ** 2
     np.testing.assert_allclose(l_h, l_b, rtol=1e-2)
     np.testing.assert_allclose(uh[3], ub[3], rtol=5e-3)
+
+
+def test_arc_length_ceiling_binds_exactly():
+    """SolverConfig.ds_max: on a constant-velocity ODE (error == 0, every
+    step accepted, dt grows to whatever ceiling binds), the accepted step
+    size must land exactly on ds_max / (ds/dtau) = ds_max / |dr/dtau|."""
+    a = 0.25
+
+    def const_rhs(u, f):
+        return jnp.array([a, 0.0, 0.0, 1.0])
+
+    ds_max = 0.01
+    u0 = jnp.array([[2.0, 0.3, 0.0, 0.0]])
+    f = jnp.array([0.0])
+    res = trace(
+        const_rhs, u0, f,
+        cfg=SolverConfig(rtol=1e-6, atol=1e-9, dt0=1e-4,
+                         dt_max=1e9, ds_max=ds_max),
+        spec=StopSpec(r_floor=0.0, t_max=1.0), max_steps=4000,
+    )
+    assert int(res.status[0]) == events.MAX_PHASE_TIME
+    # cap = ds_max / a; dt0 = 1e-4 then 5x growth to the cap in ~2 steps
+    n = int(res.n_accept[0])
+    expect_n = 1.0 / (ds_max / a)
+    assert expect_n <= n <= expect_n + 6, (n, expect_n)
+    assert int(res.n_reject[0]) == 0
+
+
+def test_arc_length_ceiling_whistler_parity():
+    """Running the canonical whistler ray on the arc-length ceiling alone
+    (dt_max effectively off) reproduces the phase-ceiling landing and --
+    since mu > 1 along the whole path, so the phase ceiling over-resolves
+    space -- needs FEWER steps at an equivalent spatial resolution."""
+    env = medium.make_env_lat()
+    u0 = jnp.array([[R0, np.pi / 4, 0.0, 0.0]])
+    f = jnp.array([1000.0])
+    kw = dict(spec=StopSpec(r_floor=1.0, t_max=5e9 / RE), max_steps=40000)
+    rhs_fn = lambda u, ff: rhs.rhs_2d_lat(u, ff, env)  # noqa: E731
+    res_ph = trace(
+        rhs_fn, u0, f,
+        cfg=SolverConfig(rtol=1e-7, atol=1e-12, dt0=1e-4), **kw,
+    )
+    res_arc = trace(
+        rhs_fn, u0, f,
+        cfg=SolverConfig(rtol=1e-7, atol=1e-12, dt0=1e-4,
+                         dt_max=1e9, ds_max=1e6 / RE), **kw,
+    )
+    assert int(res_ph.status[0]) == int(res_arc.status[0]) == events.HIT_EARTH
+    up, ua = np.asarray(res_ph.u)[0], np.asarray(res_arc.u)[0]
+    np.testing.assert_allclose(ua[1], up[1], atol=2e-3)   # landing lat (rad)
+    np.testing.assert_allclose(ua[3], up[3], rtol=1e-3)   # group delay
+    assert int(res_arc.n_accept[0]) < int(res_ph.n_accept[0])
