@@ -229,6 +229,7 @@ def make_rounds_tracer(
     base_stepper: str = "dopri5",
     order_switch_dt: float = 0.0,
     order_unswitch_dt: float = 0.5,
+    tail_stepper: str = "",
     want_carry: bool = True,
     pipeline: int = 1,
 ):
@@ -273,6 +274,29 @@ def make_rounds_tracer(
     -- the same dispatch-economics law as pipeline>1. Enable (~0.12) on
     hosts with cheap dispatch or when completion within a fixed budget
     matters more than wall.
+
+    tail_stepper: the non-stiff method for the MERGED-TAIL round (auto
+    mode only; "" -- the default -- keeps base_stepper). Once the
+    active set stops paying for re-bucketing (n_active * 4 <= floor),
+    the remaining budget runs as ONE round -- and the rays still alive
+    there are the ones the scheduled rounds did not finish, i.e.
+    accuracy-limited (ceiling-riders exhaust the phase budget in
+    ~t_max/dt_max ~ 5k steps; stiff rays are in the ros2x pool), which
+    is order 5's regime on paper (~4.6x bigger steps than the bs3 base
+    for 2x the stage cost, zero extra programs since the merged tail is
+    its own program either way). MEASURED NEGATIVE on the headline
+    (benchmarks/perf_r03g.json): the 47-straggler tail at a 256-lane
+    bucket is LATENCY-bound, so an attempt costs serialized chain
+    latency, not FLOPs -- dopri5's 6-eval chain doubles the per-attempt
+    cost while cutting attempts only 1.48x (596k -> 403k; the caution
+    cap on dt regrowth near resonance cones, not smooth-regime order
+    theory, limits the gain), tail wall 0.104 -> 0.161 s. It DOES
+    rescue budget-exhausted stragglers (MAX_STEPS 31 -> 10 at 99.8%
+    status agreement): set "dopri5" on compute-bound (non-tunneled,
+    wide-tail) topologies or when completion within a fixed budget
+    matters more than wall. Pool hand-off is exact as always (the
+    carry holds dt + controller memory; FSAL k1 is a plain RHS eval
+    for every explicit method).
 
     stall_progress: rays whose phase path advanced less than this (RE)
     over a whole round are marked DT_UNDERFLOW and dropped. Rays wedged
@@ -544,10 +568,18 @@ def make_rounds_tracer(
             # remaining budget in one round instead of ping-ponging
             # fixed-length rounds through the tunnel
             n_active = int(active.sum())
-            if n_active * 4 <= floor:
+            merged_tail = n_active * 4 <= floor
+            if merged_tail:
                 nr = max_steps - steps_done
             else:
                 nr = min(round_len(i), max_steps - steps_done)
+            # merged tail: accuracy-limited stragglers -> order 5 (see
+            # the tail_stepper docstring); auto mode only, so pinned-
+            # stepper runs stay method-pure
+            base_st = (
+                tail_stepper if (auto and merged_tail and tail_stepper)
+                else base_stepper
+            )
             # snapshot pool membership: rays marked stiff by THIS round's
             # settle must wait for the next round, or they would run
             # both pools in one round (double-stepping past max_steps)
@@ -555,16 +587,16 @@ def make_rounds_tracer(
             if order_pools:
                 slow_mask = slow.copy() & ~pool_mask
                 pools = (
-                    (~pool_mask & ~slow_mask, base_stepper),
+                    (~pool_mask & ~slow_mask, base_st),
                     (slow_mask, "dopri5"),
                     (pool_mask, stiff_stepper),
                 )
             elif auto:
                 pools = (
-                    (~pool_mask, base_stepper), (pool_mask, stiff_stepper)
+                    (~pool_mask, base_st), (pool_mask, stiff_stepper)
                 )
             else:
-                pools = ((np.ones(n, bool), base_stepper),)
+                pools = ((np.ones(n, bool), base_st),)
             # dispatch phase: queue every pool/part program without
             # waiting; fetch phase below then drains the stats in order.
             # Per-ray results are independent of the grouping (vmap lanes

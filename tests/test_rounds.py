@@ -367,3 +367,50 @@ def test_auto_order_pool_bs3_to_dp5():
     )
     tr2(u0, f, valid)
     assert tr2.last_slow is not None and not tr2.last_slow.any()
+
+
+def test_merged_tail_order5():
+    """tail_stepper: once the active set merges into the single
+    remaining-budget round, auto mode's non-stiff pool runs order 5 --
+    the accuracy-limited stragglers' regime -- with zero extra programs.
+    Mechanism check via run.last_rounds; physics check vs a pinned-bs3
+    run at the same tolerance."""
+    mesh, env, u0, f, valid = _setup(tuple(np.linspace(0.6, 0.9, 8)))
+    kw = dict(
+        mesh=mesh, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE), max_steps=4096,
+        round_steps=128, bucket_floor=32,
+    )
+    tr = make_rounds_tracer(env, stepper="auto", base_stepper="bs3",
+                            tail_stepper="dopri5", **kw)
+    res = tr(u0, f, valid)
+    # with 8 rays and floor 32, every round after round 0 is the merged
+    # tail: its non-stiff pool must have run dopri5
+    tail_rounds = [r for r in tr.last_rounds[1:] if r["stepper"] != "ros2x"]
+    assert tail_rounds and all(r["stepper"] == "dopri5" for r in tail_rounds)
+
+    # tail_stepper="" keeps the base method everywhere (bitwise equal to
+    # the pinned-bs3 run, since no ray trips the stiff pool here)
+    tr_off = make_rounds_tracer(
+        env, stepper="auto", base_stepper="bs3", tail_stepper="", **kw
+    )
+    res_off = tr_off(u0, f, valid)
+    assert all(r["stepper"] == "bs3" for r in tr_off.last_rounds)
+    res_bs3 = make_rounds_tracer(env, stepper="bs3", **kw)(u0, f, valid)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(
+        np.asarray(res_off.status)[v], np.asarray(res_bs3.status)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_off.u)[v], np.asarray(res_bs3.u)[v], rtol=1e-12
+    )
+
+    # physics parity of the order-5 tail: same terminal statuses, landing
+    # states within tolerance noise of the all-bs3 run
+    np.testing.assert_array_equal(
+        np.asarray(res.status)[v], np.asarray(res_bs3.status)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.u)[v][:, 0], np.asarray(res_bs3.u)[v][:, 0],
+        atol=1e-5,   # method difference shows at the rtol-1e-6 level
+    )
