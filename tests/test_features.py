@@ -341,3 +341,21 @@ def test_cli_dump_config_and_multihost_single_process(tmp_path, capsys):
     total = sum(v for k, v in gstats.items()
                 if k.startswith("n_") and k != "n_active")
     assert total == 3
+
+
+def test_production_preset_round_trip_and_solver():
+    """ensemble10k_production: the arc-ceiling production config builds,
+    JSON round-trips (incl. the new ds_max/dt_max fields), and its
+    SolverConfig carries both ceilings (benchmarks/perf_r03h.json)."""
+    from raytrace_tpu.constants import RE
+
+    cfg = preset("ensemble10k_production")
+    s = cfg.solver()
+    assert s.ds_max == pytest.approx(2.0e6 / RE)
+    assert s.dt_max == pytest.approx(8.0e6 / RE)
+    back = RunConfig.from_json(cfg.to_json())
+    assert back.ds_max == cfg.ds_max and back.dt_max == cfg.dt_max
+    assert back.solver() == s
+    # the plain headline keeps the reference ceiling and no arc ceiling
+    s0 = preset("ensemble10k").solver()
+    assert s0.ds_max == 0.0 and s0.dt_max == pytest.approx(1.0e6 / RE)
