@@ -557,6 +557,7 @@ def make_rounds_tracer(
 
         steps_done = first
         i = 1
+        fetch_dev = None   # speculative final-fetch handle (see below)
         while steps_done < max_steps:
             active = (
                 _alive(hs[:, ST_]) & (override < 0) & np.asarray(valid)
@@ -587,22 +588,23 @@ def make_rounds_tracer(
             if order_pools:
                 slow_mask = slow.copy() & ~pool_mask
                 pools = (
-                    (~pool_mask & ~slow_mask, base_st),
-                    (slow_mask, "dopri5"),
-                    (pool_mask, stiff_stepper),
+                    (~pool_mask & ~slow_mask, base_st, False),
+                    (slow_mask, "dopri5", False),
+                    (pool_mask, stiff_stepper, True),
                 )
             elif auto:
                 pools = (
-                    (~pool_mask, base_st), (pool_mask, stiff_stepper)
+                    (~pool_mask, base_st, False),
+                    (pool_mask, stiff_stepper, True),
                 )
             else:
-                pools = ((np.ones(n, bool), base_st),)
+                pools = ((np.ones(n, bool), base_st, False),)
             # dispatch phase: queue every pool/part program without
             # waiting; fetch phase below then drains the stats in order.
             # Per-ray results are independent of the grouping (vmap lanes
             # never interact), so splitting is exact.
             jobs = []
-            for mask, st in pools:
+            for mask, st, is_stiff_pool in pools:
                 idx_all = np.nonzero(active & mask)[0]
                 if idx_all.size == 0:
                     continue
@@ -610,8 +612,10 @@ def make_rounds_tracer(
                 # covers the same span in far fewer steps, and rays that
                 # turn out to be wedged on a singularity (both methods
                 # reject everything) reach the stall check after at most
-                # 1024 wasted attempts instead of a full dp5-length round
-                nr_pool = min(nr, 1024) if st == stiff_stepper else nr
+                # 1024 wasted attempts instead of a full dp5-length round.
+                # Keyed on pool identity, not method name: a Rosenbrock
+                # tail_stepper must still run the full merged-tail budget.
+                nr_pool = min(nr, 1024) if is_stiff_pool else nr
                 for idx in _split_parts(idx_all, pipeline):
                     w0 = _clock()
                     b = _bucket_size(idx.size, n, floor)
@@ -626,6 +630,21 @@ def make_rounds_tracer(
                     )
                     jobs.append((idx, st, nr_pool, b, acc0, rej0, t0, w0,
                                  st_dev))
+            if steps_done + nr >= max_steps:
+                # this round exhausts the budget, so the while loop
+                # provably exits after it: dispatch the final fetch NOW,
+                # before draining any stats -- the fetch program (or the
+                # async D2H of the full carry) queues behind the round's
+                # programs and its dispatch + transfer latency hides
+                # under the device compute of the (typically merged-
+                # tail) round instead of serializing after it
+                if not want_carry:
+                    fetch_dev = _final_fetch(sd)(fl_dev)
+                else:
+                    try:
+                        fl_dev.copy_to_host_async()
+                    except AttributeError:
+                        pass
             for idx, st, nr_pool, b, acc0, rej0, t0, w0, st_dev in jobs:
                 hs = np.asarray(st_dev)
                 att = (hs[idx, ACC_] - acc0) + (hs[idx, REJ_] - rej0)
@@ -644,8 +663,14 @@ def make_rounds_tracer(
         run.last_slow = slow    # which rays ended on the dopri5 pool
         patch = override >= 0
         if not want_carry:
-            # light fetch: result columns only (no solver-internal state)
-            cols = np.asarray(_final_fetch(sd)(fl_dev)).copy()
+            # light fetch: result columns only (no solver-internal
+            # state); reuse the speculative dispatch when the loop
+            # exited by budget exhaustion (fetch_dev is fl_dev-final in
+            # that case -- no round runs after the dispatch)
+            cols = np.asarray(
+                fetch_dev if fetch_dev is not None
+                else _final_fetch(sd)(fl_dev)
+            ).copy()
             status = cols[:, sd + 1].astype(np.int32)
             status[patch] = override[patch]
             return TraceResult(
