@@ -414,3 +414,38 @@ def test_merged_tail_order5():
         np.asarray(res.u)[v][:, 0], np.asarray(res_bs3.u)[v][:, 0],
         atol=1e-5,   # method difference shows at the rtol-1e-6 level
     )
+
+
+def test_rounds_tracer_arc_ceiling():
+    """The production ceiling setting (SolverConfig.ds_max + relaxed
+    dt_max, preset ensemble10k_production) through the full rounds
+    tracer: completes with the same terminal statuses as the
+    reference-ceiling run and strictly fewer attempted steps."""
+    mesh, env, u0, f, valid = _setup(tuple(np.linspace(0.6, 0.9, 8)))
+    kw = dict(
+        mesh=mesh, spec=StopSpec(r_floor=1.0, t_max=5e9 / RE),
+        max_steps=16384, round_steps=2048, bucket_floor=8,
+    )
+    res_ref = make_rounds_tracer(
+        env, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4), **kw
+    )(u0, f, valid)
+    res_arc = make_rounds_tracer(
+        env, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4,
+                              dt_max=8.0e6 / RE, ds_max=2.0e6 / RE), **kw
+    )(u0, f, valid)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(
+        np.asarray(res_arc.status)[v], np.asarray(res_ref.status)[v]
+    )
+    att_ref = (np.asarray(res_ref.n_accept) + np.asarray(res_ref.n_reject))[v]
+    att_arc = (np.asarray(res_arc.n_accept) + np.asarray(res_arc.n_reject))[v]
+    assert att_arc.sum() < att_ref.sum()
+    # landing-latitude sanity bound only: landing amplifies integrator-
+    # tolerance differences ~7e3x (sensitivity.py), so per-ray landing
+    # is NOT comparable tightly across ceiling settings -- the ensemble
+    # medians are (perf_r03f/h.json); here each ray must land in the
+    # same neighborhood (within ~2 degrees)
+    np.testing.assert_allclose(
+        np.asarray(res_arc.u)[v][:, 1], np.asarray(res_ref.u)[v][:, 1],
+        atol=0.035,
+    )
