@@ -204,16 +204,18 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
     """One attempted step for one ray; no-op when the ray is not ACTIVE.
 
     stepper: "dopri5" (adaptive explicit, default) | "bs3" (adaptive
-    explicit 3(2), half the stage cost per attempt) | "ros2" / "ros2x" /
-    "ros4x" (adaptive linearly implicit L-stable, orders 2 / 3 / 4 -- the
-    stiff tier) | "rk4" (fixed step, selected by adaptive=False).
+    explicit 3(2), half the stage cost per attempt) | "heun2" (adaptive
+    explicit 2(1), the cheapest rung -- coarse tolerances only) |
+    "ros2" / "ros2x" / "ros4x" (adaptive linearly implicit L-stable,
+    orders 2 / 3 / 4 -- the stiff tier) | "rk4" (fixed step, selected
+    by adaptive=False).
     Controller exponents scale with the stepper's order."""
     active = carry.status == events.ACTIVE
     rhs1 = lambda u: rhs_fn(u, f)
-    # step ceiling: reference phase-path dtmax, optionally tightened (or
-    # in practice mostly LOOSENED, since mu > 1 for whistlers) by the
-    # arc-length ceiling ds_max / (ds/dtau) -- see SolverConfig.ds_max
-    dt_cap = jnp.asarray(cfg.dt_max, carry.dt.dtype)
+    # step ceiling (adaptive only -- fixed-step rk4 honors dt0 exactly):
+    # reference phase-path dtmax, optionally tightened (or in practice
+    # mostly LOOSENED, since mu > 1 for whistlers) by the arc-length
+    # ceiling ds_max / (ds/dtau) -- see SolverConfig.ds_max
     if adaptive:
         arc_cap = jnp.where(
             jnp.asarray(cfg.ds_max) > 0.0,
@@ -223,11 +225,13 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
             ),
             jnp.asarray(jnp.inf, carry.dt.dtype),
         )
-        dt_cap = jnp.minimum(dt_cap, arc_cap)
+        dt_cap = jnp.minimum(jnp.asarray(cfg.dt_max, carry.dt.dtype), arc_cap)
+        dt_eff = jnp.minimum(carry.dt, dt_cap)
+    else:
+        dt_eff = carry.dt
     # do not overshoot the phase-path budget (CVODE integrates to tstop)
     dt_eff = jnp.minimum(
-        jnp.minimum(carry.dt, dt_cap),
-        jnp.maximum(spec.t_max - carry.t, cfg.dt_min),
+        dt_eff, jnp.maximum(spec.t_max - carry.t, cfg.dt_min)
     )
 
     order = 5.0
