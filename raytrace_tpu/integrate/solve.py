@@ -216,15 +216,26 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
     # reference phase-path dtmax, optionally tightened (or in practice
     # mostly LOOSENED, since mu > 1 for whistlers) by the arc-length
     # ceiling ds_max / (ds/dtau) -- see SolverConfig.ds_max
-    if adaptive:
-        arc_cap = jnp.where(
-            jnp.asarray(cfg.ds_max) > 0.0,
-            jnp.maximum(
-                cfg.ds_max / jnp.maximum(_arc_rate(carry.u, carry.k1), 1e-30),
-                cfg.dt_min,
-            ),
-            jnp.asarray(jnp.inf, carry.dt.dtype),
+    # static elision: cfg fields are Python floats in every production
+    # path (SolverConfig is closed over by the jitted tracer, never
+    # traced), so gate at trace time and keep the arc-rate sqrt chain
+    # out of the compiled hot loop entirely for ds_max == 0 workloads
+    # rather than trusting dead-branch folding; a traced ds_max still
+    # works via the jnp.where.
+    ds_static = isinstance(cfg.ds_max, (int, float))
+    if adaptive and ds_static and cfg.ds_max <= 0.0:
+        dt_cap = jnp.asarray(cfg.dt_max, carry.dt.dtype)
+        dt_eff = jnp.minimum(carry.dt, dt_cap)
+    elif adaptive:
+        arc_cap = jnp.maximum(
+            cfg.ds_max / jnp.maximum(_arc_rate(carry.u, carry.k1), 1e-30),
+            cfg.dt_min,
         )
+        if not ds_static:
+            arc_cap = jnp.where(
+                jnp.asarray(cfg.ds_max) > 0.0, arc_cap,
+                jnp.asarray(jnp.inf, carry.dt.dtype),
+            )
         dt_cap = jnp.minimum(jnp.asarray(cfg.dt_max, carry.dt.dtype), arc_cap)
         dt_eff = jnp.minimum(carry.dt, dt_cap)
     else:

@@ -335,6 +335,13 @@ def heun21_step(rhs_fn, u, k1, dt, rtol, atol):
     err_vec = (0.5 * dt) * (k2 - k1)
     scale = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u_new))
     err = jnp.sqrt(jnp.mean(jnp.square(err_vec / scale)))
+    # unlike bs3/dopri5, the embedded estimate does not contain the
+    # end-derivative -- a step whose ENDPOINT lands on a dispersion
+    # singularity (k_end non-finite, k2 finite) would be accepted and
+    # poison the FSAL carry for every later attempt. Force such steps
+    # to reject, matching the other FSAL pairs' behavior (their err
+    # includes f(u_new) with nonzero weight).
+    err = jnp.where(jnp.all(jnp.isfinite(k_end)), err, jnp.inf)
     return StepOut(u_new, k_end, err, incr)
 
 

@@ -368,6 +368,20 @@ def make_rounds_tracer(
     order_pools = (
         auto and base_stepper != "dopri5" and order_switch_dt > 0.0
     )
+    if order_pools and float(cfg.ds_max) > 0.0:
+        # the switch/unswitch hysteresis is calibrated against cfg.dt_max
+        # as THE effective ceiling; under an arc-length ceiling the
+        # effective cap is state-dependent (ds_max / arc rate), so
+        # dt_max-relative thresholds would mis-scale (e.g. a ray pinned
+        # by the arc cap looks "accuracy-limited" and can never reach
+        # the dt_max-relative unswitch level). Refuse rather than route
+        # rays wrongly.
+        raise ValueError(
+            "order_switch_dt > 0 (three-pool order selection) is not "
+            "supported together with SolverConfig.ds_max: the dt_max-"
+            "relative switch thresholds do not apply under an arc-length "
+            "ceiling"
+        )
     _dtmax = float(cfg.dt_max)
 
     def make_kw(n, st):
@@ -494,6 +508,19 @@ def make_rounds_tracer(
         first = min(round_len(0), max_steps)
         w0_start = _clock()
         fl_dev, st_dev = start(jnp.asarray(u0), jnp.asarray(f), first)
+        fetch_dev = None   # speculative final-fetch handle
+        if first >= max_steps:
+            # single-round schedule (run.py's tiny-batch path): round 0
+            # already exhausts the budget, so dispatch the final fetch
+            # before the blocking stats read -- same overlap as the
+            # budget-exhausting round inside the loop below
+            if not want_carry:
+                fetch_dev = _final_fetch(sd)(fl_dev)
+            else:
+                try:
+                    fl_dev.copy_to_host_async()
+                except AttributeError:
+                    pass
         hs = np.asarray(st_dev)
         run.last_rounds.append(dict(
             stepper=base_stepper, active=n, bucket=n, steps=first,
@@ -524,15 +551,18 @@ def make_rounds_tracer(
                 status_col == events.MAX_STEPS
             )
 
-        def settle(idx, rf, prog, st, acc_delta):
+        def settle(idx, rf, prog, is_stiff_pool, acc_delta):
             """Post-round bookkeeping for the rays in idx: stall
-            retirement first, then stiff/order pool membership updates."""
+            retirement first, then stiff/order pool membership updates.
+            is_stiff_pool is POOL identity, not method name: a
+            tail_stepper that happens to equal stiff_stepper must not
+            route its rays through the unswitch branch."""
             still = _alive(hs[idx, ST_]) & (override[idx] < 0)
             if stall_progress > 0.0:
                 stalled = still & (prog < stall_progress)
                 override[idx[stalled]] = events.DT_UNDERFLOW
                 still = still & ~stalled
-            if auto and st == stiff_stepper:
+            if auto and is_stiff_pool:
                 stiff[idx[still & (rf < stiff_unswitch)]] = False
             elif auto:
                 stiff[idx[still & (rf > stiff_switch)]] = True
@@ -553,11 +583,10 @@ def make_rounds_tracer(
         idx0 = np.nonzero(np.asarray(valid))[0]
         att0 = hs[idx0, ACC_] + hs[idx0, REJ_]
         settle(idx0, hs[idx0, REJ_] / np.maximum(att0, 1), hs[idx0, T_],
-               base_stepper, hs[idx0, ACC_])
+               False, hs[idx0, ACC_])
 
         steps_done = first
         i = 1
-        fetch_dev = None   # speculative final-fetch handle (see below)
         while steps_done < max_steps:
             active = (
                 _alive(hs[:, ST_]) & (override < 0) & np.asarray(valid)
@@ -628,8 +657,8 @@ def make_rounds_tracer(
                     fl_dev, st_dev = cont_sel(
                         fl_dev, jnp.asarray(sel, jnp.int32), nr_pool, st
                     )
-                    jobs.append((idx, st, nr_pool, b, acc0, rej0, t0, w0,
-                                 st_dev))
+                    jobs.append((idx, st, is_stiff_pool, nr_pool, b, acc0,
+                                 rej0, t0, w0, st_dev))
             if steps_done + nr >= max_steps:
                 # this round exhausts the budget, so the while loop
                 # provably exits after it: dispatch the final fetch NOW,
@@ -645,7 +674,8 @@ def make_rounds_tracer(
                         fl_dev.copy_to_host_async()
                     except AttributeError:
                         pass
-            for idx, st, nr_pool, b, acc0, rej0, t0, w0, st_dev in jobs:
+            for (idx, st, is_stiff_pool, nr_pool, b, acc0, rej0, t0, w0,
+                 st_dev) in jobs:
                 hs = np.asarray(st_dev)
                 att = (hs[idx, ACC_] - acc0) + (hs[idx, REJ_] - rej0)
                 rf = (hs[idx, REJ_] - rej0) / np.maximum(att, 1)
@@ -654,7 +684,8 @@ def make_rounds_tracer(
                     steps=nr_pool, attempted=int(att.sum()),
                     wall_s=_clock() - w0,
                 ))
-                settle(idx, rf, prog=hs[idx, T_] - t0, st=st,
+                settle(idx, rf, prog=hs[idx, T_] - t0,
+                       is_stiff_pool=is_stiff_pool,
                        acc_delta=hs[idx, ACC_] - acc0)
             steps_done += nr
             i += 1

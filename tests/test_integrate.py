@@ -331,3 +331,31 @@ def test_arc_length_ceiling_whistler_parity():
     np.testing.assert_allclose(ua[1], up[1], atol=2e-3)   # landing lat (rad)
     np.testing.assert_allclose(ua[3], up[3], rtol=1e-3)   # group delay
     assert int(res_arc.n_accept[0]) < int(res_ph.n_accept[0])
+
+
+def test_heun2_rejects_nonfinite_endpoint():
+    """heun2's embedded estimate excludes the end-derivative, so a step
+    whose ENDPOINT lands past a singularity (k_end non-finite, predictor
+    still fine) must be forced to reject -- otherwise the poisoned FSAL
+    carry would freeze the ray (bs3/dopri5 reject naturally because
+    their err includes f(u_new) with nonzero weight)."""
+    from raytrace_tpu.integrate.steppers import heun21_step
+
+    thresh = 1.1
+
+    def f(u):
+        vec = jnp.array([u[0], 0.0, 0.0, 0.0])
+        return jnp.where(u[0] > thresh, jnp.nan, vec)
+
+    u = jnp.array([0.9, 0.0, 0.0, 0.0])
+    k1 = f(u)
+    assert bool(jnp.all(jnp.isfinite(k1)))
+    # dt = 0.21: predictor 1.089 < thresh (k2 finite), trapezoid endpoint
+    # 1.1088 > thresh (k_end NaN)
+    out = heun21_step(f, u, k1, 0.21, 1.0, 1.0)
+    assert not bool(jnp.all(jnp.isfinite(out.k_end)))
+    assert bool(jnp.isinf(out.err))          # forced rejection
+    # a shorter step with a finite endpoint keeps a finite estimate
+    out2 = heun21_step(f, u, k1, 0.1, 1.0, 1.0)
+    assert bool(jnp.all(jnp.isfinite(out2.k_end)))
+    assert bool(jnp.isfinite(out2.err))

@@ -449,3 +449,18 @@ def test_rounds_tracer_arc_ceiling():
         np.asarray(res_arc.u)[v][:, 1], np.asarray(res_ref.u)[v][:, 1],
         atol=0.035,
     )
+
+
+def test_order_pools_refuse_arc_ceiling():
+    """The three-pool order hysteresis is calibrated against dt_max as
+    the effective ceiling; combining it with the arc-length ceiling must
+    refuse loudly instead of mis-routing rays."""
+    import pytest
+
+    mesh, env, u0, f, valid = _setup((0.7,))
+    with pytest.raises(ValueError, match="arc-length"):
+        make_rounds_tracer(
+            env, mesh=mesh,
+            cfg=SolverConfig(rtol=1e-6, atol=1e-10, ds_max=0.3),
+            stepper="auto", base_stepper="bs3", order_switch_dt=0.12,
+        )
