@@ -18,7 +18,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
-ALL = ["raymain", "lat_fan", "knee", "3d", "ensemble10k"]
+ALL = ["raymain", "lat_fan", "knee", "3d", "ensemble10k",
+       "ensemble10k_production"]
 
 
 def bench_config(name):
