@@ -359,3 +359,33 @@ def test_heun2_rejects_nonfinite_endpoint():
     out2 = heun21_step(f, u, k1, 0.1, 1.0, 1.0)
     assert bool(jnp.all(jnp.isfinite(out2.k_end)))
     assert bool(jnp.isfinite(out2.err))
+
+
+def test_arc_length_ceiling_3d_frame():
+    """The arc-rate includes the azimuthal metric term on the 7-state
+    frame (r sin(theta) dphi/dtau); the canonical 3D ray on the arc
+    ceiling alone must reproduce the phase-ceiling terminal status and
+    group delay with fewer accepted steps (mu > 1 along the path)."""
+    from raytrace_tpu.models import make_env
+    from raytrace_tpu.ops.dispersion import consistent_rho_3d
+
+    env = make_env(b0=3.12e-5)
+    r0, th0, ph0 = (RE + 1e6) / RE, np.pi / 4, 0.0
+    rho = consistent_rho_3d(r0, th0, ph0, (1.0, 1.0, 0.0), 1000.0, env)
+    u0 = jnp.array([[r0, th0, ph0, *map(float, rho), 0.0]])
+    kw = dict(
+        spec=StopSpec(r_floor=1.0, t_max=3e8 / RE, lat_sign=-1.0,
+                      lat_offset=np.pi / 2),
+        group_idx=6, max_steps=20000,
+    )
+    rhs_fn = lambda u, ff: rhs.rhs_3d(u, ff, env)  # noqa: E731
+    res_ph = trace(rhs_fn, u0, jnp.array([1000.0]),
+                   cfg=SolverConfig(rtol=1e-7, atol=1e-11, dt0=1e-4), **kw)
+    res_arc = trace(rhs_fn, u0, jnp.array([1000.0]),
+                    cfg=SolverConfig(rtol=1e-7, atol=1e-11, dt0=1e-4,
+                                     dt_max=1e9, ds_max=1e6 / RE), **kw)
+    assert int(res_arc.status[0]) == int(res_ph.status[0])
+    np.testing.assert_allclose(
+        float(res_arc.u[0, 6]), float(res_ph.u[0, 6]), rtol=1e-3
+    )
+    assert int(res_arc.n_accept[0]) < int(res_ph.n_accept[0])
