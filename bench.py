@@ -102,6 +102,13 @@ def measure_tpu_ensemble():
     import jax
     import numpy as np
 
+    from raytrace_tpu.utils.cache import enable_compilation_cache
+
+    # persist tracer programs across bench subprocesses (each retry/run is
+    # a fresh interpreter; without this every attempt re-pays the full
+    # tunnel compile)
+    enable_compilation_cache()
+
     from raytrace_tpu.constants import RE
     from raytrace_tpu.integrate import SolverConfig, StopSpec
     from raytrace_tpu.models import make_env_lat

@@ -56,6 +56,12 @@ def _build_u0(config: RunConfig, dtype):
 
 def run(config: RunConfig, out_dir=None, plots=False):
     """Execute a RunConfig. Returns dict(result, stats, valid, paths)."""
+    # persist compiled programs across processes: the tunneled chip pays
+    # 20-40 s per program compile (a cold ensemble CLI run ~345 s total);
+    # the cache replays a 13.7 s compile in 0.27 s (utils/cache.py)
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     env = config.medium.build()

@@ -2,6 +2,8 @@
 oracle, toy-ODE solver sanity (the reference's scratch.jl:516-529 Lorenz
 check, C26), debug gates, config round-trip, CLI runner."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -359,3 +361,20 @@ def test_production_preset_round_trip_and_solver():
     # the plain headline keeps the reference ceiling and no arc ceiling
     s0 = preset("ensemble10k").solver()
     assert s0.ds_max == 0.0 and s0.dt_max == pytest.approx(1.0e6 / RE)
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    """enable_compilation_cache points JAX at the given (or env-derived)
+    directory, creates it, and is idempotent."""
+    import jax
+
+    from raytrace_tpu.utils import cache
+
+    monkeypatch.setattr(cache, "_ENABLED", False)
+    d = str(tmp_path / "xla_cache")
+    got = cache.enable_compilation_cache(d)
+    assert got == d and os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
+    # idempotent: a second call (different path) is a no-op
+    assert cache.enable_compilation_cache(str(tmp_path / "other")) is not None
+    assert jax.config.jax_compilation_cache_dir == d
