@@ -218,3 +218,52 @@ def count_equator_crossings(traj_u, frame="2d_lat"):
         s[i][z] = s[i - 1][z]
     crossings = (s[1:] * s[:-1] < 0).sum(axis=0)
     return crossings[0] if squeeze else crossings
+
+
+def footprint_spreading(fp, param, r_land=1.0):
+    """Macroscopic ray-tube spreading along a 1-D launch fan.
+
+    Adjacent rays of a fan bound a ray tube; with power conserved in the
+    tube, the landing amplitude scales as 1/sqrt(spreading), where
+    spreading is the landing-arc growth per unit launch parameter. This
+    is the geometric (focusing/defocusing) part of the whistler
+    amplitude budget -- the part that is pure ray geometry and needs no
+    hot-plasma model (growth/damping along the path is out of scope;
+    see ROADMAP).
+
+    Deliberately a FINITE-WINDOW secant over adjacent fan rays, not the
+    variational tangent: the landing map carries microscopic folds that
+    make the infinitesimal tangent ~1e4 x larger than the macroscopic
+    tube response (sensitivity.py module docstring) -- a receiver
+    integrates over the macroscopic tube, so the fan secant is the
+    physical number here.
+
+    fp:     landing_footprint() dict of a fan ORDERED along the fan axis
+            (e.g. a chi scan at fixed launch lat and frequency).
+    param:  (B,) launch parameter per ray, same order (rad for chi/lat
+            fans).
+    r_land: landing radius in RE (r_floor; 1.0 for surface hits).
+
+    Returns a dict over adjacent pairs where BOTH rays hit:
+      param_mid      midpoint of the launch parameter
+      spreading      |d(landing arc)/d(param)| = r_land |dlat_land/dp|
+      rel_amplitude  1/sqrt(spreading), normalized to its fan maximum
+    (2D meridional tube; a full 3D amplitude adds the azimuthal
+    spreading factor of the frame.)"""
+    param = np.asarray(param, float)
+    lat1 = np.asarray(fp["landing_lat"], float)
+    hit = np.asarray(fp["hit"], bool)
+    if param.shape != lat1.shape:
+        raise ValueError("param must align with the footprint rays")
+    ok = hit[1:] & hit[:-1]
+    dp = np.abs(np.diff(param))[ok]
+    if np.any(dp == 0.0):
+        raise ValueError("duplicate launch parameters in the fan")
+    spreading = r_land * np.abs(np.diff(lat1))[ok] / dp
+    rel = 1.0 / np.sqrt(np.maximum(spreading, 1e-300))
+    rel_max = rel.max() if rel.size else 1.0
+    return {
+        "param_mid": (0.5 * (param[1:] + param[:-1]))[ok],
+        "spreading": spreading,
+        "rel_amplitude": rel / rel_max,
+    }

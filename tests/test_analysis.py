@@ -193,3 +193,40 @@ def test_count_equator_crossings_one_hop_is_odd():
     fake = np.zeros((10, 4))
     fake[:, 1] = 0.5
     assert int(count_equator_crossings(fake)) == 0
+
+
+def test_footprint_spreading():
+    """Ray-tube spreading from a chi fan: finite, positive, normalized
+    amplitude, non-hit pairs dropped, and the secant agrees with an
+    independently recomputed adjacent-pair difference."""
+    import jax.numpy as jnp
+
+    env = make_env_lat()
+    chis = np.linspace(-3e-3, 3e-3, 5)
+    u0 = np.zeros((5, 4))
+    u0[:, 0] = (RE + 1.0e6) / RE
+    u0[:, 1] = np.pi / 4
+    u0[:, 2] = chis
+    f = np.full(5, 1000.0)
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env),
+        jnp.asarray(u0), jnp.asarray(f),
+        cfg=SolverConfig(rtol=1e-7, atol=1e-12, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e9 / RE), max_steps=20000,
+    )
+    assert (np.asarray(res.status) == events.HIT_EARTH).all()
+    fp = analysis.landing_footprint(u0, f, res)
+    sp = analysis.footprint_spreading(fp, chis)
+    assert sp["spreading"].shape == (4,)
+    assert np.isfinite(sp["spreading"]).all() and (sp["spreading"] > 0).all()
+    assert np.isclose(sp["rel_amplitude"].max(), 1.0)
+    # secant consistency with a direct recomputation
+    lat1 = fp["landing_lat"]
+    direct = np.abs(np.diff(lat1)) / np.abs(np.diff(chis))
+    np.testing.assert_allclose(sp["spreading"], direct, rtol=1e-12)
+    # a non-hit member kills its two adjacent pairs
+    fp2 = dict(fp)
+    fp2["hit"] = fp["hit"].copy()
+    fp2["hit"][2] = False
+    sp2 = analysis.footprint_spreading(fp2, chis)
+    assert sp2["spreading"].shape == (2,)
