@@ -33,7 +33,7 @@ def main():
     import matplotlib.pyplot as plt
     import numpy as np
 
-    from raytrace_tpu.analysis import landing_footprint
+    from raytrace_tpu.analysis import footprint_spreading, landing_footprint
     from raytrace_tpu.constants import RE
     from raytrace_tpu.integrate import SolverConfig, StopSpec, trace
     from raytrace_tpu.models import make_env_lat
@@ -57,7 +57,8 @@ def main():
     fp = landing_footprint(u0, f, res)
     h = fp["hit"]
 
-    fig, axes = plt.subplots(1, 3, figsize=(15, 4.4))
+    fig, axes = plt.subplots(2, 2, figsize=(11.5, 8.8))
+    axes = axes.ravel()
     sc = axes[0].scatter(
         np.degrees(fp["launch_lat"][h]), np.degrees(fp["landing_lat"][h]),
         c=fp["freq_hz"][h] / 1e3, cmap="viridis", s=22,
@@ -82,6 +83,27 @@ def main():
     axes[2].set_xlabel(r"$1/\sqrt{f}$ [Hz$^{-1/2}$]")
     axes[2].set_ylabel("one-hop group delay [s]")
     axes[2].set_title("whistler dispersion (Eckersley: T $\\propto$ 1/$\\sqrt{f}$)")
+
+    # geometric ray-tube amplitude along each fixed-frequency launch fan
+    # (analysis.footprint_spreading): focusing/defocusing from pure ray
+    # geometry -- adjacent-ray secants, NOT the folded-map tangent
+    freqs = np.unique(fp["freq_hz"])
+    cmap = plt.get_cmap("viridis")
+    for i, fq in enumerate(freqs):
+        sel = fp["freq_hz"] == fq
+        order = np.argsort(fp["launch_lat"][sel])
+        sub = {k: np.asarray(v)[sel][order] for k, v in fp.items()}
+        sp = footprint_spreading(sub, sub["launch_lat"])
+        if sp["param_mid"].size:
+            axes[3].plot(
+                np.degrees(sp["param_mid"]), sp["rel_amplitude"], "o-",
+                ms=4, lw=1.2, color=cmap(i / max(len(freqs) - 1, 1)),
+                label=f"{fq/1e3:.1f} kHz",
+            )
+    axes[3].set_xlabel("launch latitude [deg]")
+    axes[3].set_ylabel("relative landing amplitude (tube geometry)")
+    axes[3].set_title("ray-tube focusing: 1/$\\sqrt{|ds_{land}/d\\lambda_0|}$")
+    axes[3].legend(fontsize=8)
     for ax in axes:
         ax.grid(alpha=0.3)
     fig.tight_layout()
