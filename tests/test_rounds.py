@@ -464,3 +464,41 @@ def test_order_pools_refuse_arc_ceiling():
             cfg=SolverConfig(rtol=1e-6, atol=1e-10, ds_max=0.3),
             stepper="auto", base_stepper="bs3", order_switch_dt=0.12,
         )
+
+
+def test_arc_ceiling_resolves_plasmapause_knee():
+    """Physics-safety of the production ceiling on the stress case: the
+    plasmapause knee (~0.1 L wide) is the sharpest medium feature a
+    raised step ceiling could skip. Knee-traversing rays under the
+    production ceilings (ds_max 2e6 m, phase bound 8e6 m) must reproduce
+    the reference-ceiling statuses ray for ray, and the landing-L
+    population must match to the tolerance envelope."""
+    mesh, env, u0, f, valid = _setup(
+        tuple(np.linspace(0.9, 1.15, 8)), chis=(-0.2, 0.2),
+        freqs=(500.0, 1000.0),
+    )
+    kw = dict(
+        mesh=mesh, spec=StopSpec(r_floor=1.0, t_max=5e9 / RE),
+        max_steps=20000, round_steps=2048, bucket_floor=8,
+    )
+    res_ref = make_rounds_tracer(
+        env, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4), **kw
+    )(u0, f, valid)
+    res_arc = make_rounds_tracer(
+        env, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4,
+                              dt_max=8.0e6 / RE, ds_max=2.0e6 / RE), **kw
+    )(u0, f, valid)
+    v = np.asarray(valid)
+    sr = np.asarray(res_ref.status)[v]
+    sa = np.asarray(res_arc.status)[v]
+    np.testing.assert_array_equal(sa, sr)
+    hit = sr == events.HIT_EARTH
+    assert hit.sum() > 0
+    ur = np.asarray(res_ref.u)[v]
+    ua = np.asarray(res_arc.u)[v]
+    lr = ur[hit, 0] / np.cos(ur[hit, 1]) ** 2
+    la = ua[hit, 0] / np.cos(ua[hit, 1]) ** 2
+    # landing-L medians agree; per-ray spread is the documented event
+    # sensitivity, not feature-skipping
+    assert abs(np.median(la) - np.median(lr)) < 5e-3
+    np.testing.assert_allclose(la, lr, rtol=0.05)
