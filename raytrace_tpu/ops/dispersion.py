@@ -205,14 +205,25 @@ def psi_trig_3d(r, theta, phi, rho_r, rho_t, rho_p, env: medium.EnvParams):
 
 def _psi_trig_bmag_3d(r, theta, phi, rho_r, rho_t, rho_p,
                       env: medium.EnvParams):
-    """(sin psi, cos psi, |B|) from one field evaluation."""
+    """(sin psi, cos psi, |B|) from one field evaluation.
+
+    sin psi comes from the CROSS product |B x rho|/(|B||rho|), not
+    sqrt(1 - cos^2): at field-aligned propagation (psi -> 0 or pi, the
+    natural whistler state) 1 - cos^2 cancels to the float32 rounding
+    floor and both the value and anything autodiff chains through it go
+    wrong (measured: 65% of a 3D fan falsely wedge-retired,
+    benchmarks/perf_r03j.py); the cross form is ~eps-accurate there."""
     br, bt, bp = medium.b_vec(r, theta, phi, env)
     bmag = jnp.sqrt(br * br + bt * bt + bp * bp)
     rmag = jnp.sqrt(rho_r * rho_r + rho_t * rho_t + rho_p * rho_p)
+    inv_brm = 1.0 / (bmag * rmag)
     cospsi = jnp.clip(
-        (br * rho_r + bt * rho_t + bp * rho_p) / (bmag * rmag), -1.0, 1.0
+        (br * rho_r + bt * rho_t + bp * rho_p) * inv_brm, -1.0, 1.0
     )
-    sinpsi = jnp.sqrt(jnp.maximum(1.0 - cospsi * cospsi, 0.0))
+    c_r = bt * rho_p - bp * rho_t
+    c_t = bp * rho_r - br * rho_p
+    c_p = br * rho_t - bt * rho_r
+    sinpsi = jnp.sqrt(c_r * c_r + c_t * c_t + c_p * c_p) * inv_brm
     return sinpsi, cospsi, bmag
 
 

@@ -211,13 +211,26 @@ def _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat, L,
 
 
 def _stix_quartic_grads(ne, bm, f, sinpsi, cospsi, root,
-                        eta_he=0.0, eta_o=0.0):
-    """Shared core: mu plus d(mu)/d{ne, bm, f, psi} at fixed geometry.
+                        eta_he=0.0, eta_o=0.0, wrt_cos=False):
+    """Shared core: mu plus d(mu)/d{ne, bm, f, geometry} at fixed geometry.
 
-    Returns (mu, dmu_dn, dmu_db, dmu_df, dmu_dpsi). The 2D and 3D entry
+    Returns (mu, dmu_dn, dmu_db, dmu_df, dmu_dgeom). The 2D and 3D entry
     points supply their own geometry chain rules on top. eta_he/eta_o:
     He+/O+ fractions (dispersion.ion_species); the protons-only default
-    compiles to the exact two-species reference algebra."""
+    compiles to the exact two-species reference algebra.
+
+    wrt_cos selects the geometry variable of dmu_dgeom:
+      False (2D path): dmu/dpsi -- every psi-partial carries the common
+        factor sin(psi)cos(psi), fine when psi comes from angle addition;
+      True (3D path): dmu/dcos(psi) -- the quartic is smooth in
+        cos(psi), so this form has NO sin(psi) factor to divide back
+        out. The 3D chain rule composes dmu/dcos with dcos/d(state),
+        which cancels the 1/sin(psi) of the psi-parameterization
+        ALGEBRAICALLY: at field-aligned propagation (psi -> 0 or pi,
+        the natural whistler state) the psi-form is a removable 0/0
+        that float32 cannot evaluate (1 - cos^2 hits the rounding
+        floor; measured: 65% of a 3D fan falsely wedge-retired,
+        benchmarks/perf_r03j.py), while the cos-form is regular."""
     from .dispersion import ion_species
 
     # --- Stix ratio form + partials w.r.t. (ne, bm, f) ---
@@ -286,24 +299,28 @@ def _stix_quartic_grads(ne, bm, f, sinpsi, cospsi, root,
     inv_F = 1.0 / F
 
     halfP = 0.5 * Pn
-    spcp = sinpsi * cospsi
-    # partials of A, B, C, F w.r.t. normalized (R, L, P) and psi
+    # geometry factor: d(sin^2)/dpsi = 2 sc, d(cos^2)/dpsi = -2 sc;
+    # in the cos-form d(sin^2)/dc = -2c, d(cos^2)/dc = 2c -- i.e. the
+    # psi-form's (sinpsi * cospsi) factor becomes (-cospsi), nothing else
+    # in the A/B/F partials changes
+    geo = -cospsi if wrt_cos else sinpsi * cospsi
+    # partials of A, B, C, F w.r.t. normalized (R, L, P) and geometry
     A_R = 0.5 * sin2
     A_L = 0.5 * sin2
     A_P = cos2
-    A_psi = (Sn - Pn) * 2.0 * spcp
+    A_psi = (Sn - Pn) * 2.0 * geo
     onepcos2 = 1.0 + cos2
     B_R = Ln * sin2 + halfP * onepcos2
     B_L = Rn * sin2 + halfP * onepcos2
     B_P = Sn * onepcos2
-    B_psi = 2.0 * G * spcp
+    B_psi = 2.0 * G * geo
     C_R = Pn * Ln
     C_L = Pn * Rn
     C_P = RL
     F_R = (G * (Ln - halfP) * sin4 + H * Pn * cos2) * inv_F
     F_L = (G * (Rn - halfP) * sin4 - H * Pn * cos2) * inv_F
     F_P = (-G * Sn * sin4 + H * (Rn - Ln) * cos2) * inv_F
-    F_psi = spcp * (2.0 * G * G * sin2 - H * H) * inv_F
+    F_psi = geo * (2.0 * G * G * sin2 - H * H) * inv_F
 
     # mu^2 (normalized) and its partials, stable-branch consistent
     inv_2A = 0.5 / A
@@ -416,24 +433,32 @@ def mu_and_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f,
         rho_r * inv_rmag, rho_t * inv_rmag, rho_p * inv_rmag,
     )
     cospsi = jnp.clip(bhat_r * rhat_r + bhat_t * rhat_t, -1.0, 1.0)
-    sinpsi = jnp.sqrt(jnp.maximum(1.0 - cospsi * cospsi, 0.0))
-    inv_sin = 1.0 / sinpsi
-    # dpsi/dq = -(dcospsi/dq)/sinpsi
+    # sin psi from the CROSS product |Bhat x rhohat| (Bhat is unit, so
+    # |cross|^2 = rhat_p^2 + (Bhat_r rhat_t - Bhat_t rhat_r)^2): absolute
+    # error ~eps even at field-aligned propagation, where the dot-product
+    # form sqrt(1 - cos^2) loses half the mantissa to cancellation
+    cr_m = bhat_r * rhat_t - bhat_t * rhat_r
+    sinpsi = jnp.sqrt(rhat_p * rhat_p + cr_m * cr_m)
+    # geometry chain through c = cos(psi), NOT psi: the quartic is smooth
+    # in c, so no 1/sin(psi) appears anywhere and the field-aligned state
+    # (psi -> 0 or pi, where dmu/dpsi -> 0 but 1/sin -> inf) is regular
+    # by construction instead of a 0/0 float32 cannot resolve
     dcos_dlat = rhat_r * dbhat_r_dlat + rhat_t * dbhat_t_dlat
-    dpsi_dtheta = dcos_dlat * inv_sin          # dlat/dtheta = -1
-    dpsi_drho_r = -(bhat_r - cospsi * rhat_r) * inv_rmag * inv_sin
-    dpsi_drho_t = -(bhat_t - cospsi * rhat_t) * inv_rmag * inv_sin
-    dpsi_drho_p = -(0.0 - cospsi * rhat_p) * inv_rmag * inv_sin
+    dcos_dtheta = -dcos_dlat                   # dlat/dtheta = -1
+    dcos_drho_r = (bhat_r - cospsi * rhat_r) * inv_rmag
+    dcos_drho_t = (bhat_t - cospsi * rhat_t) * inv_rmag
+    dcos_drho_p = (0.0 - cospsi * rhat_p) * inv_rmag
 
     ne, ne_r, ne_lat = _ne_and_grads(r, lat, env)
-    mu, dmu_dn, dmu_db, dmu_df, dmu_dpsi = _stix_quartic_grads(
-        ne, bm, f, sinpsi, cospsi, root, env.eta_he, env.eta_o
+    mu, dmu_dn, dmu_db, dmu_df, dmu_dc = _stix_quartic_grads(
+        ne, bm, f, sinpsi, cospsi, root, env.eta_he, env.eta_o,
+        wrt_cos=True,
     )
     dmudr = dmu_dn * ne_r + dmu_db * bm_r
-    dmudtheta = -(dmu_dn * ne_lat + dmu_db * bm_lat) + dmu_dpsi * dpsi_dtheta
+    dmudtheta = -(dmu_dn * ne_lat + dmu_db * bm_lat) + dmu_dc * dcos_dtheta
     dmudphi = jnp.zeros_like(dmudr)
     return mu, (
         dmudr, dmudtheta, dmudphi,
-        dmu_dpsi * dpsi_drho_r, dmu_dpsi * dpsi_drho_t,
-        dmu_dpsi * dpsi_drho_p, dmu_df,
+        dmu_dc * dcos_drho_r, dmu_dc * dcos_drho_t,
+        dmu_dc * dcos_drho_p, dmu_df,
     )

@@ -92,3 +92,48 @@ def test_fused_3d_matches_autodiff_extended_medium():
         for i, (a, b) in enumerate(zip(g_a, g_b)):
             assert float(b) == pytest.approx(float(a), rel=1e-7,
                                              abs=1e-11), i
+
+
+def test_fused_3d_field_aligned_float32():
+    """Field-aligned propagation (psi -> 0 or pi) in float32.
+
+    The natural whistler state: rho nearly parallel (or antiparallel) to
+    B. The psi-parameterized chain computes sin(psi) = sqrt(1 - cos^2)
+    -- catastrophic cancellation at the f32 rounding floor -- then
+    divides the Kimura terms by that noise; measured fallout was 65% of
+    a 3D fan falsely wedge-retired (benchmarks/perf_r03j.py). The
+    cos(psi)-form chain must stay finite and match the f64 truth to f32
+    accuracy through the near-aligned approach."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytrace_tpu.models import cast_env
+    from raytrace_tpu.models.dipole import b_vec_colat
+
+    env = make_env(b0=3.12e-5)
+    env32 = cast_env(env, jnp.float32)
+    r, th, ph, f = 3.0, np.pi / 2 - 0.3, 0.0, 1500.0
+    br, bt, bp = (float(x) for x in b_vec_colat(r, th, ph, env.b0))
+    bm = np.hypot(br, bt)
+    bhat = np.array([br / bm, bt / bm, 0.0])
+    # perpendicular unit vector in the meridional plane
+    perp = np.array([-bhat[1], bhat[0], 0.0])
+    mu0 = 25.0
+    for sign in (+1.0, -1.0):
+        for eps in (1e-2, 1e-4, 1e-6, 0.0):
+            rho = mu0 * (sign * bhat + eps * perp)
+            args = (r, th, ph, float(rho[0]), float(rho[1]), float(rho[2]),
+                    f)
+            mu64, g64 = fused.mu_and_grads_3d(*args, env)
+            a32 = tuple(jnp.float32(x) for x in args)
+            mu32, g32 = fused.mu_and_grads_3d(*a32, env32)
+            assert np.isfinite(float(mu32))
+            assert float(mu32) == pytest.approx(float(mu64), rel=2e-5)
+            for i, (a, b) in enumerate(zip(g64, g32)):
+                a, b = float(a), float(b)
+                assert np.isfinite(b), (sign, eps, i)
+                # f32 accuracy relative to the gradient-vector scale
+                scale = max(abs(float(x)) for x in g64)
+                assert b == pytest.approx(a, rel=1e-3, abs=2e-4 * scale), (
+                    sign, eps, i,
+                )

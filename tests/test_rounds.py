@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytrace_tpu.constants import RE
 from raytrace_tpu.integrate import SolverConfig, StopSpec, events
@@ -502,3 +503,46 @@ def test_arc_ceiling_resolves_plasmapause_knee():
     # sensitivity, not feature-skipping
     assert abs(np.median(la) - np.median(lr)) < 5e-3
     np.testing.assert_allclose(la, lr, rtol=0.05)
+
+
+def test_3d_fan_float32_hit_rate():
+    """f32 3D fan must land, not wedge: field-aligned regression guard.
+
+    Before the cos(psi)-form gradient chain (ops/fused.py), sqrt(1-cos^2)
+    cancellation at field-aligned propagation falsely wedge-retired ~60%
+    of exactly this fan in float32 (benchmarks/perf_r03j.py measured 65%
+    on chip); the f64 truth lands ~95% of it. Pin the f32 hit rate well
+    above the broken level."""
+    from raytrace_tpu.integrate import trace
+    from raytrace_tpu.models import make_env
+    from raytrace_tpu.ops import rhs
+    from raytrace_tpu.ops.dispersion import consistent_rho_3d
+
+    env64 = make_env(b0=3.12e-5)
+    env = cast_env(env64, jnp.float32)
+    lats = np.linspace(0.45, 1.1, 8)
+    freqs = np.geomspace(500.0, 8000.0, 4)
+    r0 = (RE + 1.0e6) / RE
+    rows, fs = [], []
+    for lat in lats:
+        th = np.pi / 2 - lat
+        for fq in freqs:
+            rho = consistent_rho_3d(r0, th, 0.0, (1.0, 1.0, 0.0), fq,
+                                    env64)
+            rows.append([r0, th, 0.0, *map(float, rho), 0.0])
+            fs.append(fq)
+    u0 = jnp.asarray(np.asarray(rows), jnp.float32)
+    f = jnp.asarray(np.asarray(fs), jnp.float32)
+    spec = StopSpec(r_floor=1.0, t_max=5.0e9 / RE, lat_sign=-1.0,
+                    lat_offset=np.pi / 2)
+    cfg = SolverConfig(rtol=1e-5, atol=1e-8, dt0=1e-4,
+                       dt_max=8.0e6 / RE, ds_max=2.0e6 / RE)
+    res = trace(lambda u, ff: rhs.rhs_3d(u, ff, env), u0, f, cfg=cfg,
+                spec=spec, max_steps=20000, group_idx=6)
+    st = np.asarray(res.status)
+    n_hit = int((st == events.HIT_EARTH).sum())
+    assert n_hit >= int(0.75 * st.size), (
+        n_hit, st.size,
+        {events.STATUS_NAMES[int(k)]: int(v)
+         for k, v in zip(*np.unique(st, return_counts=True))},
+    )
