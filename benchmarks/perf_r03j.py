@@ -26,6 +26,9 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def main():
+    from raytrace_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -45,16 +48,24 @@ def main():
     lats = np.linspace(0.45, 1.1, 64)
     freqs = np.geomspace(500.0, 8000.0, 16)
     r0 = (RE + 1.0e6) / RE
-    rows, fs = [], []
-    for lat in lats:
-        th = np.pi / 2 - lat
-        for fq in freqs:
-            # on-shell launch (float64 medium for the solve, then cast)
-            rho = consistent_rho_3d(r0, th, 0.0, (1.0, 1.0, 0.0), fq, env64)
-            rows.append([r0, th, 0.0, *map(float, rho), 0.0])
-            fs.append(fq)
-    u0 = np.asarray(rows, np.float32)
-    f = np.asarray(fs, np.float32)
+    # on-shell launches: one vmapped call pinned to the CPU backend -- a
+    # per-ray Python loop dispatches every jnp op through the tunnel at
+    # 10-30 ms each (~minutes for 1024 rays), pure setup cost
+    import jax
+    lat_g, fq_g = np.meshgrid(lats, freqs, indexing="ij")
+    th_g = (np.pi / 2 - lat_g).ravel()
+    fs = fq_g.ravel()
+    with jax.default_device(jax.devices("cpu")[0]):
+        rho = jax.jit(jax.vmap(
+            lambda th, fq: jnp.stack(consistent_rho_3d(
+                r0, th, 0.0, (1.0, 1.0, 0.0), fq, env64))
+        ))(jnp.asarray(th_g), jnp.asarray(fs))
+        rho = np.asarray(rho)
+    u0 = np.stack([
+        np.full_like(th_g, r0), th_g, np.zeros_like(th_g),
+        rho[:, 0], rho[:, 1], rho[:, 2], np.zeros_like(th_g),
+    ], axis=1).astype(np.float32)
+    f = fs.astype(np.float32)
     u0, f, valid = pad_batch(u0, f, mesh)
     stop = StopSpec(r_floor=1.0, t_max=5.0e9 / RE, lat_sign=-1.0,
                     lat_offset=np.pi / 2)
@@ -97,6 +108,13 @@ def main():
 
     base = dict(rtol=1e-5, atol=1e-8, dt0=1e-4)
     results = {}
+    # keep the pre-fix record: it is the measured evidence for the
+    # cos(psi)-form reparameterization (ops/fused.py docstrings cite it)
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            prev = json.load(fh)
+        if "before_cos_form" in prev:
+            results["before_cos_form"] = prev["before_cos_form"]
     results["ref3d"] = run_case(
         "ref3d", SolverConfig(dt_max=1.0e6 / RE, **base))
     results["prod3d"] = run_case(

@@ -89,6 +89,16 @@ class RunConfig:
                                     # ray_start.dat input, README.md:11)
     freqs: tuple = (1000.0,)
     rho0: tuple = (1.0, 1.0, 0.0)   # 3D initial refractive-index vector
+    rho_on_shell: bool = False      # 3D frame: treat rho0 as a DIRECTION
+                                    # and launch at mu(psi) * rho0_hat --
+                                    # ON the dispersion surface
+                                    # (ops.dispersion.consistent_rho_3d).
+                                    # Default False mirrors the
+                                    # reference's off-shell launch
+                                    # rho0 = (1,1,0), |rho0| = sqrt(2) ~
+                                    # 100x off the local mu
+                                    # (RayTrace_3D.jl:390-391; fallout in
+                                    # docs/NOTE_3D_GROUP_DELAY.md)
     # solver
     rtol: float = 1.0e-7
     atol: float = 1.0e-12
@@ -274,6 +284,20 @@ def preset(name, **overrides):
             freqs=(500.0, 1000.0, 2000.0),
             rho0=(1.0, 1.0, 0.0),
             rtol=1.0e-5, atol=1.0e-8,
+        ),
+        # 3D production ensemble: 1,024 seven-state rays launched ON the
+        # dispersion surface (rho_on_shell -- the physical launch; the
+        # reference's own 3D script launches off-shell, see rho_on_shell
+        # doc above) at the production arc ceiling. The at-scale 3D
+        # story: benchmarks/perf_r03j.py measures this workload on chip.
+        "ensemble3d": dict(
+            name="ensemble3d", frame="3d",
+            medium=MediumConfig(b0=B0_3D),
+            lats=tuple(np.linspace(0.45, 1.1, 64)),
+            freqs=tuple(np.geomspace(500.0, 8000.0, 16)),
+            rho0=(1.0, 1.0, 0.0), rho_on_shell=True,
+            rtol=1.0e-5, atol=1.0e-8,
+            ds_max=2.0e6 / RE, dt_max=8.0e6 / RE,
         ),
         # framework extension: He+-band EMIC rays in a multi-ion plasma
         # (the '-' root the reference left commented out, RayMain.jl:243,

@@ -195,8 +195,9 @@ def psi_3d(r, theta, phi, rho_r, rho_t, rho_p, env: medium.EnvParams):
 def psi_trig_3d(r, theta, phi, rho_r, rho_t, rho_p, env: medium.EnvParams):
     """(sin psi, cos psi) from B and rho without arccos.
 
-    psi in [0, pi] so sin psi = sqrt(1 - cos^2 psi) >= 0. Dispatches on
-    env.b_model (centered or tilted dipole)."""
+    psi in [0, pi] so sin psi >= 0 (computed from |B x rho|, see
+    _psi_trig_bmag_3d). Dispatches on env.b_model (centered or tilted
+    dipole)."""
     sinpsi, cospsi, _ = _psi_trig_bmag_3d(
         r, theta, phi, rho_r, rho_t, rho_p, env
     )

@@ -51,7 +51,27 @@ def _build_u0(config: RunConfig, dtype):
             [config.r0, np.pi / 2 - lat, 0.0, *config.rho0, 0.0]
         )
         fs.append(fr)
-    return np.asarray(rows, dtype), np.asarray(fs, dtype)
+    u0 = np.asarray(rows, dtype)
+    f = np.asarray(fs, dtype)
+    if config.rho_on_shell:
+        # rho0 is a direction: solve |rho| = mu(psi) per ray so the
+        # launch sits ON the dispersion surface. One vmapped call pinned
+        # to the CPU backend -- a per-ray loop would dispatch every jnp
+        # op through the TPU tunnel at 10-30 ms each, and the tunneled
+        # chip's emulated float64 is not oracle-grade anyway.
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.dispersion import consistent_rho_3d
+
+        env_host = config.medium.build()
+        with jax.default_device(jax.devices("cpu")[0]):
+            rho = jax.jit(jax.vmap(lambda th, fq: jnp.stack(
+                consistent_rho_3d(config.r0, th, 0.0, config.rho0, fq,
+                                  env_host, config.root)
+            )))(jnp.asarray(u0[:, 1]), jnp.asarray(f))
+            u0[:, 3:6] = np.asarray(rho, dtype)
+    return u0, f
 
 
 def run(config: RunConfig, out_dir=None, plots=False):

@@ -144,6 +144,33 @@ def test_runner_3d_frame(tmp_path):
     assert np.all(np.isfinite(u[np.asarray(out["valid"])]))
 
 
+def test_runner_3d_on_shell_launch(tmp_path):
+    """rho_on_shell launches sit ON the dispersion surface: |rho| = mu
+    at the launch point for each ray, direction preserved from rho0
+    (preset ensemble3d, shrunk). The off-shell default is the reference's
+    own quirk (RayTrace_3D.jl:390-391)."""
+    from raytrace_tpu.ops.dispersion import mu_3d
+    from raytrace_tpu.run import _build_u0
+
+    cfg = preset("ensemble3d", max_steps=256, dtype="float64")
+    cfg.lats = (0.5, 0.8)
+    cfg.freqs = (1000.0, 3000.0)
+    env = cfg.medium.build()
+    u0, f = _build_u0(cfg, np.float64)
+    assert u0.shape == (4, 7)
+    k = np.asarray(cfg.rho0) / np.linalg.norm(cfg.rho0)
+    for row, fq in zip(u0, f):
+        rho = row[3:6]
+        mu = float(mu_3d(row[0], row[1], row[2], *rho, fq, env))
+        np.testing.assert_allclose(np.linalg.norm(rho), mu, rtol=1e-10)
+        np.testing.assert_allclose(rho / np.linalg.norm(rho), k,
+                                   rtol=1e-12)
+    # and the preset traces end-to-end through the runner
+    out = run(cfg, out_dir=str(tmp_path))
+    u = np.asarray(out["result"].u)
+    assert np.all(np.isfinite(u[np.asarray(out["valid"])]))
+
+
 def test_native_legacy_freq_vs_jax():
     """grad_mode parity run in reference mode at tight tolerance: the
     native C++ reference-mode trajectory matches the JAX reference-mode
