@@ -123,6 +123,15 @@ class RunConfig:
                                     # 0.24 RE) with dt_max raised -- see
                                     # SolverConfig.ds_max and
                                     # benchmarks/perf_r03f.json
+    ds_local: bool = False          # L-dependent LOCAL arc ceiling: tight
+                                    # (ds_local_w) only near the
+                                    # plasmapause knee shell (L from
+                                    # medium.lppo at build time), opening
+                                    # to r/4.5 over the smooth plasmasphere
+                                    # -- SolverConfig.ds_local_knee. Any
+                                    # ds_max > 0 stays as an outer clamp.
+    ds_local_frac: float = 1.0
+    ds_local_w: float = 0.1
     base_stepper: str = "dopri5"    # auto mode's non-stiff pool method;
                                     # "bs3" halves the stage cost per
                                     # attempt (the headline ensemble rides
@@ -163,9 +172,14 @@ class RunConfig:
             # tolerances are honored on float64 runs.
             rtol = max(rtol, 1.2e-6)
             atol = max(atol, 1.0e-9)
+        # the local arc ceiling is anchored to the medium's own
+        # plasmapause shell (the pre-solved CA1992 lppo)
+        knee = float(self.medium.build().lppo) if self.ds_local else 0.0
         return SolverConfig(
             rtol=rtol, atol=atol, dt0=self.dt0,
             dt_max=self.dt_max, ds_max=self.ds_max,
+            ds_local_knee=knee, ds_local_frac=self.ds_local_frac,
+            ds_local_w=self.ds_local_w,
         )
 
     def stop(self):
@@ -272,6 +286,21 @@ def preset(name, **overrides):
             freqs=tuple(np.geomspace(500.0, 8000.0, 16)),
             rtol=1.0e-5, atol=1.0e-8, base_stepper="bs3",
             ds_max=2.0e6 / RE, dt_max=8.0e6 / RE,
+        ),
+        # the production workload on the LOCAL arc ceiling: spatial
+        # resolution follows the medium's own gradient-length profile
+        # (tight only within ds_local_w of the plasmapause shell,
+        # opening to r/4.5 over the smooth plasmasphere) instead of the
+        # one global ds_max sized for the knee. Phase ceiling stays the
+        # 8e6 m outer bound; no global ds_max clamp.
+        "ensemble10k_local": dict(
+            name="ensemble10k_local", frame="2d_lat",
+            medium=MediumConfig(b0=B0_2D),
+            lats=tuple(np.linspace(0.45, 1.1, 40)),
+            chis=tuple(np.linspace(-0.5, 0.5, 16)),
+            freqs=tuple(np.geomspace(500.0, 8000.0, 16)),
+            rtol=1.0e-5, atol=1.0e-8, base_stepper="bs3",
+            ds_local=True, dt_max=8.0e6 / RE,
         ),
         # 3D knee stress: 7-state rays launched so their trajectories
         # traverse L ~ Lppi..Lppo (the plasmapause gradient region that

@@ -94,6 +94,27 @@ class SolverConfig(NamedTuple):
                                    # cost (see _arc_rate); dt_max remains
                                    # active as an outer bound (set it large
                                    # to run on the arc ceiling alone).
+    ds_local_knee: float = 0.0     # > 0 enables the LOCAL arc ceiling and
+                                   # gives the plasmapause L-shell (RE).
+                                   # A single global ds_max must be sized
+                                   # for the medium's sharpest feature
+                                   # (the plasmapause knee), so it
+                                   # over-resolves the smooth 90% of the
+                                   # ray path. The local ceiling scales
+                                   # with a gradient-length estimate of
+                                   # the medium instead (_local_arc_cap):
+                                   # tight only within ~ds_local_w of the
+                                   # knee shell, opening to r/4.5 (the
+                                   # L^-4.5 plasmasphere power law +
+                                   # dipole field scale) elsewhere.
+                                   # ds_max, when also > 0, stays as an
+                                   # outer clamp; dt_max always does.
+    ds_local_frac: float = 1.0     # ceiling = frac * gradient-length
+                                   # estimate; the resolution knob.
+    ds_local_w: float = 0.1        # knee smoothing width (RE): the
+                                   # ceiling floor at the knee shell
+                                   # itself (CA1992 transition scale,
+                                   # ~6.4e5 m).
 
 
 class RayCarry(NamedTuple):
@@ -184,6 +205,28 @@ def _sel(cond, a, b):
     return jnp.where(m, a, b)
 
 
+def _local_arc_ceiling(u, spec: StopSpec, cfg: SolverConfig):
+    """Arc-length ceiling from a local medium gradient-length estimate.
+
+    Two scales, take the smaller:
+      - smooth plasmasphere: density ~ L^-4.5 and dipole |B| ~ r^-3 give a
+        logarithmic gradient length ~ r/4.5;
+      - plasmapause knee: the one feature sharper than the power law. Its
+        shell is r = L_knee cos^2(mlat), so |r - L_knee cos^2(mlat)| is the
+        radial distance to the knee at the ray's own latitude, floored by
+        the CA1992 transition width ds_local_w.
+    Scaled by ds_local_frac. Magnetic latitude comes from the same
+    lat_sign/lat_offset frame map the event system uses (events.lat_of);
+    for tilted/IGRF 3D media this is the geographic approximation -- fine
+    for a step CEILING (the error estimator still owns accuracy).
+    """
+    r = u[0]
+    g_smooth = r * (1.0 / 4.5)
+    c = jnp.cos(events.lat_of(u, spec))
+    d_knee = jnp.abs(r - cfg.ds_local_knee * c * c)
+    return cfg.ds_local_frac * jnp.minimum(g_smooth, cfg.ds_local_w + d_knee)
+
+
 def _arc_rate(u, k1):
     """Spatial speed ds/dtau of the ray from the FSAL derivative carry.
 
@@ -223,19 +266,38 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
     # rather than trusting dead-branch folding; a traced ds_max still
     # works via the jnp.where.
     ds_static = isinstance(cfg.ds_max, (int, float))
-    if adaptive and ds_static and cfg.ds_max <= 0.0:
+    local_static = isinstance(cfg.ds_local_knee, (int, float))
+    local_on = (not local_static) or cfg.ds_local_knee > 0.0
+    if adaptive and ds_static and cfg.ds_max <= 0.0 and not local_on:
         dt_cap = jnp.asarray(cfg.dt_max, carry.dt.dtype)
         dt_eff = jnp.minimum(carry.dt, dt_cap)
     elif adaptive:
+        if local_on:
+            ds_eff = _local_arc_ceiling(carry.u, spec, cfg)
+            if not local_static:
+                ds_eff = jnp.where(
+                    jnp.asarray(cfg.ds_local_knee) > 0.0, ds_eff,
+                    jnp.asarray(jnp.inf, carry.dt.dtype),
+                )
+            if ds_static:
+                if cfg.ds_max > 0.0:
+                    ds_eff = jnp.minimum(ds_eff, cfg.ds_max)
+            else:
+                ds_eff = jnp.where(
+                    jnp.asarray(cfg.ds_max) > 0.0,
+                    jnp.minimum(ds_eff, cfg.ds_max), ds_eff,
+                )
+        else:
+            ds_eff = jnp.asarray(cfg.ds_max, carry.dt.dtype)
+            if not ds_static:
+                ds_eff = jnp.where(
+                    jnp.asarray(cfg.ds_max) > 0.0, ds_eff,
+                    jnp.asarray(jnp.inf, carry.dt.dtype),
+                )
         arc_cap = jnp.maximum(
-            cfg.ds_max / jnp.maximum(_arc_rate(carry.u, carry.k1), 1e-30),
+            ds_eff / jnp.maximum(_arc_rate(carry.u, carry.k1), 1e-30),
             cfg.dt_min,
         )
-        if not ds_static:
-            arc_cap = jnp.where(
-                jnp.asarray(cfg.ds_max) > 0.0, arc_cap,
-                jnp.asarray(jnp.inf, carry.dt.dtype),
-            )
         dt_cap = jnp.minimum(jnp.asarray(cfg.dt_max, carry.dt.dtype), arc_cap)
         dt_eff = jnp.minimum(carry.dt, dt_cap)
     else:
