@@ -172,14 +172,19 @@ class RunConfig:
             # tolerances are honored on float64 runs.
             rtol = max(rtol, 1.2e-6)
             atol = max(atol, 1.0e-9)
-        # the local arc ceiling is anchored to the medium's own
-        # plasmapause shell (the pre-solved CA1992 lppo)
-        knee = float(self.medium.build().lppo) if self.ds_local else 0.0
+        # the local arc ceiling is anchored to the medium's own sharp
+        # shells: the pre-solved CA1992 plasmapause, plus the duct (a
+        # duct_w-wide feature is exactly as sharp as the knee)
+        knee, shells = 0.0, ()
+        if self.ds_local:
+            knee = float(self.medium.build().lppo)
+            if self.medium.duct_amp != 0.0:
+                shells = ((self.medium.duct_l0, self.medium.duct_w),)
         return SolverConfig(
             rtol=rtol, atol=atol, dt0=self.dt0,
             dt_max=self.dt_max, ds_max=self.ds_max,
             ds_local_knee=knee, ds_local_frac=self.ds_local_frac,
-            ds_local_w=self.ds_local_w,
+            ds_local_w=self.ds_local_w, ds_local_shells=shells,
         )
 
     def stop(self):

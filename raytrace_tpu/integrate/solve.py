@@ -115,6 +115,14 @@ class SolverConfig(NamedTuple):
                                    # ceiling floor at the knee shell
                                    # itself (CA1992 transition scale,
                                    # ~6.4e5 m).
+    ds_local_shells: tuple = ()    # extra sharp shells as static
+                                   # ((L, width), ...) pairs -- e.g. a
+                                   # field-aligned duct at duct_l0 is
+                                   # exactly as sharp as the knee and
+                                   # needs the same local tightening
+                                   # (RunConfig.solver adds it when
+                                   # duct_amp != 0). Unrolled at trace
+                                   # time (a Python tuple, not traced).
 
 
 class RayCarry(NamedTuple):
@@ -211,20 +219,25 @@ def _local_arc_ceiling(u, spec: StopSpec, cfg: SolverConfig):
     Two scales, take the smaller:
       - smooth plasmasphere: density ~ L^-4.5 and dipole |B| ~ r^-3 give a
         logarithmic gradient length ~ r/4.5;
-      - plasmapause knee: the one feature sharper than the power law. Its
-        shell is r = L_knee cos^2(mlat), so |r - L_knee cos^2(mlat)| is the
-        radial distance to the knee at the ray's own latitude, floored by
-        the CA1992 transition width ds_local_w.
+      - sharp shells (the plasmapause knee, plus any ds_local_shells such
+        as a density duct): a shell at L spans r = L cos^2(mlat), so
+        |r - L cos^2(mlat)| is the radial distance to it at the ray's own
+        latitude, floored by the shell's transition width.
     Scaled by ds_local_frac. Magnetic latitude comes from the same
     lat_sign/lat_offset frame map the event system uses (events.lat_of);
     for tilted/IGRF 3D media this is the geographic approximation -- fine
     for a step CEILING (the error estimator still owns accuracy).
     """
     r = u[0]
-    g_smooth = r * (1.0 / 4.5)
+    g = r * (1.0 / 4.5)
     c = jnp.cos(events.lat_of(u, spec))
-    d_knee = jnp.abs(r - cfg.ds_local_knee * c * c)
-    return cfg.ds_local_frac * jnp.minimum(g_smooth, cfg.ds_local_w + d_knee)
+    c2 = c * c
+    shells = ((cfg.ds_local_knee, cfg.ds_local_w),) + tuple(
+        cfg.ds_local_shells
+    )
+    for shell_l, shell_w in shells:
+        g = jnp.minimum(g, shell_w + jnp.abs(r - shell_l * c2))
+    return cfg.ds_local_frac * g
 
 
 def _arc_rate(u, k1):

@@ -357,6 +357,35 @@ def test_local_arc_ceiling_profile():
     u_co = jnp.array([r_shell, np.pi / 2 - 0.3, 0.0, 0.0, 0.0, 0.0, 0.0])
     np.testing.assert_allclose(
         float(_local_arc_ceiling(u_co, spec_co, cfg)), 0.5 * 0.1, rtol=1e-12)
+    # extra sharp shells (a duct at L = 3, width 0.05) tighten the same way
+    cfg_d = cfg._replace(ds_local_shells=((3.0, 0.05),))
+    u_duct = jnp.array([3.0, 0.0, 0.0, 0.0])
+    np.testing.assert_allclose(
+        float(_local_arc_ceiling(u_duct, spec_lat, cfg_d)), 0.5 * 0.05,
+        rtol=1e-12)
+    # away from every shell the duct shell does not bind
+    np.testing.assert_allclose(
+        float(_local_arc_ceiling(u_in, spec_lat, cfg_d)), 0.5 * 2.0 / 4.5,
+        rtol=1e-12)
+
+
+def test_local_arc_ceiling_duct_from_config():
+    """RunConfig.solver() anchors the local ceiling to the medium's own
+    shells: the pre-solved plasmapause lppo, plus the duct shell when the
+    medium carries one."""
+    from raytrace_tpu.config import MediumConfig, RunConfig
+
+    cfg = RunConfig(name="t", ds_local=True,
+                    medium=MediumConfig(duct_amp=0.5, duct_l0=3.0,
+                                        duct_w=0.1))
+    s = cfg.solver()
+    assert 2.0 < s.ds_local_knee < 7.0
+    assert s.ds_local_shells == ((3.0, 0.1),)
+    # no duct -> no extra shell; ds_local off -> ceiling disabled
+    s2 = RunConfig(name="t", ds_local=True, medium=MediumConfig()).solver()
+    assert s2.ds_local_shells == ()
+    s3 = RunConfig(name="t", medium=MediumConfig()).solver()
+    assert s3.ds_local_knee == 0.0
 
 
 def test_local_arc_ceiling_whistler():
