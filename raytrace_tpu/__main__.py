@@ -1,7 +1,10 @@
 """CLI: python -m raytrace_tpu <preset-name | config.json> [options].
 
-Presets: raymain, lat_fan, knee, 3d, ensemble10k (the five BASELINE.json
-configs). A JSON file path loads a full RunConfig instead.
+Presets: the five BASELINE.json configs (raymain, lat_fan, knee, 3d,
+ensemble10k) plus the framework extensions (ensemble10k_production,
+ensemble10k_local, ensemble3d, knee_3d, emic, ...) -- an unknown name
+lists them all (config.preset). A JSON file path loads a full RunConfig
+instead.
 """
 
 import argparse

@@ -229,7 +229,9 @@ class RunConfig:
 
 
 def preset(name, **overrides):
-    """The five canonical BASELINE.json configs by name."""
+    """Named configs: the five canonical BASELINE.json workloads plus
+    the framework-extension presets (production ceilings, 3D ensemble,
+    EMIC, storm, ducts, ...)."""
     presets = {
         # config 1: RayMain.jl single ray (RayMain.jl:382-387)
         "raymain": dict(
@@ -348,6 +350,10 @@ def preset(name, **overrides):
             t_max=200.0, max_steps=8000,
         ),
     }
+    if name not in presets:
+        raise KeyError(
+            f"unknown preset {name!r}; available: {sorted(presets)}"
+        )
     d = presets[name]
     d.update(overrides)
     return RunConfig(**d)
