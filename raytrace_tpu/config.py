@@ -108,7 +108,8 @@ class RunConfig:
                                     # DP5 <-> ros2x per ray on rejection
                                     # bursts, like CVODE's method choice)
                                     # | "dopri5" | "bs3" | "heun2" |
-                                    # "ros2" | "ros2x" | "ros4x";
+                                    # "ros2" | "ros2x" | "ros3pr"
+                                    # | "ros4x";
                                     # non-rounds paths resolve "auto"
                                     # to dopri5
     max_steps: int = 20000

@@ -30,7 +30,7 @@ from . import events
 from .events import StopSpec
 from .steppers import (
     bs3_step, dopri5_step, heun21_step, rk4_step, ros2_step, ros2x_step,
-    ros4x_step,
+    ros3pr_step, ros4x_step,
 )
 
 
@@ -262,8 +262,10 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
     stepper: "dopri5" (adaptive explicit, default) | "bs3" (adaptive
     explicit 3(2), half the stage cost per attempt) | "heun2" (adaptive
     explicit 2(1), the cheapest rung -- coarse tolerances only) |
-    "ros2" / "ros2x" / "ros4x" (adaptive linearly implicit L-stable,
-    orders 2 / 3 / 4 -- the stiff tier) | "rk4" (fixed step, selected
+    "ros2" / "ros2x" / "ros3pr" / "ros4x" (adaptive linearly implicit
+    L-stable, orders 2 / 3 / 3 / 4 -- the stiff tier; ros3pr is the
+    stage-order-aware scheme with no Prothero-Robinson order reduction,
+    at about half a ros2x attempt's cost) | "rk4" (fixed step, selected
     by adaptive=False).
     Controller exponents scale with the stepper's order."""
     active = carry.status == events.ACTIVE
@@ -331,6 +333,10 @@ def _step_one(rhs_fn, carry: RayCarry, f, cfg: SolverConfig, spec: StopSpec,
     elif stepper == "ros2x":
         order = 3.0
         out = ros2x_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
+        accept = out.err <= cfg.accept_tol
+    elif stepper == "ros3pr":
+        order = 3.0
+        out = ros3pr_step(rhs1, carry.u, carry.k1, dt_eff, cfg.rtol, cfg.atol)
         accept = out.err <= cfg.accept_tol
     elif stepper == "ros4x":
         order = 4.0

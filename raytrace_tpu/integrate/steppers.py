@@ -274,6 +274,71 @@ def ros4x_step(rhs_fn, u, k1, dt, rtol, atol):
     return StepOut(u_new, k_end, err, u_new - u)
 
 
+# ROS3PR-class coefficients, derived from scratch in tools/derive_ros3.py
+# (order conditions generated by truncated-series defects on random cubic
+# fields; the uniform-order structure from a symbolic Prothero-Robinson
+# expansion; gamma from R(inf)=0 at order 3; the free parameter spent on
+# the principal error constant). Re-run the script to reproduce.
+_R3_G = 0.43586652150845899942
+_R3_A31 = 1.0884445784759989947    # a21 = 1 (both stage abscissae at 1)
+_R3_A32 = -0.088444578475998994722
+_R3_G21 = 0.77263012766755107092
+_R3_G31 = -0.42177791180933232805
+_R3_G32 = -0.014088609699126671361
+_R3_B = (2.0 / 3.0, -0.10253318817512566608, _R3_G)
+_R3_BH = (0.51136529971586299474, -0.17502879700629931581,
+          0.66366349729043632107)
+
+
+def ros3pr_step(rhs_fn, u, k1, dt, rtol, atol):
+    """Order-3 stiffly-accurate L-stable Rosenbrock step, stage-order-aware.
+
+    The answer to the stiff tier's measured order reduction (ros2x/ros4x
+    docstrings; tests/test_ros2.py): a ROS3PR-class scheme whose defect on
+    the Prothero-Robinson problem vanishes in the stiff limit z -> -oo at
+    EVERY h power (both stage abscissae at 1 + stiffly-accurate weights
+    make every stiff-limit condition collapse to one identity -- see
+    tools/derive_ros3.py, which derives the coefficient set from first
+    principles in-repo). Where ros2x degrades toward order 2 on stiff
+    boundary layers, this scheme holds order 3 uniformly in the stiffness
+    (tests/test_ros3pr.py measures both).
+
+    Cost per attempt: 1 jacfwd + 3 unpivoted W-solves + 3 J@k products +
+    3 RHS evals (two stages at c = 1 plus the FSAL end-derivative) --
+    about HALF a ros2x attempt (6 solves + 6 RHS). Exact Jacobian at u
+    (jax.jacfwd), one shared W = I - h*gamma*J for all three stages.
+
+    Embedded order-2 weights give the error estimate; their stability
+    function is damped (Rhat(inf) = 0.5, chosen in the derivation) so the
+    estimator does not blow up on stiff components. Like heun2, the
+    embedded difference does not contain the end-derivative, so a
+    non-finite k_end forces rejection explicitly."""
+    gamma = _R3_G
+    n = u.shape[0]
+    J = jax.jacfwd(rhs_fn)(u)
+    W = jnp.eye(n, dtype=u.dtype) - (dt * gamma) * J
+    s1 = _solve_w(W, dt * k1)
+    Js1 = J @ s1
+    f2 = rhs_fn(u + s1)                      # a21 = 1
+    s2 = _solve_w(W, dt * f2 + (_R3_G21 * dt) * Js1)
+    f3 = rhs_fn(u + _R3_A31 * s1 + _R3_A32 * s2)
+    s3 = _solve_w(
+        W, dt * f3 + dt * (_R3_G31 * Js1 + _R3_G32 * (J @ s2))
+    )
+    incr = _R3_B[0] * s1 + _R3_B[1] * s2 + _R3_B[2] * s3
+    u_new = u + incr
+    k_end = rhs_fn(u_new)
+    err_vec = (
+        (_R3_B[0] - _R3_BH[0]) * s1
+        + (_R3_B[1] - _R3_BH[1]) * s2
+        + (_R3_B[2] - _R3_BH[2]) * s3
+    )
+    scale = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u_new))
+    err = jnp.sqrt(jnp.mean(jnp.square(err_vec / scale)))
+    err = jnp.where(jnp.all(jnp.isfinite(k_end)), err, jnp.inf)
+    return StepOut(u_new, k_end, err, incr)
+
+
 def bs3_step(rhs_fn, u, k1, dt, rtol, atol):
     """One Bogacki-Shampine 3(2) attempt (the classic ode23 pair).
 
