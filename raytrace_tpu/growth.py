@@ -1,0 +1,244 @@
+"""Quantitative whistler growth/damping along rays (Kennel-Petschek class).
+
+The reference framework traces ray PATHS; the physical question those paths
+exist to answer is whether the wave AMPLIFIES or DAMPS along them -- the
+magnetospheric-amplification calculation of Kennel & Petschek 1966. This
+module closes ROADMAP #6 (the last "medium extensions" tier): a
+quantitative linear growth rate for whistler-mode waves interacting with a
+hot anisotropic electron population, evaluated pointwise along traced rays
+and integrated to a path gain.
+
+The physics is NOT quoted from a table: the hot bi-Maxwellian
+susceptibility for parallel-propagating R-mode waves is derived
+symbolically in tools/derive_growth.py (linearized-Vlasov kernel, velocity
+integrals done by sympy), with two hard-asserted validations pinning its
+conventions to this repo's own machinery:
+
+  (a) its cold limit is exactly the electron term of the cold Stix R that
+      ops/dispersion.stix_rlp implements (so w, wc, k sign conventions are
+      the framework's own);
+  (b) its marginal-stability point is exactly the Kennel-Petschek critical
+      anisotropy A_c = f/(fce - f) that analysis.kp_critical_anisotropy
+      pins from the independent threshold argument.
+
+Weak-growth evaluation (|gamma| << w, standard for magnetospheric hiss/
+chorus/whistler amplification):
+
+    D(w, k) = R_cold(w) - c^2 k^2 / w^2          (parallel R-mode)
+    gamma   = -Im chi_hot / (dD/dw)              at the cold root
+    Im chi_hot = sqrt(pi) exp(-zeta^2) * Q
+    Q = (eta wpe^2 / w^2) * ( zeta (Tr - 1) + w / (kpar apar) )
+    zeta = (w - wc) / (kpar apar)                (resonant velocity / apar)
+
+with Tr = Tperp/Tpar, apar = sqrt(2 Tpar / m_e), eta = n_hot/n_e. The hot
+population's back-reaction on the REAL dispersion is neglected (eta << 1,
+the standard KP approximation), so k comes from the framework's cold
+dispersion solver. Obliquity enters only through the parallel wavenumber
+kpar = k(psi) cos(psi) in the resonance condition (quasi-longitudinal
+approximation -- adequate for the small-psi / ducted regime where
+whistler amplification happens; genuinely oblique kinetics with harmonic
+sums are out of scope and documented as such).
+
+Sign conventions follow the traced whistler: growth (gamma > 0) exactly
+when A > A_c AND resonant electrons exist (exp(-zeta^2) > 0); isotropic or
+under-anisotropic populations give cyclotron DAMPING (gamma < 0) -- both
+ends tested in tests/test_growth.py.
+
+Host-side analysis code (numpy), like analysis.py: gamma is a diagnostic
+evaluated on saved trajectories, not part of the traced hot loop.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .constants import C_LIGHT, FCE_E, FPE2_E, M_E, Q_E
+from .ops import dispersion
+
+_TWO_PI = 2.0 * np.pi
+_NEPER_DB = 20.0 / np.log(10.0)    # 1 neper = 8.6859 dB (amplitude)
+
+
+@dataclass(frozen=True)
+class HotElectrons:
+    """A hot anisotropic electron fraction riding on the cold density.
+
+    eta: n_hot / n_e (KP weak-growth assumes eta << 1; the cold dispersion
+         is evaluated with the full n_e, standard since n_hot is included
+         in quasi-neutrality either way at this order).
+    t_par_ev: parallel temperature in eV (apar = sqrt(2 T / m_e)).
+    anisotropy: A = Tperp/Tpar - 1 (0 = isotropic -> pure damping)."""
+
+    eta: float = 1.0e-3
+    t_par_ev: float = 10.0e3
+    anisotropy: float = 1.0
+
+
+def _dr_dw(w, ne_m3, bmag, eta_he=0.0, eta_o=0.0):
+    """Closed-form dR/dw of the cold Stix R in angular units.
+
+    R = 1 - sum_s wps^2 / (w (w + sig_s)), sig_e = -wce, sig_i = +wci
+    (the ratio form -X/(1 -+ Y) of ops/dispersion.stix_rlp, rewritten);
+    each term's derivative is wps^2 (2w + sig_s) / (w (w + sig_s))^2.
+    Parity vs a numerical derivative of stix_rlp: tests/test_growth.py."""
+    n_cm3 = ne_m3 * 1.0e-6
+    out = 0.0
+    species = [(FPE2_E, -FCE_E)]
+    for fpe2_i, fce_i in dispersion.ion_species(eta_he, eta_o):
+        species.append((fpe2_i, fce_i))
+    for fpe2_s, fce_signed in species:
+        wps2 = _TWO_PI**2 * fpe2_s * n_cm3
+        sig = _TWO_PI * fce_signed * bmag
+        den = w * (w + sig)
+        out = out + wps2 * (2.0 * w + sig) / (den * den)
+    return out
+
+
+def gamma_whistler(f, bmag, ne_m3, hot: HotElectrons, psi=0.0,
+                   eta_he=0.0, eta_o=0.0):
+    """Local temporal growth rate gamma [rad/s] of the whistler amplitude.
+
+    f: wave frequency, Hz; bmag: |B|, T; ne_m3: cold electron density,
+    m^-3; psi: wave-normal angle (rad; 0 = field-aligned). Arrays
+    broadcast. Positive gamma = growth.
+
+    Refractive index: the QUASI-LONGITUDINAL whistler index -- the cold
+    Stix R with every magnetic term's Y replaced by Y |cos psi| (i.e.
+    stix_rlp evaluated at an effective B |cos psi|), which is exactly R
+    at psi = 0 and the classic Helliwell QL whistler branch off-axis.
+    (The framework's traced quartic '+' root is deliberately NOT used
+    here: it is bug-compatible with the reference's root selection,
+    whose mu^2 is negative at the canonical configs and abs()'d --
+    ops/dispersion.py module docstring. The growth diagnostic needs the
+    physical R-mode branch.) kpar = (w/c) mu_ql |cos psi| carries the
+    resonance; points where the QL index is evanescent (incl. the
+    resonance cone Y cos psi -> 1 ... psi -> 90 deg, where QL growth
+    theory does not apply) return 0."""
+    f = np.asarray(f, np.float64)
+    bmag = np.asarray(bmag, np.float64)
+    ne_m3 = np.asarray(ne_m3, np.float64)
+    psi = np.asarray(psi, np.float64)
+
+    w = _TWO_PI * f
+    wc = _TWO_PI * FCE_E * bmag
+    wpe2 = _TWO_PI**2 * FPE2_E * (ne_m3 * 1.0e-6)
+
+    cpsi = np.abs(np.cos(psi))
+    b_eff = bmag * cpsi
+    r_ql = np.asarray(
+        dispersion.stix_rlp(ne_m3, b_eff, f, eta_he, eta_o)[0], np.float64
+    )
+    propagating = r_ql > 0.0
+    mu2s = np.where(propagating, r_ql, 1.0)
+    k = (w / C_LIGHT) * np.sqrt(mu2s)
+    kpar = np.maximum(k * cpsi, 1.0e-30)
+
+    apar = np.sqrt(2.0 * Q_E * hot.t_par_ev / M_E)
+    tr = hot.anisotropy + 1.0
+    zeta = (w - wc) / (kpar * apar)
+    q = (hot.eta * wpe2 / (w * w)) * (
+        zeta * (tr - 1.0) + w / (kpar * apar)
+    )
+    # exp(-zeta^2) underflows harmlessly to 0 far from resonance
+    im_chi = np.sqrt(np.pi) * np.exp(-np.minimum(zeta * zeta, 700.0)) * q
+
+    # dD/dw of D = R_ql(w) - c^2 k^2/w^2 at fixed k, consistently at the
+    # effective field (psi enters D only through Y cos psi)
+    ddw = _dr_dw(w, ne_m3, b_eff, eta_he, eta_o) + 2.0 * mu2s / w
+    gamma = -im_chi / ddw
+    return np.where(propagating, gamma, 0.0)
+
+
+def path_gain(traj_u, f, env, hot: HotElectrons, frame="2d_lat",
+              psi_mode="local"):
+    """Growth-rate profile + integrated amplitude gain along trajectories.
+
+    traj_u: (S, B, n) saved snapshots (or (S, n) for one ray) in the
+    given frame ("2d_lat" | "2d_colat"); f: Hz, scalar or (B,). The gain
+    integral uses the ray's OWN group-delay channel (state T, u[..., 3]):
+      gain(s) = Int gamma dT  [nepers],  amplitude ratio = exp(gain),
+    with non-advancing-T snapshots (post-termination padding) masked out.
+
+    psi_mode: "local" evaluates gamma at the ray's instantaneous
+    wave-normal angle (quasi-longitudinal kpar = k cos psi); "parallel"
+    forces psi = 0 (the classic KP equatorial-amplification estimate).
+
+    Returns dict: gamma (S, B) [rad/s], gain_neper (S, B) cumulative,
+    gain_db (S, B), t (S, B) group time [s]."""
+    from .models import medium
+
+    u = np.asarray(traj_u, np.float64)
+    squeeze = u.ndim == 2
+    if squeeze:
+        u = u[:, None, :]
+    r = u[..., 0]
+    if frame == "2d_lat":
+        lat = u[..., 1]
+        psi = np.asarray(dispersion.psi_lat(u[..., 1], u[..., 2]))
+    elif frame == "2d_colat":
+        lat = np.pi / 2 - u[..., 1]
+        psi = np.asarray(dispersion.psi_colat(u[..., 1], u[..., 2]))
+    else:
+        raise ValueError(f"unsupported frame {frame!r}")
+    if psi_mode == "parallel":
+        psi = np.zeros_like(psi)
+    elif psi_mode != "local":
+        raise ValueError(f"unknown psi_mode {psi_mode!r}")
+
+    bm = np.asarray(medium.b_mag(r, lat, env), np.float64)
+    ne = np.asarray(medium.ne_total_m3(r, lat, env), np.float64)
+    f_b = np.broadcast_to(np.asarray(f, np.float64), bm.shape)
+    gam = gamma_whistler(
+        f_b, bm, ne, hot, psi=psi,
+        eta_he=float(env.eta_he), eta_o=float(env.eta_o),
+    )
+
+    # group time: the T state is already in SECONDS (ops/rhs.py folds
+    # RE_OVER_C into dT/dtau; ensemble_stats reports u[:, -1] directly
+    # as mean_group_delay_s)
+    t = u[..., 3]
+    dt = np.diff(t, axis=0)
+    advancing = dt > 0.0
+    dt = np.where(advancing, dt, 0.0)
+    mid = 0.5 * (gam[1:] + gam[:-1])
+    gain = np.concatenate(
+        [np.zeros_like(gam[:1]), np.cumsum(mid * dt, axis=0)], axis=0
+    )
+    out = {
+        "gamma": gam,
+        "gain_neper": gain,
+        "gain_db": gain * _NEPER_DB,
+        "t": t,
+    }
+    if squeeze:
+        out = {kk: v[:, 0] for kk, v in out.items()}
+    return out
+
+
+def equatorial_gain_profile(l_shell, f, env, hot: HotElectrons,
+                            psi=0.0):
+    """gamma(f) at the equator of a given L-shell -- the classic KP
+    amplification spectrum (which frequencies grow, where the threshold
+    cuts off). Frequencies above f_c = fce * A/(1 + A) are damped
+    (A < A_c there); the growth peak sits below that cutoff.
+
+    Returns dict: gamma [rad/s], fce [Hz], f_cutoff [Hz]."""
+    from .models import medium
+
+    r = np.asarray(l_shell, np.float64)
+    lat = np.zeros_like(r)
+    bm = np.asarray(medium.b_mag(r, lat, env), np.float64)
+    ne = np.asarray(medium.ne_total_m3(r, lat, env), np.float64)
+    f = np.asarray(f, np.float64)
+    bm_b, f_b = np.broadcast_arrays(bm, f)
+    ne_b = np.broadcast_to(ne, bm_b.shape)
+    gam = gamma_whistler(
+        f_b, bm_b, ne_b, hot, psi=psi,
+        eta_he=float(env.eta_he), eta_o=float(env.eta_o),
+    )
+    fce = FCE_E * bm_b
+    return {
+        "gamma": gam,
+        "fce": fce,
+        "f_cutoff": fce * hot.anisotropy / (1.0 + hot.anisotropy),
+    }

@@ -1,0 +1,174 @@
+"""Whistler growth/damping rates (growth.py) -- Kennel-Petschek class.
+
+The hot bi-Maxwellian susceptibility is derived symbolically in
+tools/derive_growth.py with its conventions pinned to this repo's cold
+dispersion (cold limit == Stix R electron term) and to the independently
+known KP threshold. These tests verify the numerical implementation:
+threshold location, growth/damping signs, parameter scalings, the dR/dw
+closed form, and the path-gain integral on a traced ray."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace_tpu.constants import FCE_E, RE
+from raytrace_tpu.growth import (
+    HotElectrons, _dr_dw, equatorial_gain_profile, gamma_whistler, path_gain,
+)
+from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
+from raytrace_tpu.models import make_env_lat
+from raytrace_tpu.ops import dispersion, rhs
+
+# L=4-equator-like reference medium: fce ~ 13.6 kHz, 1000 cm^-3
+BMAG = 3.12e-5 / 64.0
+NE = 1.0e9
+FCE = FCE_E * BMAG
+HOT = HotElectrons(eta=1.0e-3, t_par_ev=10.0e3, anisotropy=1.0)
+
+
+def test_threshold_at_kp_critical_anisotropy():
+    """gamma changes sign EXACTLY at f_c = fce * A/(1+A) (equivalently
+    A = A_c = f/(fce - f), analysis.kp_critical_anisotropy): growth below,
+    damping above -- the marginal-stability fact the derivation asserts
+    symbolically (tools/derive_growth.py check (b))."""
+    f_c = FCE * HOT.anisotropy / (1.0 + HOT.anisotropy)
+    below = float(gamma_whistler(f_c * 0.999, BMAG, NE, HOT))
+    above = float(gamma_whistler(f_c * 1.001, BMAG, NE, HOT))
+    assert below > 0.0 > above
+    # and the zero is sharp: both within ~1e-2 of zero relative to the
+    # mid-band growth rate
+    mid = float(gamma_whistler(0.25 * FCE, BMAG, NE, HOT))
+    assert abs(below) < 0.05 * mid and abs(above) < 0.05 * mid
+
+
+def test_isotropic_population_damps():
+    """A = 0: pure cyclotron damping at every propagating frequency."""
+    hot0 = HotElectrons(eta=1.0e-3, t_par_ev=10.0e3, anisotropy=0.0)
+    for frac in (0.1, 0.3, 0.5, 0.7):
+        assert float(gamma_whistler(frac * FCE, BMAG, NE, hot0)) < 0.0
+
+
+def test_scalings_and_weak_growth():
+    """gamma is linear in the hot fraction eta, and |gamma|/w << 1 in the
+    magnetospheric parameter range (the weak-growth validity condition)."""
+    g1 = float(gamma_whistler(0.3 * FCE, BMAG, NE, HOT))
+    g2 = float(gamma_whistler(
+        0.3 * FCE, BMAG, NE,
+        HotElectrons(eta=2.0e-3, t_par_ev=10.0e3, anisotropy=1.0),
+    ))
+    assert g2 / g1 == pytest.approx(2.0, rel=1e-12)
+    for frac in (0.05, 0.2, 0.45):
+        g = float(gamma_whistler(frac * FCE, BMAG, NE, HOT))
+        assert abs(g) / (2 * np.pi * frac * FCE) < 0.05
+
+
+def test_obliquity_reduces_growth_and_cone_cuts_off():
+    """Quasi-longitudinal: growth decreases monotonically with psi and
+    vanishes past the QL resonance cone (Y cos psi < 1)."""
+    f = 0.3 * FCE
+    gams = [
+        float(gamma_whistler(f, BMAG, NE, HOT, psi=p))
+        for p in (0.0, 0.4, 0.8, 1.2)
+    ]
+    assert all(a > b for a, b in zip(gams, gams[1:]))
+    assert gams[0] > 0.0
+    # cos psi < f/fce = 0.3 -> evanescent QL index -> 0
+    assert float(gamma_whistler(f, BMAG, NE, HOT, psi=np.arccos(0.29))) == 0.0
+
+
+def test_dr_dw_matches_stix_rlp_derivative():
+    """The closed-form dR/dw against a numerical derivative of the
+    framework's stix_rlp, including multi-ion terms."""
+    for eta_he, eta_o in ((0.0, 0.0), (0.1, 0.05)):
+        w = 2 * np.pi * 0.3 * FCE
+        dw = w * 1e-7
+        rp = float(dispersion.stix_rlp(
+            NE, BMAG, (w + dw) / (2 * np.pi), eta_he, eta_o)[0])
+        rm = float(dispersion.stix_rlp(
+            NE, BMAG, (w - dw) / (2 * np.pi), eta_he, eta_o)[0])
+        num = (rp - rm) / (2 * dw)
+        ana = float(_dr_dw(w, NE, BMAG, eta_he, eta_o))
+        assert ana == pytest.approx(num, rel=1e-6)
+
+
+def test_regression_value():
+    """Pin one full evaluation (medium like the L=2.56 plasmasphere
+    equator) so silent formula drift cannot pass: gamma = 97.92 rad/s at
+    f = 4 kHz, fce = 52.0 kHz, 1859 cm^-3, eta 1e-3, 25 keV, A = 1."""
+    g = float(gamma_whistler(
+        4000.0, 3.12e-5 / 2.56**3, 1.8593826731720128e9,
+        HotElectrons(eta=1.0e-3, t_par_ev=25.0e3, anisotropy=1.0),
+    ))
+    assert g == pytest.approx(93.045, rel=2e-3)
+
+
+def test_equatorial_gain_profile_shape():
+    """The KP amplification spectrum at L = 4: positive band below the
+    cutoff fce A/(1+A), damped above, single interior growth peak."""
+    env = make_env_lat()
+    f = np.linspace(500.0, 12000.0, 47)
+    prof = equatorial_gain_profile(4.0, f, env, HOT)
+    fce = prof["fce"][0]
+    cut = prof["f_cutoff"][0]
+    gam = prof["gamma"]
+    assert cut == pytest.approx(0.5 * fce, rel=1e-12)
+    assert np.all(gam[f < 0.95 * cut] > 0.0)
+    assert np.all(gam[f > 1.05 * cut] < 0.0)
+    ipk = int(np.argmax(gam))
+    assert 0 < ipk < len(f) - 1  # interior peak
+
+
+def test_equatorial_confinement_along_field_line():
+    """gamma(lat) along the L = 4 field line at fixed f: the resonant
+    overlap (and thus growth) is confined near the magnetic equator --
+    off-equator |B| grows, the resonant velocity runs away and gamma
+    falls by orders of magnitude within ~20 degrees."""
+    from raytrace_tpu.models import medium
+
+    env = make_env_lat()
+    lat = np.radians(np.linspace(0.0, 30.0, 7))
+    r = 4.0 * np.cos(lat) ** 2
+    bm = np.asarray(medium.b_mag(r, lat, env), np.float64)
+    ne = np.asarray(medium.ne_total_m3(r, lat, env), np.float64)
+    f = 0.15 * FCE_E * bm[0]
+    gam = gamma_whistler(np.full_like(bm, f), bm, ne, HOT)
+    assert gam[0] > 0.0
+    assert gam[0] > 100.0 * abs(gam[-1])
+
+
+def test_path_gain_on_traced_ray():
+    """path_gain mechanics on a real traced ray (unducted, launch 58 deg,
+    f = 4 kHz): anisotropic hot population -> net positive cumulative
+    gain; isotropic -> strictly negative (damping); padding snapshots
+    after the surface hit contribute nothing. The magnitudes are tiny --
+    CORRECT physics: this unducted ray crosses the equator at r ~ 1.2
+    where 4 kHz resonates only with ~MeV electrons (no overlap with a
+    25 keV population); magnetospheric amplification needs ducted paths
+    that stay near the high-L equator."""
+    env = make_env_lat()
+    u0 = jnp.array([[(RE + 1e6) / RE, np.radians(58.0), 0.0, 0.0]])
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env), u0, jnp.array([4000.0]),
+        cfg=SolverConfig(rtol=1e-5, atol=1e-9, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=3e9 / RE), max_steps=8192,
+        save_every=16,
+    )
+    assert int(res.status[0]) == events.HIT_EARTH
+    traj = np.asarray(res.traj["u"])
+    hot = HotElectrons(eta=1.0e-3, t_par_ev=25.0e3, anisotropy=1.0)
+    g = path_gain(traj, 4000.0, env, hot)
+    g0 = path_gain(
+        traj, 4000.0, env,
+        HotElectrons(eta=1.0e-3, t_par_ev=25.0e3, anisotropy=0.0),
+    )
+    assert g["gain_db"][-1, 0] > 0.0 > g0["gain_db"][-1, 0]
+    assert np.all(np.isfinite(g["gamma"]))
+    # group time masked correctly: cumulative gain constant over padding
+    t = g["t"][:, 0]
+    pad = np.flatnonzero(np.diff(t) <= 0.0)
+    if pad.size:
+        assert g["gain_db"][pad[-1] + 1, 0] == g["gain_db"][-1, 0]
+    # single-ray (S, n) input round-trips
+    g1 = path_gain(traj[:, 0], 4000.0, env, hot)
+    assert g1["gamma"].shape == (traj.shape[0],)
+    np.testing.assert_allclose(g1["gain_db"], g["gain_db"][:, 0])
