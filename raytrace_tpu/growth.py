@@ -154,10 +154,14 @@ def path_gain(traj_u, f, env, hot: HotElectrons, frame="2d_lat",
     """Growth-rate profile + integrated amplitude gain along trajectories.
 
     traj_u: (S, B, n) saved snapshots (or (S, n) for one ray) in the
-    given frame ("2d_lat" | "2d_colat"); f: Hz, scalar or (B,). The gain
-    integral uses the ray's OWN group-delay channel (state T, u[..., 3]):
+    given frame ("2d_lat" | "2d_colat" | "3d"); f: Hz, scalar or (B,).
+    The gain integral uses the ray's OWN group-delay channel (state T:
+    u[..., 3] in 2D, u[..., 6] in 3D):
       gain(s) = Int gamma dT  [nepers],  amplitude ratio = exp(gain),
     with non-advancing-T snapshots (post-termination padding) masked out.
+    The 3D frame is field-model-general like make_save_fn_3d: |B| from
+    the vector field, density at the magnetic latitude, psi from the
+    B.rho geometry.
 
     psi_mode: "local" evaluates gamma at the ray's instantaneous
     wave-normal angle (quasi-longitudinal kpar = k cos psi); "parallel"
@@ -175,18 +179,35 @@ def path_gain(traj_u, f, env, hot: HotElectrons, frame="2d_lat",
     if frame == "2d_lat":
         lat = u[..., 1]
         psi = np.asarray(dispersion.psi_lat(u[..., 1], u[..., 2]))
+        bm = np.asarray(medium.b_mag(r, lat, env), np.float64)
+        ne = np.asarray(medium.ne_total_m3(r, lat, env), np.float64)
+        t_idx = 3
     elif frame == "2d_colat":
         lat = np.pi / 2 - u[..., 1]
         psi = np.asarray(dispersion.psi_colat(u[..., 1], u[..., 2]))
+        bm = np.asarray(medium.b_mag(r, lat, env), np.float64)
+        ne = np.asarray(medium.ne_total_m3(r, lat, env), np.float64)
+        t_idx = 3
+    elif frame == "3d":
+        theta, phi = u[..., 1], u[..., 2]
+        psi = np.asarray(dispersion.psi_3d(
+            r, theta, phi, u[..., 3], u[..., 4], u[..., 5], env
+        ))
+        mlat = np.asarray(medium.mlat_3d(r, theta, phi, env))
+        br, bt, bp = medium.b_vec(r, theta, phi, env)
+        bm = np.sqrt(
+            np.asarray(br, np.float64) ** 2
+            + np.asarray(bt, np.float64) ** 2
+            + np.asarray(bp, np.float64) ** 2
+        )
+        ne = np.asarray(medium.ne_total_m3(r, mlat, env), np.float64)
+        t_idx = 6
     else:
         raise ValueError(f"unsupported frame {frame!r}")
     if psi_mode == "parallel":
         psi = np.zeros_like(psi)
     elif psi_mode != "local":
         raise ValueError(f"unknown psi_mode {psi_mode!r}")
-
-    bm = np.asarray(medium.b_mag(r, lat, env), np.float64)
-    ne = np.asarray(medium.ne_total_m3(r, lat, env), np.float64)
     f_b = np.broadcast_to(np.asarray(f, np.float64), bm.shape)
     gam = gamma_whistler(
         f_b, bm, ne, hot, psi=psi,
@@ -196,7 +217,7 @@ def path_gain(traj_u, f, env, hot: HotElectrons, frame="2d_lat",
     # group time: the T state is already in SECONDS (ops/rhs.py folds
     # RE_OVER_C into dT/dtau; ensemble_stats reports u[:, -1] directly
     # as mean_group_delay_s)
-    t = u[..., 3]
+    t = u[..., t_idx]
     dt = np.diff(t, axis=0)
     advancing = dt > 0.0
     dt = np.where(advancing, dt, 0.0)

@@ -172,3 +172,40 @@ def test_path_gain_on_traced_ray():
     g1 = path_gain(traj[:, 0], 4000.0, env, hot)
     assert g1["gamma"].shape == (traj.shape[0],)
     np.testing.assert_allclose(g1["gain_db"], g["gain_db"][:, 0])
+
+
+def test_path_gain_3d_on_shell():
+    """path_gain on the 3D frame (field-model-general channel: b_vec
+    magnitude, mlat_3d density, B.rho psi, T at index 6). Launched
+    ON-SHELL (consistent_rho_3d) so the group delay is physical and
+    monotone -- the reference's own off-shell u0 accumulates NEGATIVE T
+    (docs/NOTE_3D_GROUP_DELAY.md) which would zero the gain integral's
+    advancing-T mask."""
+    from raytrace_tpu.models import make_env
+
+    env = make_env()
+    r0, th0, ph0 = (RE + 1.0e6) / RE, np.pi / 4, 0.0
+    rho = np.asarray(dispersion.consistent_rho_3d(
+        r0, th0, ph0, (1.0, 1.0, 0.0), 1000.0, env
+    ))
+    u0 = jnp.array([[r0, th0, ph0, *rho, 0.0]])
+    res = trace(
+        lambda u, ff: rhs.rhs_3d(u, ff, env), u0, jnp.array([1000.0]),
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE, lat_sign=-1.0,
+                      lat_offset=np.pi / 2),
+        group_idx=6, max_steps=4096, save_every=16,
+    )
+    traj = np.asarray(res.traj["u"])
+    t = traj[:, 0, 6]
+    dt = np.diff(t)
+    assert np.all(dt[dt != 0.0] > 0.0)      # on-shell: physical T
+    hot = HotElectrons(eta=1.0e-3, t_par_ev=25.0e3, anisotropy=1.0)
+    g = path_gain(traj, 1000.0, env, hot, frame="3d")
+    g0 = path_gain(
+        traj, 1000.0, env,
+        HotElectrons(eta=1.0e-3, t_par_ev=25.0e3, anisotropy=0.0),
+        frame="3d",
+    )
+    assert np.isfinite(g["gamma"]).all()
+    assert g["gain_db"][-1, 0] > 0.0 > g0["gain_db"][-1, 0]
