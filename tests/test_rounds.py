@@ -106,6 +106,35 @@ def test_auto_stepper_pool_handoff():
     )
 
 
+def test_auto_pool_ros3pr_stiff_stepper():
+    """stiff_stepper='ros3pr' through the production rounds path: the
+    derived stage-order-aware Rosenbrock (tools/derive_ros3.py) serves
+    as the auto-mode stiff pool, with the same carry hand-off contract
+    as ros2x -- statuses equal to the pure-DP5 run, landing states
+    within the cross-method tolerance."""
+    mesh, env, u0, f, valid = _setup(tuple(np.linspace(0.6, 0.9, 4)))
+    kw = dict(
+        mesh=mesh, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE), max_steps=4096,
+        round_steps=256, bucket_floor=8,
+    )
+    auto_tr = make_rounds_tracer(
+        env, stepper="auto", stiff_stepper="ros3pr",
+        stiff_switch=0.001, stiff_unswitch=0.0, **kw
+    )
+    res_auto = auto_tr(u0, f, valid)
+    assert auto_tr.last_stiff is not None and auto_tr.last_stiff.any()
+    res_dp5 = make_rounds_tracer(env, stepper="dopri5", **kw)(u0, f, valid)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(
+        np.asarray(res_auto.status)[v], np.asarray(res_dp5.status)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_auto.u)[v, :2], np.asarray(res_dp5.u)[v, :2],
+        rtol=5e-3, atol=5e-3,
+    )
+
+
 def test_rounds_tracer_3d_auto_stiff_pool():
     """The production rounds path on the 7-state 3D frame: packed carry
     transport at state_dim=7, the stiff pool (ros2x with the unpivoted
