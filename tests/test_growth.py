@@ -93,13 +93,81 @@ def test_dr_dw_matches_stix_rlp_derivative():
 
 def test_regression_value():
     """Pin one full evaluation (medium like the L=2.56 plasmasphere
-    equator) so silent formula drift cannot pass: gamma = 97.92 rad/s at
-    f = 4 kHz, fce = 52.0 kHz, 1859 cm^-3, eta 1e-3, 25 keV, A = 1."""
+    equator) so silent formula drift cannot pass: gamma = 93.05 rad/s at
+    f = 4 kHz, fce = 52.0 kHz, 1859 cm^-3, eta 1e-3, 25 keV, A = 1
+    (independently confirmed by the full-kinetic dispersion root solve
+    in test_full_kinetic_crosscheck: 92.90 rad/s, the 0.15% difference
+    being exactly the weak-growth approximation error)."""
     g = float(gamma_whistler(
         4000.0, 3.12e-5 / 2.56**3, 1.8593826731720128e9,
         HotElectrons(eta=1.0e-3, t_par_ev=25.0e3, anisotropy=1.0),
     ))
     assert g == pytest.approx(93.045, rel=2e-3)
+
+
+def test_full_kinetic_crosscheck():
+    """The strongest validation of gamma_whistler: Newton-solve the FULL
+    complex kinetic dispersion relation (cold Stix R + hot bi-Maxwellian
+    susceptibility with the exact plasma dispersion function
+    Z(zeta) = i sqrt(pi) w(zeta), scipy wofz) for the complex root
+    omega(k), and compare its imaginary part to the weak-growth formula.
+    No shared code path: the weak-growth route never touches Z's real
+    part or a root solve. Agreement must be at the weak-growth error
+    level (|gamma|/w ~ 3e-3 here -> ~0.2%), far below any sign or
+    factor mistake."""
+    wofz = pytest.importorskip("scipy.special").wofz
+
+    from raytrace_tpu.constants import C_LIGHT, FPE2_E, M_E, Q_E
+
+    bmag = 3.12e-5 / 2.56**3
+    ne = 1.8593826731720128e9
+    f = 4000.0
+    hot = HotElectrons(eta=1.0e-3, t_par_ev=25.0e3, anisotropy=1.0)
+    g_weak = float(gamma_whistler(f, bmag, ne, hot))
+
+    w0 = 2 * np.pi * f
+    wc = 2 * np.pi * FCE_E * bmag
+    wpe2 = (2 * np.pi) ** 2 * FPE2_E * (ne * 1e-6)
+    apar = np.sqrt(2.0 * Q_E * hot.t_par_ev / M_E)
+    tr = hot.anisotropy + 1.0
+    # k from the framework's cold dispersion at the real frequency
+    mu2 = float(dispersion.stix_rlp(ne, bmag, f)[0])
+    k = w0 / C_LIGHT * np.sqrt(mu2)
+
+    def z_func(zeta):
+        return 1j * np.sqrt(np.pi) * wofz(zeta)
+
+    def d_full(w):
+        # cold R at complex w (electron + proton terms, protons-only env)
+        r = 1.0 + 0j
+        for fpe2_s, fce_signed in [(FPE2_E, -FCE_E)] + list(
+            dispersion.ion_species()
+        ):
+            wps2 = (2 * np.pi) ** 2 * fpe2_s * (ne * 1e-6)
+            sig = 2 * np.pi * fce_signed * bmag
+            r = r - wps2 / (w * (w + sig))
+        zeta = (w - wc) / (k * apar)
+        chi = (hot.eta * wpe2 / w**2) * (
+            (tr - 1.0)
+            + (zeta * (tr - 1.0) + w / (k * apar)) * z_func(zeta)
+        )
+        return r + chi - (C_LIGHT * k / w) ** 2
+
+    # Newton iteration from the real cold root
+    w = w0 + 0j
+    for _ in range(50):
+        dw = w * 1e-9
+        deriv = (d_full(w + dw) - d_full(w - dw)) / (2 * dw)
+        step = d_full(w) / deriv
+        w = w - step
+        if abs(step) < 1e-10 * abs(w):
+            break
+    g_full = float(np.imag(w))
+    # same mode: the root's real part shifts only by the hot fraction's
+    # real back-reaction (~0.2% here -- the term weak growth neglects)
+    assert abs(np.real(w) - w0) / w0 < 5e-3
+    assert g_full == pytest.approx(92.90, rel=1e-2)
+    assert g_weak == pytest.approx(g_full, rel=5e-3)
 
 
 def test_equatorial_gain_profile_shape():
