@@ -74,24 +74,42 @@ class HotElectrons:
     anisotropy: float = 1.0
 
 
-def _dr_dw(w, ne_m3, bmag, eta_he=0.0, eta_o=0.0):
-    """Closed-form dR/dw of the cold Stix R in angular units.
+@dataclass(frozen=True)
+class HotProtons:
+    """A hot anisotropic proton fraction (EMIC growth -- gamma_emic).
 
-    R = 1 - sum_s wps^2 / (w (w + sig_s)), sig_e = -wce, sig_i = +wci
-    (the ratio form -X/(1 -+ Y) of ops/dispersion.stix_rlp, rewritten);
-    each term's derivative is wps^2 (2w + sig_s) / (w (w + sig_s))^2.
-    Parity vs a numerical derivative of stix_rlp: tests/test_growth.py."""
+    Same convention as HotElectrons; apar uses the PROTON mass."""
+
+    eta: float = 1.0e-3
+    t_par_ev: float = 30.0e3
+    anisotropy: float = 1.0
+
+
+def _dstix_dw(w, ne_m3, bmag, mode, eta_he=0.0, eta_o=0.0):
+    """Closed-form d/dw of the cold Stix R (mode='whistler') or L
+    (mode='emic') in angular units.
+
+    R = 1 - sum_s wps^2 / (w (w + sig_s)), sig_e = -wce, sig_i = +wci;
+    L flips every sig (the ratio forms -X/(1 -+ Y) of
+    ops/dispersion.stix_rlp, rewritten); each term's derivative is
+    wps^2 (2w + sig_s) / (w (w + sig_s))^2. Parity vs a numerical
+    derivative of stix_rlp: tests/test_growth.py."""
     n_cm3 = ne_m3 * 1.0e-6
+    flip = -1.0 if mode == "emic" else 1.0
     out = 0.0
     species = [(FPE2_E, -FCE_E)]
     for fpe2_i, fce_i in dispersion.ion_species(eta_he, eta_o):
         species.append((fpe2_i, fce_i))
     for fpe2_s, fce_signed in species:
         wps2 = _TWO_PI**2 * fpe2_s * n_cm3
-        sig = _TWO_PI * fce_signed * bmag
+        sig = flip * _TWO_PI * fce_signed * bmag
         den = w * (w + sig)
         out = out + wps2 * (2.0 * w + sig) / (den * den)
     return out
+
+
+def _dr_dw(w, ne_m3, bmag, eta_he=0.0, eta_o=0.0):
+    return _dstix_dw(w, ne_m3, bmag, "whistler", eta_he, eta_o)
 
 
 def gamma_whistler(f, bmag, ne_m3, hot: HotElectrons, psi=0.0,
@@ -114,37 +132,77 @@ def gamma_whistler(f, bmag, ne_m3, hot: HotElectrons, psi=0.0,
     resonance; points where the QL index is evanescent (incl. the
     resonance cone Y cos psi -> 1 ... psi -> 90 deg, where QL growth
     theory does not apply) return 0."""
+    return _gamma_cyclotron(f, bmag, ne_m3, hot, psi, "whistler",
+                            eta_he, eta_o)
+
+
+def gamma_emic(f, bmag, ne_m3, hot: HotProtons, psi=0.0,
+               eta_he=0.0, eta_o=0.0):
+    """Local temporal growth rate gamma [rad/s] of the EMIC amplitude.
+
+    The ion-cyclotron counterpart of gamma_whistler, for the '-' root
+    the framework also traces (wave_mode="emic"): L-mode waves below the
+    proton gyrofrequency, driven by a hot anisotropic PROTON fraction.
+    The derived susceptibility (tools/derive_growth.py) is species-
+    agnostic -- the identical P + Q Z(zeta) form applies with the
+    resonant species' plasma/gyro frequency and thermal speed, pinned by
+    the same cold-limit identity (the L-mode cold proton term is
+    -wpi^2/(w(w - wci)), the exact mirror of the R-mode electron term).
+    Growth iff A_p > f/(fci - f), the proton KP threshold; validated
+    against a full-kinetic L-mode root solve in tests/test_growth.py.
+    Multi-ion cold backgrounds (eta_he/eta_o) shift the L-mode index;
+    the hot resonance stays at the proton gyrofrequency."""
+    return _gamma_cyclotron(f, bmag, ne_m3, hot, psi, "emic",
+                            eta_he, eta_o)
+
+
+def _gamma_cyclotron(f, bmag, ne_m3, hot, psi, mode, eta_he, eta_o):
+    from .constants import FCE_P, FPE2_P, M_P
+
     f = np.asarray(f, np.float64)
     bmag = np.asarray(bmag, np.float64)
     ne_m3 = np.asarray(ne_m3, np.float64)
     psi = np.asarray(psi, np.float64)
 
     w = _TWO_PI * f
-    wc = _TWO_PI * FCE_E * bmag
-    wpe2 = _TWO_PI**2 * FPE2_E * (ne_m3 * 1.0e-6)
+    n_cm3 = ne_m3 * 1.0e-6
+    if mode == "whistler":
+        wc = _TWO_PI * FCE_E * bmag
+        wp2_hot = hot.eta * _TWO_PI**2 * FPE2_E * n_cm3
+        apar = np.sqrt(2.0 * Q_E * hot.t_par_ev / M_E)
+        rlp_idx = 0          # cold R carries the QL whistler branch
+    elif mode == "emic":
+        wc = _TWO_PI * FCE_P * bmag
+        wp2_hot = hot.eta * _TWO_PI**2 * FPE2_P * n_cm3
+        apar = np.sqrt(2.0 * Q_E * hot.t_par_ev / M_P)
+        rlp_idx = 1          # cold L carries the QL EMIC branch
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
 
     cpsi = np.abs(np.cos(psi))
     b_eff = bmag * cpsi
-    r_ql = np.asarray(
-        dispersion.stix_rlp(ne_m3, b_eff, f, eta_he, eta_o)[0], np.float64
+    mu2_ql = np.asarray(
+        dispersion.stix_rlp(ne_m3, b_eff, f, eta_he, eta_o)[rlp_idx],
+        np.float64,
     )
-    propagating = r_ql > 0.0
-    mu2s = np.where(propagating, r_ql, 1.0)
+    propagating = mu2_ql > 0.0
+    mu2s = np.where(propagating, mu2_ql, 1.0)
     k = (w / C_LIGHT) * np.sqrt(mu2s)
     kpar = np.maximum(k * cpsi, 1.0e-30)
 
-    apar = np.sqrt(2.0 * Q_E * hot.t_par_ev / M_E)
+    # the RESONANCE uses the true gyrofrequency (particles gyrate about
+    # the real B); only the cold index takes the QL Y cos psi substitution
     tr = hot.anisotropy + 1.0
     zeta = (w - wc) / (kpar * apar)
-    q = (hot.eta * wpe2 / (w * w)) * (
+    q = (wp2_hot / (w * w)) * (
         zeta * (tr - 1.0) + w / (kpar * apar)
     )
     # exp(-zeta^2) underflows harmlessly to 0 far from resonance
     im_chi = np.sqrt(np.pi) * np.exp(-np.minimum(zeta * zeta, 700.0)) * q
 
-    # dD/dw of D = R_ql(w) - c^2 k^2/w^2 at fixed k, consistently at the
-    # effective field (psi enters D only through Y cos psi)
-    ddw = _dr_dw(w, ne_m3, b_eff, eta_he, eta_o) + 2.0 * mu2s / w
+    # dD/dw of D = mu2_ql(w) - c^2 k^2/w^2 at fixed k, consistently at
+    # the effective field (psi enters D only through Y cos psi)
+    ddw = _dstix_dw(w, ne_m3, b_eff, mode, eta_he, eta_o) + 2.0 * mu2s / w
     gamma = -im_chi / ddw
     return np.where(propagating, gamma, 0.0)
 

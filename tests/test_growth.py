@@ -170,6 +170,84 @@ def test_full_kinetic_crosscheck():
     assert g_weak == pytest.approx(g_full, rel=5e-3)
 
 
+def test_emic_threshold_and_damping():
+    """gamma_emic (the '-' root counterpart): growth below the PROTON KP
+    threshold f_c = fci * A/(1+A), damping above; isotropic protons damp
+    at every propagating frequency; linear in the hot fraction."""
+    from raytrace_tpu.constants import FCE_P
+    from raytrace_tpu.growth import HotProtons, gamma_emic
+
+    fci = FCE_P * BMAG
+    hot = HotProtons(eta=1.0e-3, t_par_ev=30.0e3, anisotropy=1.0)
+    f_c = 0.5 * fci
+    assert float(gamma_emic(f_c * 0.999, BMAG, NE, hot)) > 0.0
+    assert float(gamma_emic(f_c * 1.001, BMAG, NE, hot)) < 0.0
+    hot0 = HotProtons(eta=1.0e-3, t_par_ev=30.0e3, anisotropy=0.0)
+    for frac in (0.1, 0.4, 0.8):
+        assert float(gamma_emic(frac * fci, BMAG, NE, hot0)) < 0.0
+    g1 = float(gamma_emic(0.3 * fci, BMAG, NE, hot))
+    g2 = float(gamma_emic(
+        0.3 * fci, BMAG, NE,
+        HotProtons(eta=2.0e-3, t_par_ev=30.0e3, anisotropy=1.0),
+    ))
+    assert g2 / g1 == pytest.approx(2.0, rel=1e-12)
+
+
+def test_emic_full_kinetic_crosscheck():
+    """gamma_emic vs a Newton solve of the full complex L-mode kinetic
+    dispersion (cold Stix L + hot proton bi-Maxwellian susceptibility
+    with exact Z via scipy wofz) -- same independent-route strategy as
+    the whistler cross-check."""
+    wofz = pytest.importorskip("scipy.special").wofz
+
+    from raytrace_tpu.constants import (
+        C_LIGHT, FCE_P, FPE2_E, FPE2_P, M_P, Q_E,
+    )
+    from raytrace_tpu.growth import HotProtons, gamma_emic
+
+    fci = FCE_P * BMAG
+    f = 0.3 * fci
+    hot = HotProtons(eta=1.0e-3, t_par_ev=30.0e3, anisotropy=1.0)
+    g_weak = float(gamma_emic(f, BMAG, NE, hot))
+
+    w0 = 2 * np.pi * f
+    wci = 2 * np.pi * fci
+    wpp2 = (2 * np.pi) ** 2 * FPE2_P * (NE * 1e-6)
+    apar = np.sqrt(2.0 * Q_E * hot.t_par_ev / M_P)
+    tr = hot.anisotropy + 1.0
+    mu2 = float(dispersion.stix_rlp(NE, BMAG, f)[1])     # cold L
+    k = w0 / C_LIGHT * np.sqrt(mu2)
+
+    def d_full(w):
+        # cold L at complex w: term signs mirrored from R
+        l_ = 1.0 + 0j
+        for fpe2_s, fce_signed in [(FPE2_E, -FCE_E)] + list(
+            dispersion.ion_species()
+        ):
+            wps2 = (2 * np.pi) ** 2 * fpe2_s * (NE * 1e-6)
+            sig = -2 * np.pi * fce_signed * BMAG
+            l_ = l_ - wps2 / (w * (w + sig))
+        zeta = (w - wci) / (k * apar)
+        z_val = 1j * np.sqrt(np.pi) * wofz(zeta)
+        chi = (hot.eta * wpp2 / w**2) * (
+            (tr - 1.0)
+            + (zeta * (tr - 1.0) + w / (k * apar)) * z_val
+        )
+        return l_ + chi - (C_LIGHT * k / w) ** 2
+
+    w = w0 + 0j
+    for _ in range(60):
+        dw = w * 1e-9
+        deriv = (d_full(w + dw) - d_full(w - dw)) / (2 * dw)
+        step = d_full(w) / deriv
+        w = w - step
+        if abs(step) < 1e-11 * abs(w):
+            break
+    g_full = float(np.imag(w))
+    assert abs(np.real(w) - w0) / w0 < 5e-3
+    assert g_weak == pytest.approx(g_full, rel=2e-2)
+
+
 def test_equatorial_gain_profile_shape():
     """The KP amplification spectrum at L = 4: positive band below the
     cutoff fce A/(1+A), damped above, single interior growth peak."""
