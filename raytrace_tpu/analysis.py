@@ -66,16 +66,26 @@ def fit_eckersley(T, f, status=None):
     }
 
 
-def cyclotron_resonance_energy_ev(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0):
+def cyclotron_resonance_energy_ev(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0,
+                                  relativistic=False):
     """Minimum electron energy (eV) in first-order cyclotron resonance
     with a parallel whistler: v_R = c (fce/f - 1) / mu_parallel, with
     mu_parallel = sqrt(R) taken from THIS framework's own cold
     dispersion (no high-density approximation). This is the energy of
     the electrons a whistler can scatter/amplify -- the quantity
-    radiation-belt wave models evaluate along the ray. Non-relativistic
-    (standard for E_res below ~100 keV; values above that are
-    qualitative). In the dense-plasma limit it reduces to the textbook
-    E_B (fce/f)(1 - f/fce)^3 with E_B = B^2/(2 mu0 ne)."""
+    radiation-belt wave models evaluate along the ray. In the
+    dense-plasma limit it reduces to the textbook
+    E_B (fce/f)(1 - f/fce)^3 with E_B = B^2/(2 mu0 ne).
+
+    relativistic=True solves the exact minimum-energy (v_perp = 0)
+    relativistic resonance  w - k v = wce/gamma  instead: with
+    x = v/c and n = mu_parallel, squaring gives the quadratic
+        (n^2 + Y^2) x^2 - 2 n x + (1 - Y^2) = 0,   Y = fce/f > 1,
+    whose |x| < 1 branch is x = (n - sqrt(n^2 - (1+Y^2)(1-Y^2)... )) --
+    written below via the numerically stable form. E = (gamma - 1) m c^2.
+    The nonrelativistic expression overestimates E_res once it
+    approaches m_e c^2 = 511 keV (the classic correction for outer-belt
+    electrons); below ~50 keV the two agree to < 5%."""
     from .ops import dispersion
 
     f = np.asarray(f, np.float64)
@@ -84,8 +94,23 @@ def cyclotron_resonance_energy_ev(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0):
     r, _, _ = dispersion.stix_rlp(ne_m3, bmag, f, eta_he, eta_o)
     mu2 = np.maximum(np.asarray(r, np.float64), 1.0e-30)
     fce = FCE_E * bmag
-    v_r2 = C_LIGHT * C_LIGHT * (fce / f - 1.0) ** 2 / mu2
-    return 0.5 * M_E * v_r2 / Q_E
+    if not relativistic:
+        v_r2 = C_LIGHT * C_LIGHT * (fce / f - 1.0) ** 2 / mu2
+        return 0.5 * M_E * v_r2 / Q_E
+    # exact (v_perp = 0): (n^2 + Y^2) x^2 - 2 n x + (1 - Y^2) = 0.
+    # For Y > 1 the product of roots (1 - Y^2)/(n^2 + Y^2) < 0; the
+    # physical counter-streaming root has |x| < 1 and is obtained
+    # stably as c_term / (quadratic-formula big root):
+    n = np.sqrt(mu2)
+    y = fce / f
+    a_q = n * n + y * y
+    c_q = 1.0 - y * y
+    disc = np.maximum(n * n - a_q * c_q, 0.0)
+    big = n + np.sqrt(disc)                 # > 0 always
+    x = c_q / big                           # Vieta: x1 x2 = c_q/a_q
+    x = np.clip(np.abs(x), 0.0, 1.0 - 1e-15)
+    gamma_rel = 1.0 / np.sqrt(1.0 - x * x)
+    return (gamma_rel - 1.0) * M_E * C_LIGHT * C_LIGHT / Q_E
 
 
 def kp_critical_anisotropy(f, bmag):

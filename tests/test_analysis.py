@@ -230,3 +230,37 @@ def test_footprint_spreading():
     fp2["hit"][2] = False
     sp2 = analysis.footprint_spreading(fp2, chis)
     assert sp2["spreading"].shape == (2,)
+
+
+def test_relativistic_resonance_energy():
+    """relativistic=True solves the exact v_perp=0 resonance
+    w - k v = wce/gamma. Checks: (a) exact root -- the returned energy's
+    velocity satisfies the UNSQUARED resonance equation to 1e-12;
+    (b) converges to the nonrelativistic value at low energy (<1% at
+    ~1 keV); (c) is strictly BELOW it, with the gap growing with energy
+    (the standard outer-belt correction: the nonrel formula
+    overestimates E_res as it approaches m_e c^2)."""
+    from raytrace_tpu.constants import C_LIGHT, FCE_E, M_E, Q_E
+    from raytrace_tpu.ops import dispersion
+
+    bmag, ne = 3.12e-5 / 216.0, 1.0e7     # L=6 trough, 10/cc
+    freqs = np.array([2000.0, 500.0, 100.0])
+    e_nr = analysis.cyclotron_resonance_energy_ev(freqs, bmag, ne)
+    e_r = analysis.cyclotron_resonance_energy_ev(
+        freqs, bmag, ne, relativistic=True
+    )
+    # (a) exact resonance residual
+    for f, e in zip(freqs, e_r):
+        gamma_rel = 1.0 + e * Q_E / (M_E * C_LIGHT**2)
+        x = np.sqrt(1.0 - 1.0 / gamma_rel**2)
+        n = np.sqrt(float(dispersion.stix_rlp(ne, bmag, f)[0]))
+        y = FCE_E * bmag / f
+        # counter-streaming: v < 0 relative to k
+        resid = (1.0 + n * x) - y / gamma_rel
+        assert abs(resid) < 1e-10, (f, resid)
+    # (b) low-energy agreement
+    assert e_r[0] / e_nr[0] == pytest.approx(1.0, abs=0.01)
+    # (c) strictly below, gap growing with energy
+    ratio = e_r / e_nr
+    assert np.all(ratio < 1.0)
+    assert ratio[0] > ratio[1] > ratio[2]
