@@ -14,7 +14,11 @@ Renders the quantitative growth/damping physics of raytrace_tpu.growth
       the equator at r ~ 1.2 RE where 4 kHz resonates only with ~MeV
       electrons, so its net gain is tiny: the classic argument for why
       observable whistler amplification requires DUCTED paths that hold
-      the wave near the high-L equator (panel b's window).
+      the wave near the high-L equator (panel b's window);
+  (d) the EMIC counterpart (gamma_emic, the '-' root the framework also
+      traces): proton-cyclotron growth below fci driven by hot
+      anisotropic ring-current protons, same KP threshold structure at
+      f_c = fci * A/(1+A).
 
 Writes examples/output/growth_gain.png. Runs anywhere (CPU ~30 s).
 """
@@ -39,16 +43,17 @@ def main():
     import matplotlib.pyplot as plt
     import numpy as np
 
-    from raytrace_tpu.constants import FCE_E, RE
+    from raytrace_tpu.constants import FCE_E, FCE_P, RE
     from raytrace_tpu.growth import (
-        HotElectrons, equatorial_gain_profile, gamma_whistler, path_gain,
+        HotElectrons, HotProtons, equatorial_gain_profile, gamma_emic,
+        gamma_whistler, path_gain,
     )
     from raytrace_tpu.integrate import SolverConfig, StopSpec, trace
     from raytrace_tpu.models import make_env_lat, medium
     from raytrace_tpu.ops import rhs
 
     env = make_env_lat()
-    fig, axes = plt.subplots(1, 3, figsize=(15, 4.6))
+    fig, axes = plt.subplots(1, 4, figsize=(19.5, 4.6))
 
     # (a) equatorial spectrum at L = 4
     ax = axes[0]
@@ -113,6 +118,29 @@ def main():
     ax.set_title("gain along a traced UNDUCTED ray\n"
                  "(launch 58$^\\circ$, 4 kHz: equator pass at r ~ 1.2,\n"
                  "no resonant overlap -- the case for ducted paths)")
+    ax.legend()
+
+    # (d) EMIC spectrum at L = 4 (hot ring-current protons)
+    ax = axes[3]
+    lat_eq = np.zeros(1)
+    bm_eq = float(np.asarray(medium.b_mag(np.array([4.0]), lat_eq, env))[0])
+    ne_eq = float(
+        np.asarray(medium.ne_total_m3(np.array([4.0]), lat_eq, env))[0]
+    )
+    fci = FCE_P * bm_eq
+    f_emic = np.linspace(0.02 * fci, 0.98 * fci, 400)
+    for a_val, color in ((0.5, "tab:blue"), (1.0, "tab:orange"),
+                         (2.0, "tab:green")):
+        hotp = HotProtons(eta=1e-3, t_par_ev=30e3, anisotropy=a_val)
+        gam = gamma_emic(f_emic, bm_eq, ne_eq, hotp)
+        ax.plot(f_emic, gam, color=color, label=f"$A_p$ = {a_val}")
+        ax.axvline(fci * a_val / (1 + a_val), color=color, ls=":", lw=0.8)
+    ax.axhline(0.0, color="k", lw=0.6)
+    ax.set_xlabel("f [Hz]")
+    ax.set_ylabel(r"$\gamma$ [rad/s]")
+    ax.set_title("EMIC growth spectrum, L = 4\n"
+                 r"(hot protons, $T_\parallel$ = 30 keV; "
+                 f"$f_{{ci}}$ = {fci:.1f} Hz)")
     ax.legend()
 
     fig.tight_layout()
