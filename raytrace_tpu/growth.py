@@ -53,6 +53,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .constants import C_LIGHT, FCE_E, FPE2_E, M_E, Q_E
+from .constants import RE as _RE_M
 from .ops import dispersion
 
 _TWO_PI = 2.0 * np.pi
@@ -292,6 +293,78 @@ def path_gain(traj_u, f, env, hot: HotElectrons, frame="2d_lat",
     if squeeze:
         out = {kk: v[:, 0] for kk, v in out.items()}
     return out
+
+
+def group_velocity_parallel(f, bmag, ne_m3, mode="whistler",
+                            eta_he=0.0, eta_o=0.0):
+    """Parallel group velocity [m/s] of the R-mode whistler (or L-mode
+    EMIC): v_g = c / (mu + w dmu/dw) with mu^2 = R (or L) and
+    dmu/dw = (dR/dw)/(2 mu) from the closed-form _dstix_dw. Returns 0
+    where the mode is evanescent. Cross-checked against the framework's
+    own group-delay integrand (f/mu) dmu/df in tests/test_growth.py."""
+    f = np.asarray(f, np.float64)
+    bmag = np.asarray(bmag, np.float64)
+    ne_m3 = np.asarray(ne_m3, np.float64)
+    w = _TWO_PI * f
+    idx = 0 if mode == "whistler" else 1
+    mu2 = np.asarray(
+        dispersion.stix_rlp(ne_m3, bmag, f, eta_he, eta_o)[idx], np.float64
+    )
+    ok = mu2 > 0.0
+    mu = np.sqrt(np.where(ok, mu2, 1.0))
+    dmudw = _dstix_dw(w, ne_m3, bmag, mode, eta_he, eta_o) / (2.0 * mu)
+    vg = C_LIGHT / (mu + w * dmudw)
+    return np.where(ok, vg, 0.0)
+
+
+def transit_gain_db(l_shell, f, env, hot, mode="whistler",
+                    lat_max_deg=45.0, n_lat=301):
+    """Single-transit Kennel-Petschek gain [dB]: the amplitude gain of a
+    field-aligned wave packet crossing the equatorial growth region once,
+
+        G = Int gamma(lambda) / v_g(lambda) ds(lambda)   [nepers] * 8.686
+
+    integrated along the dipole field line of the given L-shell
+    (arc length ds = L cos(lat) sqrt(1 + 3 sin^2 lat) d lat), with gamma
+    from the derived susceptibility and v_g from the closed-form parallel
+    group velocity. This is THE number magnetospheric amplification
+    studies quote (tens of dB per transit for strong chorus/whistler
+    events); the ducted-propagation assumption (wave stays field-aligned)
+    is what ducts exist to realize. mode="emic" uses HotProtons and the
+    L-mode. Scalar f or array; returns gain_db broadcast over f.
+
+    Reading the magnitude: this is the LINEAR gain. Values of hundreds
+    of dB (easily reached at eta ~ 1e-3 of a dense plasmasphere) do not
+    describe observable waves -- they are the Kennel-Petschek
+    instability argument itself: a flux this unstable amplifies its own
+    waves until pitch-angle scattering removes the anisotropy, so such
+    configurations self-limit toward marginal stability (gain of order
+    e^3 per transit in KP's classic treatment). The interesting uses
+    are WHERE the gain peaks in f and L, the threshold structure, and
+    modest-gain (weakly unstable) populations."""
+    from .models import medium
+
+    lat = np.radians(np.linspace(-lat_max_deg, lat_max_deg, n_lat))
+    r = np.asarray(l_shell, np.float64) * np.cos(lat) ** 2
+    bm = np.asarray(medium.b_mag(r, np.abs(lat), env), np.float64)
+    ne = np.asarray(medium.ne_total_m3(r, np.abs(lat), env), np.float64)
+    ds = (np.asarray(l_shell, np.float64) * np.cos(lat)
+          * np.sqrt(1.0 + 3.0 * np.sin(lat) ** 2)) * _RE_M
+
+    f = np.atleast_1d(np.asarray(f, np.float64))
+    out = np.zeros(f.shape, np.float64)
+    eh, eo = float(env.eta_he), float(env.eta_o)
+    for i, fi in enumerate(f):
+        gam = _gamma_cyclotron(
+            np.full_like(bm, fi), bm, ne, hot, 0.0, mode, eh, eo
+        )
+        vg = group_velocity_parallel(
+            np.full_like(bm, fi), bm, ne, mode, eh, eo
+        )
+        integrand = np.where(vg > 0.0, gam / np.maximum(vg, 1.0), 0.0)
+        out[i] = np.trapezoid(integrand * ds, lat)
+    gain = out * _NEPER_DB
+    return gain if gain.size > 1 else float(gain[0])
 
 
 def equatorial_gain_profile(l_shell, f, env, hot: HotElectrons,

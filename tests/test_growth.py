@@ -355,3 +355,51 @@ def test_path_gain_3d_on_shell():
     )
     assert np.isfinite(g["gamma"]).all()
     assert g["gain_db"][-1, 0] > 0.0 > g0["gain_db"][-1, 0]
+
+
+def test_group_velocity_closed_form():
+    """group_velocity_parallel's closed form (via _dstix_dw) against the
+    finite-difference v_g = c/(mu + f dmu/df) of the framework's own
+    stix_rlp -- the same quantity the traced group-delay equation
+    dT/dtau = (1/c)(1 + (f/mu) dmu/df) integrates (ops/rhs.py)."""
+    from raytrace_tpu.constants import C_LIGHT
+    from raytrace_tpu.growth import group_velocity_parallel
+
+    for mode, idx in (("whistler", 0), ("emic", 1)):
+        frac = 0.2
+        base = FCE if mode == "whistler" else FCE / 1836.15267
+        f0 = frac * base
+        df = f0 * 1e-6
+        mu = np.sqrt(float(dispersion.stix_rlp(NE, BMAG, f0)[idx]))
+        mup = np.sqrt(float(dispersion.stix_rlp(NE, BMAG, f0 + df)[idx]))
+        mum = np.sqrt(float(dispersion.stix_rlp(NE, BMAG, f0 - df)[idx]))
+        vg_fd = C_LIGHT / (mu + f0 * (mup - mum) / (2 * df))
+        vg = float(group_velocity_parallel(f0, BMAG, NE, mode))
+        assert vg == pytest.approx(vg_fd, rel=1e-6)
+        assert 0.0 < vg < C_LIGHT
+
+
+def test_transit_gain_structure():
+    """Single-transit KP gain along the L = 4 field line: positive in
+    the growth band, linear in the hot fraction (nepers), and the EMIC
+    mode produces modest positive gain below the proton threshold."""
+    from raytrace_tpu.constants import FCE_P
+    from raytrace_tpu.growth import HotProtons, transit_gain_db
+    from raytrace_tpu.models import make_env_lat, medium
+
+    env = make_env_lat()
+    bm_eq = float(np.asarray(medium.b_mag(np.array([4.0]),
+                                          np.zeros(1), env))[0])
+    fce = FCE_E * bm_eq
+    g1 = transit_gain_db(4.0, 0.2 * fce, env, HOT)
+    g2 = transit_gain_db(
+        4.0, 0.2 * fce, env,
+        HotElectrons(eta=2.0e-3, t_par_ev=10.0e3, anisotropy=1.0),
+    )
+    assert g1 > 0.0
+    assert g2 == pytest.approx(2.0 * g1, rel=1e-9)   # linear in eta
+    fci = FCE_P * bm_eq
+    ge = transit_gain_db(4.0, 0.3 * fci, env,
+                         HotProtons(eta=1e-3, t_par_ev=30e3, anisotropy=1.0),
+                         mode="emic")
+    assert 0.0 < ge < 100.0
