@@ -149,6 +149,44 @@ def main():
     fig.savefig(path, dpi=110)
     print("wrote", path)
 
+    # second figure: the classic KP map -- single-transit gain over
+    # (L, f/fce_eq). Shows where in the magnetosphere which band
+    # amplifies: the plasmapause (Lppo ~ 4.6 here) prints directly into
+    # the map through the density jump, and the band tops out at the
+    # equatorial KP cutoff f = fce_eq/2 for A = 1.
+    from raytrace_tpu.growth import transit_gain_db
+
+    fig2, ax = plt.subplots(figsize=(7.2, 5.0))
+    l_grid = np.linspace(2.0, 6.5, 46)
+    frac_grid = np.linspace(0.02, 0.7, 35)
+    hot = HotElectrons(eta=1e-3, t_par_ev=25e3, anisotropy=1.0)
+    gain = np.zeros((frac_grid.size, l_grid.size))
+    for j, L in enumerate(l_grid):
+        bm_e = float(np.asarray(
+            medium.b_mag(np.array([L]), np.zeros(1), env))[0])
+        gain[:, j] = transit_gain_db(
+            L, frac_grid * FCE_E * bm_e, env, hot, n_lat=151
+        )
+    pos = np.ma.masked_less_equal(gain, 0.0)
+    pc = ax.pcolormesh(l_grid, frac_grid, np.log10(pos),
+                       cmap="viridis", shading="auto",
+                       vmin=-2.0, vmax=3.2)
+    fig2.colorbar(pc, ax=ax, label=r"log$_{10}$ single-transit gain [dB]")
+    ax.contour(l_grid, frac_grid, gain, levels=[0.0], colors="w",
+               linewidths=0.8)
+    ax.axhline(0.5, color="r", ls=":", lw=0.9)
+    ax.text(2.1, 0.515, "equatorial KP cutoff  $f_{ce,eq}A/(1{+}A)$",
+            color="r", fontsize=8)
+    ax.set_xlabel("L shell")
+    ax.set_ylabel(r"f / $f_{ce,eq}$")
+    ax.set_title("single-transit KP gain map "
+                 r"($\eta$ = 1e-3, $T_\parallel$ = 25 keV, A = 1)"
+                 "\nwhite contour: zero gain; damped region masked")
+    fig2.tight_layout()
+    path2 = os.path.join(OUT, "growth_gain_map.png")
+    fig2.savefig(path2, dpi=110)
+    print("wrote", path2)
+
 
 if __name__ == "__main__":
     main()
