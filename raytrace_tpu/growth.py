@@ -33,11 +33,17 @@ chorus/whistler amplification):
 with Tr = Tperp/Tpar, apar = sqrt(2 Tpar / m_e), eta = n_hot/n_e. The hot
 population's back-reaction on the REAL dispersion is neglected (eta << 1,
 the standard KP approximation), so k comes from the framework's cold
-dispersion solver. Obliquity enters only through the parallel wavenumber
-kpar = k(psi) cos(psi) in the resonance condition (quasi-longitudinal
-approximation -- adequate for the small-psi / ducted regime where
-whistler amplification happens; genuinely oblique kinetics with harmonic
-sums are out of scope and documented as such).
+dispersion solver. In gamma_whistler/gamma_emic, obliquity enters only
+through the parallel wavenumber kpar = k(psi) cos(psi) in the resonance
+condition (quasi-longitudinal approximation -- adequate for the
+small-psi / ducted regime where whistler amplification happens).
+
+GENUINELY OBLIQUE kinetics -- the full harmonic sum with Landau (m=0)
+and cyclotron (m = -+1, ...) resonances at the exact cold oblique root
+and polarization -- is gamma_oblique below, derived and five-way
+validated in tools/derive_growth_oblique.py. It is what quantifies the
+Landau damping of unducted oblique whistlers (the physical reason
+ducting matters for amplification).
 
 Sign conventions follow the traced whistler: growth (gamma > 0) exactly
 when A > A_c AND resonant electrons exist (exp(-zeta^2) > 0); isotropic or
@@ -208,8 +214,229 @@ def _gamma_cyclotron(f, bmag, ne_m3, hot, psi, mode, eta_he, eta_o):
     return np.where(propagating, gamma, 0.0)
 
 
+def _dp_dw(w, ne_m3, eta_he=0.0, eta_o=0.0):
+    """Closed-form d/dw of the cold Stix P = 1 - sum_s wps^2/w^2."""
+    n_cm3 = ne_m3 * 1.0e-6
+    fpe2_tot = FPE2_E + sum(
+        fpe2_i for fpe2_i, _ in dispersion.ion_species(eta_he, eta_o)
+    )
+    return 2.0 * _TWO_PI**2 * fpe2_tot * n_cm3 / w**3
+
+
+def cold_mode_oblique(f, bmag, ne_m3, psi, eta_he=0.0, eta_o=0.0):
+    """Physical whistler-branch cold root + polarization at oblique psi.
+
+    Solves the Stix quartic A mu^4 - B mu^2 + C = 0 built from S, D, P
+    (A = S sin^2 + P cos^2, B = RL sin^2 + PS(1 + cos^2), C = PRL) and
+    selects the PHYSICAL whistler branch: in the whistler band
+    (f_ci << f < f_ce < f_pe) exactly one root is propagating (at psi=0
+    the roots are R > 0 and L < 0), so the branch is "the positive
+    root"; when both propagate (outside the band) the larger index is
+    the whistler-like one. Deliberately NOT the traced quartic's
+    bug-compatible '+' root (ops/dispersion module docstring) -- kinetic
+    growth needs the physical branch, same policy as gamma_whistler's
+    QL index.
+
+    Polarization: the null vector of the full dispersion tensor
+    D_ij = mu^2 (kap_i kap_j - d_ij) + eps_ij (Stix frame: k in the
+    x-z plane, B0 = z), computed as the cross product of the two most
+    independent rows (any two rows of a rank-2 matrix span the
+    orthogonal complement of its null space).
+
+    Returns dict: mu2, propagating (bool), e ((..., 3) complex unit
+    polarization), lam_p (d/dw[e* . D . e] at fixed k, the weak-growth
+    denominator), S, D, P."""
+    f = np.asarray(f, np.float64)
+    bmag = np.asarray(bmag, np.float64)
+    ne_m3 = np.asarray(ne_m3, np.float64)
+    psi = np.asarray(psi, np.float64)
+    w = _TWO_PI * f
+
+    r_, l_, p_ = (np.asarray(x, np.float64)
+                  for x in dispersion.stix_rlp(ne_m3, bmag, f,
+                                               eta_he, eta_o))
+    s_, d_ = (r_ + l_) / 2.0, (r_ - l_) / 2.0
+    sn, cs = np.abs(np.sin(psi)), np.abs(np.cos(psi))
+    sn2, cs2 = sn * sn, cs * cs
+
+    qa = s_ * sn2 + p_ * cs2
+    qb = r_ * l_ * sn2 + p_ * s_ * (1.0 + cs2)
+    qc = p_ * r_ * l_
+    disc = qb * qb - 4.0 * qa * qc
+    ok = disc >= 0.0
+    sq = np.sqrt(np.where(ok, disc, 0.0))
+    # stable quadratic: the (B + sign(B) sq) form avoids cancellation
+    qden = qb + np.where(qb >= 0.0, sq, -sq)
+    qden = np.where(qden == 0.0, 1.0, qden)
+    root1 = qden / (2.0 * np.where(qa == 0.0, np.finfo(np.float64).tiny,
+                                   qa))
+    root2 = 2.0 * qc / qden
+    both = np.stack([root1, root2], axis=-1)
+    pos = both > 0.0
+    # whistler branch: the positive root; if both positive, the larger
+    mu2 = np.where(
+        pos.any(axis=-1),
+        np.where(pos.all(axis=-1), both.max(axis=-1),
+                 np.where(pos[..., 0], both[..., 0], both[..., 1])),
+        1.0,
+    )
+    propagating = ok & pos.any(axis=-1)
+    n2 = np.where(propagating, mu2, 1.0)
+
+    # dispersion-tensor rows (complex); null vector from row crosses
+    zero = np.zeros_like(n2)
+    row0 = np.stack([s_ - n2 * cs2, -1j * d_ + zero, n2 * cs * sn],
+                    axis=-1)
+    row1 = np.stack([1j * d_ + zero, s_ - n2 + zero * 1j, zero + 0j],
+                    axis=-1)
+    row2 = np.stack([n2 * cs * sn + 0j, zero + 0j, p_ - n2 * sn2 + 0j],
+                    axis=-1)
+    crosses = [np.cross(row0, row1), np.cross(row0, row2),
+               np.cross(row1, row2)]
+    norms = [np.sum(np.abs(c) ** 2, axis=-1) for c in crosses]
+    stackc = np.stack(crosses, axis=0)
+    stackn = np.stack(norms, axis=0)
+    pick = np.argmax(stackn, axis=0)
+    e = np.take_along_axis(stackc, pick[None, ..., None], axis=0)[0]
+    en = np.sqrt(np.sum(np.abs(e) ** 2, axis=-1, keepdims=True))
+    e = e / np.where(en == 0.0, 1.0, en)
+
+    # lam_p = d/dw [e* . D . e] at fixed k:
+    #   e* . d(eps)/dw . e + (-2/w) n^2 (|kap.e|^2 - 1)
+    dr = _dstix_dw(w, ne_m3, bmag, "whistler", eta_he, eta_o)
+    dl = _dstix_dw(w, ne_m3, bmag, "emic", eta_he, eta_o)
+    ds_, dd_ = (dr + dl) / 2.0, (dr - dl) / 2.0
+    dp_ = _dp_dw(w, ne_m3, eta_he, eta_o)
+    e0, e1, e2 = e[..., 0], e[..., 1], e[..., 2]
+    deps = (ds_ * (np.abs(e0) ** 2 + np.abs(e1) ** 2)
+            + dp_ * np.abs(e2) ** 2
+            + 2.0 * dd_ * np.imag(np.conj(e0) * e1))
+    kap_e = sn * e0 + cs * e2
+    lam_p = deps + (-2.0 / w) * n2 * (np.abs(kap_e) ** 2 - 1.0)
+    return {"mu2": n2, "propagating": propagating, "e": e,
+            "lam_p": lam_p, "S": s_, "D": d_, "P": p_}
+
+
+def gamma_oblique(f, bmag, ne_m3, hot: HotElectrons, psi,
+                  harmonics=(-1, 0, 1), n_quad=96,
+                  eta_he=0.0, eta_o=0.0, return_parts=False):
+    """Fully oblique kinetic growth/damping rate gamma [rad/s] of the
+    whistler branch: cyclotron (m = -+1) AND Landau (m = 0) resonances
+    with the hot bi-Maxwellian electron fraction, at the exact cold
+    oblique root and polarization.
+
+    This supersedes the quasi-longitudinal gamma_whistler at psi != 0:
+    it is the machinery that shows UNducted oblique whistlers Landau-
+    damping (the reason ducts matter). Every formula is derived and
+    validated in tools/derive_growth_oblique.py (linearized-Vlasov orbit
+    integral; five hard-asserted checks incl. a direct numeric
+    orbit-integral cross-check and reduction to the parallel
+    derive_growth.py kernel):
+
+      gamma = -(e* . A . e) / (d/dw [e* . D . e]),
+      e* A e = -(pi wph^2)/(w kpar) sum_m 2pi Int dvperp U_m |T_m . e|^2
+      U_m  = [(m Omega/w) fp + (kpar vperp/w) fz] at vpar = vres_m
+      T_m  = (vperp (J_{m-1}+J_{m+1})/2, -i vperp (J_{m-1}-J_{m+1})/2,
+              vres_m J_m),  argument a = kperp vperp / Omega,
+      vres_m = (w - m Omega)/kpar,   Omega = -wce (signed, electrons).
+
+    The vperp integral is Gauss-Legendre quadrature on vperp/aperp in
+    [0, 8] (n_quad nodes, Gaussian weight explicit) -- the integrand is
+    analytic there, so convergence is spectral. harmonics: which m to
+    include; (-1, 0, 1) covers the principal cyclotron + Landau +
+    anomalous terms (|m| <= 2-3 only matters at large kperp rho).
+    Evanescent points and psi at/beyond the resonance cone return 0.
+    Requires scipy (Bessel J); host-side analysis code like the rest of
+    this module."""
+    try:
+        from scipy.special import jv
+    except ImportError as exc:            # pragma: no cover
+        raise ImportError(
+            "gamma_oblique needs scipy.special.jv for the Bessel "
+            "harmonic weights; scipy is unavailable") from exc
+
+    f = np.asarray(f, np.float64)
+    bmag = np.asarray(bmag, np.float64)
+    ne_m3 = np.asarray(ne_m3, np.float64)
+    psi = np.asarray(psi, np.float64)
+    f, bmag, ne_m3, psi = np.broadcast_arrays(f, bmag, ne_m3, psi)
+
+    cold = cold_mode_oblique(f, bmag, ne_m3, psi, eta_he, eta_o)
+    w = _TWO_PI * f
+    mu = np.sqrt(cold["mu2"])
+    sn, cs = np.abs(np.sin(psi)), np.abs(np.cos(psi))
+    k = (w / C_LIGHT) * mu
+    kpar = np.maximum(k * cs, 1.0e-30)
+    kperp = k * sn
+
+    wce = _TWO_PI * FCE_E * bmag
+    omega_e = -wce                        # signed electron gyrofrequency
+    n_cm3 = ne_m3 * 1.0e-6
+    wp2_hot = hot.eta * _TWO_PI**2 * FPE2_E * n_cm3
+    apar = np.sqrt(2.0 * Q_E * hot.t_par_ev / M_E)
+    tr = hot.anisotropy + 1.0
+    aperp = apar * np.sqrt(tr)
+
+    # Gauss-Legendre on x = vperp/aperp in [0, 8] (e^{-64} tail cut),
+    # Gaussian weight explicit in the integrand: the integrand is
+    # analytic on the interval (half-range Gauss-Hermite stumbles on
+    # the |x| parity kink, and numpy's hermgauss overflows above ~190
+    # nodes), so this converges spectrally and scales to any n_quad.
+    xg, wg = np.polynomial.legendre.leggauss(int(n_quad))
+    x_hi = 8.0
+    xq = 0.5 * x_hi * (xg + 1.0)
+    wq = 0.5 * x_hi * wg * np.exp(-xq * xq)
+
+    vperp = aperp[..., None] * xq         # (..., nq)
+    a_arg = kperp[..., None] * vperp / omega_e[..., None]
+    e = cold["e"]
+    e0, e1, e2 = (e[..., 0, None], e[..., 1, None], e[..., 2, None])
+
+    c0 = 1.0 / (np.pi**1.5 * apar * aperp**2)   # f0 / e^{-x^2-zeta^2}
+    contraction = np.zeros(f.shape, np.float64)
+    parts = {}
+    for m in harmonics:
+        m = int(m)
+        vres = (w - m * omega_e) / kpar
+        gauss_par = np.exp(
+            -np.minimum((vres / apar) ** 2, 700.0))
+        # U_m with the e^{-x^2} Gaussian factored into the quadrature
+        # weight: U = -(2 vperp c0 gauss_par / w) *
+        #             [m Omega / aperp^2 + kpar vres / apar^2] e^{-x^2}
+        u_coef = -(2.0 * c0 * gauss_par / w) * (
+            m * omega_e / aperp**2 + kpar * vres / apar**2
+        )
+        jm = jv(m, a_arg)
+        jm1, jp1 = jv(m - 1, a_arg), jv(m + 1, a_arg)
+        # conj(T) . e with T_y = -i vperp Jm': conj(T_y) e_y = +i ... e_y
+        t_dot_e = (vperp * (jm1 + jp1) / 2.0 * e0
+                   + 1j * vperp * (jm1 - jp1) / 2.0 * e1
+                   + vres[..., None] * jm * e2)
+        g = u_coef[..., None] * vperp * np.abs(t_dot_e) ** 2
+        i_m = aperp * np.sum(wq * g, axis=-1)
+        part = -(np.pi * wp2_hot / (w * kpar)) * 2.0 * np.pi * i_m
+        contraction = contraction + part
+        if return_parts:
+            parts[m] = part
+
+    gamma = np.where(
+        cold["propagating"] & (cs > 1.0e-12),
+        -contraction / cold["lam_p"],
+        0.0,
+    )
+    if return_parts:
+        gamma_m = {
+            m: np.where(cold["propagating"] & (cs > 1.0e-12),
+                        -p / cold["lam_p"], 0.0)
+            for m, p in parts.items()
+        }
+        return gamma, {"gamma_m": gamma_m, "mu2": cold["mu2"],
+                       "e": e, "lam_p": cold["lam_p"]}
+    return gamma
+
+
 def path_gain(traj_u, f, env, hot: HotElectrons, frame="2d_lat",
-              psi_mode="local"):
+              psi_mode="local", kinetics="ql"):
     """Growth-rate profile + integrated amplitude gain along trajectories.
 
     traj_u: (S, B, n) saved snapshots (or (S, n) for one ray) in the
@@ -225,6 +452,11 @@ def path_gain(traj_u, f, env, hot: HotElectrons, frame="2d_lat",
     psi_mode: "local" evaluates gamma at the ray's instantaneous
     wave-normal angle (quasi-longitudinal kpar = k cos psi); "parallel"
     forces psi = 0 (the classic KP equatorial-amplification estimate).
+
+    kinetics: "ql" uses gamma_whistler (quasi-longitudinal, cyclotron
+    resonance only); "oblique" uses gamma_oblique (exact cold oblique
+    root + polarization, cyclotron AND Landau resonances) -- the right
+    setting for unducted rays whose psi grows along the path.
 
     Returns dict: gamma (S, B) [rad/s], gain_neper (S, B) cumulative,
     gain_db (S, B), t (S, B) group time [s]."""
@@ -268,10 +500,18 @@ def path_gain(traj_u, f, env, hot: HotElectrons, frame="2d_lat",
     elif psi_mode != "local":
         raise ValueError(f"unknown psi_mode {psi_mode!r}")
     f_b = np.broadcast_to(np.asarray(f, np.float64), bm.shape)
-    gam = gamma_whistler(
-        f_b, bm, ne, hot, psi=psi,
-        eta_he=float(env.eta_he), eta_o=float(env.eta_o),
-    )
+    if kinetics == "ql":
+        gam = gamma_whistler(
+            f_b, bm, ne, hot, psi=psi,
+            eta_he=float(env.eta_he), eta_o=float(env.eta_o),
+        )
+    elif kinetics == "oblique":
+        gam = gamma_oblique(
+            f_b, bm, ne, hot, psi,
+            eta_he=float(env.eta_he), eta_o=float(env.eta_o),
+        )
+    else:
+        raise ValueError(f"unknown kinetics {kinetics!r}")
 
     # group time: the T state is already in SECONDS (ops/rhs.py folds
     # RE_OVER_C into dT/dtau; ensemble_stats reports u[:, -1] directly

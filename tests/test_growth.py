@@ -403,3 +403,154 @@ def test_transit_gain_structure():
                          HotProtons(eta=1e-3, t_par_ev=30e3, anisotropy=1.0),
                          mode="emic")
     assert 0.0 < ge < 100.0
+
+
+# ---------------------------------------------------------------------------
+# gamma_oblique: genuinely oblique kinetics (tools/derive_growth_oblique.py)
+# ---------------------------------------------------------------------------
+
+def test_cold_mode_oblique_root_polarization_and_denominator():
+    """The oblique cold machinery behind gamma_oblique: (a) mu^2 at
+    psi=0 equals Stix R exactly; (b) the polarization is a true null
+    vector of the dispersion tensor (residual at machine precision);
+    (c) the closed-form weak-growth denominator lam_p matches a central
+    finite difference of e* . D(w) . e at fixed k."""
+    from raytrace_tpu.growth import cold_mode_oblique
+
+    r_, l_, p_ = dispersion.stix_rlp(NE, BMAG, 0.25 * FCE)
+    out0 = cold_mode_oblique(0.25 * FCE, BMAG, NE, 0.0)
+    assert float(out0["mu2"]) == pytest.approx(float(r_), rel=1e-12)
+
+    for psid in (0.0, 15.0, 35.0, 55.0):
+        psi = np.radians(psid)
+        f = 0.25 * FCE
+        out = cold_mode_oblique(f, BMAG, NE, psi)
+        assert bool(out["propagating"])
+        n2 = float(out["mu2"])
+        e = np.asarray(out["e"])
+
+        def disp_tensor(fv):
+            rr, ll, pp = dispersion.stix_rlp(NE, BMAG, fv)
+            ss, dd = (rr + ll) / 2, (rr - ll) / 2
+            sn, cs = abs(np.sin(psi)), abs(np.cos(psi))
+            # fixed k: n^2(f) = (c k / w)^2 scales as (f0/f)^2 n2
+            n2f = n2 * (f / fv) ** 2
+            return np.array([
+                [ss - n2f * cs**2, -1j * dd, n2f * cs * sn],
+                [1j * dd, ss - n2f, 0.0],
+                [n2f * cs * sn, 0.0, pp - n2f * sn**2],
+            ])
+
+        res = np.abs(disp_tensor(f) @ e).max()
+        scale = max(abs(float(out["S"])), n2)
+        assert res < 1e-9 * scale
+        # lam_p vs central FD in w at fixed k and fixed e
+        h = f * 1e-6
+        lam_fd = (np.conj(e) @ (disp_tensor(f + h) - disp_tensor(f - h))
+                  @ e).real / (2 * h * 2 * np.pi)
+        assert float(out["lam_p"]) == pytest.approx(lam_fd, rel=1e-5)
+
+
+def test_oblique_parallel_limit_matches_ql():
+    """psi -> 0: gamma_oblique must reduce to gamma_whistler (whose
+    kernel was itself pinned to the cold Stix R by derive_growth.py) --
+    the runtime counterpart of derivation check (4). Residual is the
+    half-range Gauss-Hermite quadrature error (~1e-5)."""
+    from raytrace_tpu.growth import gamma_oblique
+
+    for frac in (0.05, 0.15, 0.25, 0.4, 0.6):
+        gq = float(gamma_whistler(frac * FCE, BMAG, NE, HOT, psi=0.0))
+        go = float(gamma_oblique(frac * FCE, BMAG, NE, HOT, psi=1e-9))
+        assert go == pytest.approx(gq, rel=1e-4), frac
+
+
+def test_oblique_isotropic_damps_and_landau_turns_on():
+    """Maxwellian (A = 0): damping at EVERY angle (the dissipation
+    theorem the factored U T T-dagger form makes manifest), with the
+    m = 0 Landau part exactly zero at psi = 0 and growing with
+    obliquity as the wave acquires a parallel electric field."""
+    from raytrace_tpu.growth import gamma_oblique
+
+    hot0 = HotElectrons(eta=1.0e-3, t_par_ev=10.0e3, anisotropy=0.0)
+    f = 0.22 * FCE
+    landau = []
+    for psid in (0.0, 10.0, 25.0, 40.0):
+        g, parts = gamma_oblique(f, BMAG, NE, hot0, np.radians(psid),
+                                 return_parts=True)
+        assert float(g) < 0.0 or psid == 0.0 and float(g) < 0.0
+        gm = {m: float(v) for m, v in parts["gamma_m"].items()}
+        assert gm[-1] < 0.0
+        assert gm[0] <= 0.0
+        landau.append(gm[0])
+    assert landau[0] == 0.0
+    assert all(v < 0.0 for v in landau[1:])
+    # Landau damping strengthens as obliquity turns on (it can weaken
+    # again at large psi once the resonant velocity w/kpar moves off
+    # the thermal core -- also physics, not asserted here)
+    assert landau[2] < landau[1]
+
+
+def test_oblique_growth_below_ql_estimate():
+    """For an unstable anisotropic population at moderate obliquity the
+    full kinetic rate sits BELOW the quasi-longitudinal estimate: the
+    Landau term eats growth and the exact |T.e|^2 polarization weight
+    replaces the QL assumption. This is the quantitative statement of
+    why unducted (obliquely propagating) whistlers amplify less."""
+    from raytrace_tpu.growth import gamma_oblique
+
+    f = 0.22 * FCE
+    g0 = float(gamma_oblique(f, BMAG, NE, HOT, 1e-9))
+    assert g0 > 0.0
+    for psid in (15.0, 30.0, 45.0):
+        psi = np.radians(psid)
+        gq = float(gamma_whistler(f, BMAG, NE, HOT, psi=psi))
+        go = float(gamma_oblique(f, BMAG, NE, HOT, psi))
+        assert go < gq, psid
+    # in this dense (1000/cc) medium the QL estimate still predicts
+    # strong growth at 30 deg; the full kinetics has KILLED it (Landau
+    # m=0 plus the anomalous m=+1 resonance, which w/kpar makes
+    # reachable here)
+    g30 = float(gamma_oblique(f, BMAG, NE, HOT, np.radians(30.0)))
+    assert g30 < 0.1 * g0
+
+
+def test_oblique_quadrature_converged():
+    """n_quad=96 (default) vs 192: the Gauss-Hermite vperp quadrature is
+    converged well past the documented ~1e-4 tolerance."""
+    from raytrace_tpu.growth import gamma_oblique
+
+    f = 0.22 * FCE
+    for psid in (10.0, 40.0, 65.0):
+        a = float(gamma_oblique(f, BMAG, NE, HOT, np.radians(psid)))
+        b = float(gamma_oblique(f, BMAG, NE, HOT, np.radians(psid),
+                                n_quad=192))
+        assert a == pytest.approx(b, rel=1e-6), psid
+
+
+def test_path_gain_oblique_kinetics_on_traced_ray():
+    """path_gain(kinetics='oblique') on a short traced whistler ray:
+    finite everywhere, and for an isotropic hot population the gain is
+    monotonically non-increasing (pure damping along the whole path)."""
+    env = make_env_lat()
+    u0 = jnp.array([[(RE + 1e6) / RE, np.radians(58.0), 0.0, 0.0]])
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env), u0, jnp.array([4000.0]),
+        cfg=SolverConfig(rtol=1e-5, atol=1e-9, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=3e9 / RE), max_steps=8192,
+        save_every=16,
+    )
+    assert int(res.status[0]) == events.HIT_EARTH
+    traj = np.asarray(res.traj["u"])
+    hot0 = HotElectrons(eta=1.0e-3, t_par_ev=25.0e3, anisotropy=0.0)
+    out = path_gain(traj, 4000.0, env, hot0, kinetics="oblique")
+    assert np.all(np.isfinite(out["gamma"]))
+    assert np.all(np.isfinite(out["gain_db"]))
+    gain = out["gain_neper"][:, 0]
+    assert np.all(np.diff(gain) <= 1e-12)
+    assert gain[-1] < 0.0
+    # and the oblique gain differs from the QL one (the ray leaves
+    # psi = 0 immediately) while agreeing in sign for the isotropic
+    # (pure-damping) population
+    out_ql = path_gain(traj, 4000.0, env, hot0, kinetics="ql")
+    assert out_ql["gain_neper"][-1, 0] < 0.0
+    assert not np.allclose(out["gamma"], out_ql["gamma"])
