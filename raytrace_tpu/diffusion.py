@@ -1,0 +1,367 @@
+"""Quasi-linear pitch-angle / momentum diffusion coefficients.
+
+The radiation-belt application a whistler ray tracer exists to feed (the
+reference's own lineage: Bortnik's thesis, cited at RayTrace_3D.jl:5, is a
+ray-tracing study of wave-particle interactions): given the wave field the
+traced/amplified rays establish, how fast are trapped electrons scattered in
+pitch angle and momentum? This module computes the local quasi-linear
+diffusion coefficients D_aa, D_ap, D_pp for electrons resonating with
+FIELD-ALIGNED whistler-mode waves, and their bounce averages over the
+framework's own dipole + plasmasphere medium.
+
+Nothing here is quoted from a table. The full quasi-linear chain --
+R-mode field pair from Faraday's law, the pitch-angle equation of motion
+under the Lorentz force, the wave-frame kick-direction relation that turns
+D_aa into D_ap/D_pp, and the golden-rule resonance Jacobian -- is derived
+symbolically with hard assertions in tools/derive_diffusion.py. The result:
+
+    D_aa(E, a) = sum_j (pi/2) (e/(gamma m))^2 W(w_j)
+                 (1 - w_j cos a / (k_j v))^2 / |1 - vpar / vg_j|
+
+    D_ap = -q_j p D_aa,j   and   D_pp = q_j^2 p^2 D_aa,j   per root, with
+    q_j  = (w_j/(k_j v)) sin a / (1 - w_j cos a/(k_j v)),
+
+summed over the resonant roots w_j of  w - k(w) vpar = wc/gamma  (the n = +1
+electron cyclotron resonance; parallel circular waves carry no higher
+harmonics), with k(w) = (w/c) mu_R(w) from THIS framework's cold parallel
+R-mode index (ops/dispersion.stix_rlp) and vg from growth.py's closed-form
+parallel group velocity. W(w) is the wave magnetic power spectral density
+(T^2 per rad/s; int W dw = <Bw^2>), the standard truncated-Gaussian band.
+
+The implementation is validated end-to-end by a test-particle Monte Carlo
+(tests/test_diffusion.py, marked slow): electrons pushed by a Boris
+integrator through an explicit random-phase superposition of the SAME wave
+modes, <Delta a^2>/(2t) compared against D_aa -- the two paths share the
+field conventions but no quasi-linear algebra.
+
+Like growth.py and analysis.py this is host-side diagnostic code (numpy,
+float64): diffusion coefficients are evaluated on saved medium profiles /
+trajectories, not inside the traced hot loop.
+
+Cross-links into the rest of the framework:
+  - resonant roots cross-checked against analysis.cyclotron_resonance_energy_ev
+    (tests/test_diffusion.py);
+  - bounce averages use models.medium.b_mag / ne_total_m3 on the same
+    EnvParams the tracer integrates;
+  - examples/diffusion_map.py renders the (E, alpha_eq) bounce-averaged map
+    and the loss-cone lifetime profile.
+"""
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .constants import C_LIGHT, FCE_E, M_E, Q_E
+from .constants import RE as _RE_M
+from .growth import group_velocity_parallel
+from .ops import dispersion
+
+_TWO_PI = 2.0 * math.pi
+_MC2_EV = M_E * C_LIGHT * C_LIGHT / Q_E      # electron rest energy, eV
+
+
+@dataclass(frozen=True)
+class WaveSpectrum:
+    """Truncated-Gaussian wave magnetic power spectrum in frequency.
+
+    The standard band model for hiss/chorus/whistler diffusion studies:
+    |Bw|^2 distributed as exp(-((f - f_m)/df)^2) between hard cutoffs
+    [f_lc, f_uc], normalized so the band integral of the spectral density
+    equals bw_t^2 (bw_t = total RMS wave amplitude in Tesla).
+
+    directions: 'both' (waves running parallel AND antiparallel to B0,
+    power split evenly -- the symmetric default) or 'forward'/'backward'.
+    """
+
+    bw_t: float = 100.0e-12          # 100 pT
+    f_m: float = 600.0               # Hz
+    df: float = 300.0                # Hz
+    f_lc: float = 100.0              # Hz
+    f_uc: float = 2000.0             # Hz
+    directions: str = "both"
+
+    def _norm_w(self):
+        """int exp(-((w - w_m)/dw)^2) dw over the band (rad/s)."""
+        wm, dw = _TWO_PI * self.f_m, _TWO_PI * self.df
+        lo = (_TWO_PI * self.f_lc - wm) / dw
+        hi = (_TWO_PI * self.f_uc - wm) / dw
+        return dw * (math.sqrt(math.pi) / 2.0) * (math.erf(hi) - math.erf(lo))
+
+    def power_density(self, w):
+        """W(w): T^2 per (rad/s); zero outside [w_lc, w_uc]."""
+        w = np.asarray(w, np.float64)
+        wm, dw = _TWO_PI * self.f_m, _TWO_PI * self.df
+        inband = (w >= _TWO_PI * self.f_lc) & (w <= _TWO_PI * self.f_uc)
+        g = np.exp(-(((w - wm) / dw) ** 2))
+        return np.where(inband, self.bw_t**2 * g / self._norm_w(), 0.0)
+
+    def direction_signs(self):
+        if self.directions == "both":
+            return ((1.0, 0.5), (-1.0, 0.5))
+        if self.directions == "forward":
+            return ((1.0, 1.0),)
+        if self.directions == "backward":
+            return ((-1.0, 1.0),)
+        raise ValueError(f"unknown directions={self.directions!r}")
+
+
+def _mu_r(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0):
+    """Cold parallel R-mode index mu(f) and a propagation mask.
+
+    The PHYSICAL R branch (stix_rlp's R), not the traced quartic's
+    bug-compatible '+' root -- same policy as growth.gamma_whistler."""
+    r_ = np.asarray(
+        dispersion.stix_rlp(np.asarray(ne_m3, np.float64),
+                            np.asarray(bmag, np.float64),
+                            np.asarray(f, np.float64), eta_he, eta_o)[0],
+        np.float64)
+    ok = r_ > 0.0
+    return np.sqrt(np.where(ok, r_, 1.0)), ok
+
+
+def kinematics(e_kev):
+    """Relativistic (gamma, v [m/s], p [kg m/s]) for kinetic energy E."""
+    e_kev = np.asarray(e_kev, np.float64)
+    gamma = 1.0 + e_kev * 1.0e3 / _MC2_EV
+    beta = np.sqrt(1.0 - 1.0 / (gamma * gamma))
+    v = beta * C_LIGHT
+    return gamma, v, gamma * M_E * v
+
+
+def resonant_roots(e_kev, alpha_rad, bmag, ne_m3, spec: WaveSpectrum,
+                   eta_he=0.0, eta_o=0.0, n_grid=512, n_bisect=30,
+                   max_roots=3):
+    """Resonant frequencies of  g(w) = w - k(w) vpar - wc/gamma = 0.
+
+    k(w) = s (w/c) mu_R(w) with s the propagation direction sign; only the
+    spectrum band [w_lc, w_uc] is searched (resonances outside carry zero
+    weight). Inputs broadcast to a common shape S; returns a dict of
+    arrays shaped (n_dir, max_roots) + S:
+      w:      root angular frequency (NaN where absent)
+      k:      signed parallel wavenumber at the root
+      weight: direction power fraction
+      valid:  boolean mask
+    Roots are located by sign change on an n_grid lattice + bisection --
+    vectorized over the whole batch (no Python loop over particles)."""
+    e_kev, alpha_rad, bmag, ne_m3 = np.broadcast_arrays(
+        np.asarray(e_kev, np.float64), np.asarray(alpha_rad, np.float64),
+        np.asarray(bmag, np.float64), np.asarray(ne_m3, np.float64))
+    shape = e_kev.shape
+    gamma, v, _ = kinematics(e_kev)
+    vpar = v * np.cos(alpha_rad)
+    wc_rel = _TWO_PI * FCE_E * bmag / gamma          # wc/gamma, rad/s
+
+    wgrid = np.linspace(_TWO_PI * spec.f_lc, _TWO_PI * spec.f_uc, n_grid)
+
+    def g_of(w, sign):
+        # w broadcasts against the batch; evanescent points masked out by
+        # propagating=False -> excluded from sign-change detection.
+        mu, ok = _mu_r(w / _TWO_PI, bmag, ne_m3, eta_he, eta_o)
+        k = sign * (w / C_LIGHT) * mu
+        return w - k * vpar - wc_rel, ok
+
+    dirs = spec.direction_signs()
+    w_out = np.full((len(dirs), max_roots) + shape, np.nan)
+    k_out = np.zeros((len(dirs), max_roots) + shape)
+    wt_out = np.zeros((len(dirs), max_roots) + shape)
+    ok_out = np.zeros((len(dirs), max_roots) + shape, bool)
+
+    for di, (sign, wt) in enumerate(dirs):
+        wg = wgrid.reshape((n_grid,) + (1,) * len(shape))
+        gg, pk = g_of(wg, sign)                       # (n_grid,) + S
+        # sign changes on segments where BOTH endpoints propagate
+        seg = (gg[:-1] * gg[1:] < 0.0) & pk[:-1] & pk[1:]
+        rank = np.cumsum(seg, axis=0) - 1
+        for j in range(max_roots):
+            sel = seg & (rank == j)
+            has = sel.any(axis=0)
+            if not has.any():
+                break                     # no batch row has a j-th root
+            idx = np.argmax(sel, axis=0)
+            lo = wgrid[idx]
+            hi = wgrid[np.minimum(idx + 1, n_grid - 1)]
+            glo, _ = g_of(lo, sign)
+            for _ in range(n_bisect):
+                mid = 0.5 * (lo + hi)
+                gmid, _ = g_of(mid, sign)
+                left = (glo * gmid) <= 0.0
+                hi = np.where(left, mid, hi)
+                lo = np.where(left, lo, mid)
+                glo = np.where(left, glo, gmid)
+            wj = 0.5 * (lo + hi)
+            mu_j, ok_j = _mu_r(wj / _TWO_PI, bmag, ne_m3, eta_he, eta_o)
+            valid = has & ok_j
+            w_out[di, j] = np.where(valid, wj, np.nan)
+            k_out[di, j] = np.where(valid, sign * (wj / C_LIGHT) * mu_j, 0.0)
+            wt_out[di, j] = np.where(valid, wt, 0.0)
+            ok_out[di, j] = valid
+    return {"w": w_out, "k": k_out, "weight": wt_out, "valid": ok_out}
+
+
+def local_coefficients(e_kev, alpha_rad, bmag, ne_m3, spec: WaveSpectrum,
+                       eta_he=0.0, eta_o=0.0, jac_floor=1.0e-3, **root_kw):
+    """Local quasi-linear D_aa [rad^2/s], D_ap [rad kg m/s /s], D_pp
+    [(kg m/s)^2 /s] at one point of the medium. Arrays broadcast.
+
+    jac_floor: |1 - vpar/vg| is clamped below this value (the v_par = v_g
+    tangent resonance, where quasi-linear theory itself breaks down --
+    finite spectral width smears the divergence in reality)."""
+    e_kev, alpha_rad, bmag, ne_m3 = np.broadcast_arrays(
+        np.asarray(e_kev, np.float64), np.asarray(alpha_rad, np.float64),
+        np.asarray(bmag, np.float64), np.asarray(ne_m3, np.float64))
+    gamma, v, p = kinematics(e_kev)
+    vpar = v * np.cos(alpha_rad)
+    sina = np.sin(alpha_rad)
+    roots = resonant_roots(e_kev, alpha_rad, bmag, ne_m3, spec,
+                           eta_he, eta_o, **root_kw)
+    wj, kj, wt, ok = (roots[x] for x in ("w", "k", "weight", "valid"))
+    wj_safe = np.where(ok, wj, 1.0)
+    kj_safe = np.where(ok, kj, 1.0)
+
+    vg = group_velocity_parallel(wj_safe / _TWO_PI, bmag, ne_m3,
+                                 "whistler", eta_he, eta_o)
+    vg_signed = np.sign(kj_safe) * vg
+    jac = np.abs(1.0 - vpar / np.where(vg_signed == 0.0, np.inf, vg_signed))
+    jac = np.maximum(jac, jac_floor)
+
+    phase = wj_safe / (kj_safe * v)                  # w/(k v), signed
+    amp = 1.0 - phase * np.cos(alpha_rad)
+    pref = (math.pi / 2.0) * (Q_E / (gamma * M_E)) ** 2
+    daa_j = np.where(
+        ok, pref * wt * spec.power_density(wj_safe) * amp * amp / jac, 0.0)
+    qj = np.where(ok, phase * sina / np.where(amp == 0.0, np.inf, amp), 0.0)
+
+    daa = daa_j.sum(axis=(0, 1))
+    dap = (-qj * daa_j).sum(axis=(0, 1)) * p
+    dpp = (qj * qj * daa_j).sum(axis=(0, 1)) * p * p
+    return {"daa": daa, "dap": dap, "dpp": dpp,
+            "n_roots": ok.sum(axis=(0, 1))}
+
+
+def daa_local(e_kev, alpha_rad, bmag, ne_m3, spec: WaveSpectrum, **kw):
+    """Local pitch-angle diffusion coefficient D_aa [rad^2/s]."""
+    return local_coefficients(e_kev, alpha_rad, bmag, ne_m3, spec, **kw)["daa"]
+
+
+# ---------------------------------------------------------------------------
+# bounce averaging over the framework's dipole + plasmasphere medium
+# ---------------------------------------------------------------------------
+
+def mirror_latitude(alpha_eq_rad, n_bisect=60):
+    """Dipole mirror latitude: sin^2 a_eq sqrt(1+3 sin^2 l) = cos^6 l.
+
+    First adiabatic invariant along the centered dipole (models/dipole.py
+    field shape B/B_eq = sqrt(1+3 sin^2 l)/cos^6 l). Vectorized bisection."""
+    s2 = np.sin(np.asarray(alpha_eq_rad, np.float64)) ** 2
+    lo = np.zeros_like(s2)
+    hi = np.full_like(s2, 0.5 * math.pi - 1.0e-6)
+
+    def h(lam):
+        return s2 * np.sqrt(1.0 + 3.0 * np.sin(lam) ** 2) - np.cos(lam) ** 6
+
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo + hi)
+        hm = h(mid)
+        hi = np.where(hm >= 0.0, mid, hi)
+        lo = np.where(hm >= 0.0, lo, mid)
+    return 0.5 * (lo + hi)
+
+
+def bounce_averaged(e_kev, alpha_eq_rad, l_shell, env, spec: WaveSpectrum,
+                    lat_cut_deg=None, n_lat=96, **kw):
+    """Bounce-averaged <D_aa_eq>, <D_ap>, <D_pp> at equatorial pitch angle
+    alpha_eq on the dipole field line L, with B and ne from the
+    framework's own medium (models.medium.b_mag / ne_total_m3 on the same
+    EnvParams the tracer integrates).
+
+        <D> = (1/S) int_0^lam_m  D(lam) J(lam) dlam / (v |cos a(lam)|),
+        S   =       int_0^lam_m         J(lam) dlam / (v |cos a(lam)|),
+
+    J = L cos(lam) sqrt(1+3 sin^2 lam) (the dipole arc-length element) and
+    D_aa mapped to the EQUATORIAL pitch angle via (da_eq/da)^2 =
+    (tan a_eq / tan a)^2 (first-invariant chain rule). The mirror-point
+    1/cos a singularity is integrable (cos a ~ sqrt(lam_m - lam)); the
+    substitution lam = lam_m sin(x) makes the midpoint rule clean.
+
+    lat_cut_deg: confine the wave power to |lam| <= cut (the usual
+    equatorially-confined chorus/hiss model); None = whole line.
+    Returns dict daa [rad^2/s], dap, dpp, tau_b [s] (full bounce period).
+    Scalar or broadcastable arrays over (e_kev, alpha_eq)."""
+    from .models import medium
+
+    e_kev, alpha_eq = np.broadcast_arrays(
+        np.asarray(e_kev, np.float64), np.asarray(alpha_eq_rad, np.float64))
+    shape = e_kev.shape
+    gamma, v, p = kinematics(e_kev)
+    lam_m = mirror_latitude(alpha_eq)
+
+    # lam = lam_m sin(x): dlam = lam_m cos(x) dx kills the mirror-point
+    # inverse-sqrt; midpoint nodes in x
+    x = (np.arange(n_lat) + 0.5) * (0.5 * math.pi / n_lat)
+    lam = lam_m[..., None] * np.sin(x)               # S + (n_lat,)
+    dlam = lam_m[..., None] * np.cos(x) * (0.5 * math.pi / n_lat)
+
+    slat, clat = np.sin(lam), np.cos(lam)
+    b_ratio = np.sqrt(1.0 + 3.0 * slat * slat) / clat**6
+    s2a = np.clip(np.sin(alpha_eq[..., None]) ** 2 * b_ratio, 0.0, 1.0)
+    sina = np.sqrt(s2a)
+    cosa = np.sqrt(np.clip(1.0 - s2a, 0.0, None))
+
+    r = np.asarray(l_shell, np.float64) * clat * clat
+    bm = np.asarray(medium.b_mag(r, np.abs(lam), env), np.float64)
+    ne = np.asarray(medium.ne_total_m3(r, np.abs(lam), env), np.float64)
+
+    jarc = np.asarray(l_shell, np.float64) * clat \
+        * np.sqrt(1.0 + 3.0 * slat * slat) * _RE_M
+
+    alpha_loc = np.arcsin(np.clip(sina, 0.0, 1.0))
+    coeff = local_coefficients(
+        np.broadcast_to(e_kev[..., None], lam.shape), alpha_loc, bm, ne,
+        spec, eta_he=float(getattr(env, "eta_he", 0.0)),
+        eta_o=float(getattr(env, "eta_o", 0.0)), **kw)
+
+    if lat_cut_deg is not None:
+        inwave = (np.degrees(np.abs(lam)) <= float(lat_cut_deg))
+    else:
+        inwave = np.ones_like(lam, bool)
+
+    cosa_safe = np.maximum(cosa, 1.0e-12)
+    wline = jarc * dlam / cosa_safe                   # ds / |cos a|
+    s_norm = wline.sum(axis=-1)
+
+    tana_eq = np.tan(np.clip(alpha_eq, 1.0e-9, math.pi / 2 - 1.0e-9))
+    tana = sina / cosa_safe
+    chain = (tana_eq[..., None] / np.maximum(tana, 1.0e-12)) ** 2
+
+    out = {}
+    for key, mapfac in (("daa", chain), ("dap", np.sqrt(chain)),
+                        ("dpp", np.ones_like(chain))):
+        d = np.where(inwave, coeff[key], 0.0)
+        out[key] = (d * mapfac * wline).sum(axis=-1) / s_norm
+    # full bounce = 4 quarter-bounces; v constant along the line
+    out["tau_b"] = 4.0 * s_norm / v
+    out["mirror_lat_rad"] = lam_m
+    return out if shape else {k: np.asarray(v2).item() if np.ndim(v2) == 0
+                              else v2 for k, v2 in out.items()}
+
+
+def loss_cone_lifetime_s(e_kev, l_shell, env, spec: WaveSpectrum,
+                         r_loss=1.0, **kw):
+    """Weak-diffusion electron lifetime estimate tau ~ 1/<D_aa>(a_LC).
+
+    a_LC: dipole loss cone for mirror radius r_loss (in RE):
+    sin^2 a_LC = (r_loss/L)^3 / sqrt(4 - 3 r_loss/L). The classic
+    order-of-magnitude precipitation timescale (the quantity KP's
+    self-limiting argument balances against the bounce loss rate)."""
+    l_shell = np.asarray(l_shell, np.float64)
+    rl = r_loss / l_shell
+    s2 = rl**3 / np.sqrt(4.0 - 3.0 * rl)
+    a_lc = np.arcsin(np.sqrt(np.clip(s2, 0.0, 1.0)))
+    ba = bounce_averaged(e_kev, a_lc, l_shell, env, spec, **kw)
+    daa = np.asarray(ba["daa"], np.float64)
+    # inf = no resonant interaction anywhere on the bounce (band misses
+    # the resonance): the wave model sets no lifetime at this energy.
+    with np.errstate(divide="ignore"):
+        return np.where(daa > 0.0, 1.0 / np.where(daa > 0.0, daa, 1.0),
+                        np.inf)
