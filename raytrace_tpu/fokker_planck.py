@@ -1,0 +1,269 @@
+"""Bounce-averaged pitch-angle Fokker-Planck solver.
+
+The last link of the wave-particle chain this framework covers (rays ->
+growth -> quasi-linear D_aa -> DISTRIBUTION EVOLUTION): given the
+bounce-averaged pitch-angle diffusion coefficient <D_aa>(alpha_eq) that
+diffusion.bounce_averaged produces from the traced/assumed wave field, evolve
+the electron phase-space density f(alpha_eq, t) and extract the true
+precipitation lifetime (the lowest decay eigenvalue), replacing the
+order-of-magnitude weak-diffusion estimate tau ~ 1/D(a_LC).
+
+The equation (pure pitch-angle diffusion at fixed energy -- the standard
+radiation-belt reduction; D_ap/D_pp cross terms are separable at this order):
+
+    df/dt = (1/G) d/da [ G(a) <D_aa>(a) df/da ],
+    G(a)  = T(a) sin(a) cos(a),
+
+where T(a) is the (normalized) dipole quarter-bounce time integral and G da
+is the bounce-averaged phase-space volume element: dN proportional to
+f G da, so the flux form above is exactly particle-conserving under zero-flux
+boundaries. G is computed from the SAME dipole bounce integral machinery that
+diffusion.bounce_averaged validates against the classic 1% bounce-period fit
+(tests/test_diffusion.py) -- no fitted formula enters the operator.
+
+Discretization (TPU-shaped, all jittable):
+  - cell-centered finite volume on a uniform alpha grid; face fluxes
+    F = G D df/da make the operator self-adjoint in the G inner product
+    (asserted in tests) and conservative to roundoff;
+  - boundary conditions: absorbing (f = 0) at the loss-cone edge via a
+    half-cell ghost flux, zero flux at alpha = pi/2 (mirror symmetry);
+  - Crank-Nicolson time stepping -- unconditionally stable, second order --
+    with the tridiagonal solve done by a Thomas sweep under lax.scan
+    (sequential in the ~10^2 grid cells, vmappable over an energy/L batch,
+    which is where the parallelism actually is);
+  - the precipitation lifetime 1/lambda_1 by inverse power iteration reusing
+    the same Thomas sweep (see precipitation_lifetime for why time-marching
+    probes cannot work on realistic 8-decade D profiles); a host-side dense
+    eigensolve (numpy) cross-checks it in tests.
+
+Reference lineage: the reference repo stops at ray paths (its README's
+"model the distribution of whistler waves", README.md:2-6); Bortnik's thesis
+(cited at RayTrace_3D.jl:5) carries exactly this chain through to scattering
+rates and lifetimes. Nothing here translates reference code.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .diffusion import mirror_latitude
+
+
+def bounce_time_factor(alpha_eq_rad, n_lat=128):
+    """Normalized dipole quarter-bounce time T(a_eq) (host-side numpy).
+
+    T(a) = (1/L RE) int_0^lam_m ds / |cos a(lam)|, the same integrand
+    diffusion.bounce_averaged uses (validated there against the classic
+    dipole fit to ~1%); the mirror-point inverse-sqrt singularity is killed
+    by the lam = lam_m sin(x) substitution. T(90 deg) = 1 exactly (the
+    equatorial particle), T -> 1.3802-ish as a_eq -> 0."""
+    aeq = np.asarray(alpha_eq_rad, np.float64)
+    lam_m = mirror_latitude(aeq)
+    x = (np.arange(n_lat) + 0.5) * (0.5 * math.pi / n_lat)
+    lam = lam_m[..., None] * np.sin(x)
+    dlam = lam_m[..., None] * np.cos(x) * (0.5 * math.pi / n_lat)
+    slat, clat = np.sin(lam), np.cos(lam)
+    b_ratio = np.sqrt(1.0 + 3.0 * slat * slat) / clat**6
+    s2a = np.clip(np.sin(aeq[..., None]) ** 2 * b_ratio, 0.0, 1.0)
+    cosa = np.sqrt(np.clip(1.0 - s2a, 1.0e-24, None))
+    jarc = clat * np.sqrt(1.0 + 3.0 * slat * slat)
+    return (jarc * dlam / cosa).sum(axis=-1)
+
+
+def make_grid(alpha_lc_rad, n_cells=192):
+    """Uniform cell-centered grid on [alpha_lc, pi/2].
+
+    Returns (centers, faces, da). The loss-cone edge is the left WALL (f = 0
+    there, absorbing); pi/2 is the right wall (zero flux)."""
+    a_lo = float(alpha_lc_rad)
+    a_hi = 0.5 * math.pi
+    faces = np.linspace(a_lo, a_hi, n_cells + 1)
+    centers = 0.5 * (faces[:-1] + faces[1:])
+    return centers, faces, faces[1] - faces[0]
+
+
+def build_operator(d_faces, g_centers, g_faces, da,
+                   left_bc="absorbing", right_bc="reflecting"):
+    """Tridiagonal FV operator A with (A f)_i ~ (1/G_i) d/da [G D df/da].
+
+    d_faces, g_faces: D and G at the n+1 faces; g_centers: G at the n cell
+    centers. Returns (lower, diag, upper) each length n (lower[0] and
+    upper[-1] unused). Ghost-cell walls: absorbing = Dirichlet f_wall = 0 at
+    a half-cell distance (flux 2 G D f_1 / da); reflecting = zero flux.
+    Pure numpy/jnp agnostic (works under jit when fed jnp arrays)."""
+    n = g_centers.shape[-1]
+    xp = jnp if isinstance(d_faces, jnp.ndarray) else np
+    w = d_faces * g_faces / (da * da)          # face conductances / da^2
+    w_in = w[..., 1:-1]                        # interior faces, length n-1
+
+    lower = xp.concatenate([xp.zeros_like(w[..., :1]), w_in], axis=-1)
+    upper = xp.concatenate([w_in, xp.zeros_like(w[..., :1])], axis=-1)
+    diag = -(lower + upper)
+
+    # wall contributions onto the first/last diagonal entries
+    def wall(coeff, bc):
+        if bc == "absorbing":
+            return 2.0 * coeff          # Dirichlet at half-cell distance
+        if bc == "reflecting":
+            return xp.zeros_like(coeff)
+        raise ValueError(f"unknown bc {bc!r}")
+
+    d0 = diag[..., :1] - wall(w[..., :1], left_bc)
+    dn = diag[..., -1:] - wall(w[..., -1:], right_bc)
+    diag = xp.concatenate([d0, diag[..., 1:-1], dn], axis=-1)
+    inv_g = 1.0 / g_centers
+    return lower * inv_g, diag * inv_g, upper * inv_g
+
+
+def thomas_solve(lower, diag, upper, b):
+    """Tridiagonal solve by the Thomas sweep under lax.scan.
+
+    All args shaped (..., n); the scan runs over n (the short grid axis,
+    ~10^2), batch dims ride along vectorized -- the TPU-shaped layout for
+    'many small independent tridiagonal systems'. No pivoting: both uses
+    are safe without it -- the CN matrix I - dt/2 A is strictly diagonally
+    dominant, and -A is an irreducibly weakly dominant M-matrix (strict in
+    the absorbing-wall row), the textbook no-pivot LU cases."""
+    # forward elimination: c'_i = u_i / (d_i - l_i c'_{i-1}),
+    #                      b'_i = (b_i - l_i b'_{i-1}) / (d_i - l_i c'_{i-1})
+    def fwd(carry, x):
+        c_prev, b_prev = carry
+        li, di, ui, bi = x
+        denom = di - li * c_prev
+        ci = ui / denom
+        bi_ = (bi - li * b_prev) / denom
+        return (ci, bi_), (ci, bi_)
+
+    elems = (jnp.moveaxis(lower, -1, 0), jnp.moveaxis(diag, -1, 0),
+             jnp.moveaxis(upper, -1, 0), jnp.moveaxis(b, -1, 0))
+    z = jnp.zeros_like(elems[3][0])
+    _, (cs, bs) = jax.lax.scan(fwd, (z, z), elems)
+
+    # back substitution: x_i = b'_i - c'_i x_{i+1}
+    def back(x_next, x):
+        ci, bi = x
+        xi = bi - ci * x_next
+        return xi, xi
+
+    _, xs = jax.lax.scan(back, jnp.zeros_like(z), (cs, bs), reverse=True)
+    return jnp.moveaxis(xs, 0, -1)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "save_every"))
+def evolve_cn(f0, tri, dt, n_steps, save_every=0):
+    """Crank-Nicolson evolution of df/dt = A f for n_steps of dt.
+
+    tri = (lower, diag, upper) of A, batch-broadcastable against f0
+    (..., n). save_every > 0 additionally returns snapshots every that many
+    steps, stacked on a leading axis. Each step solves
+    (I - dt/2 A) f+ = (I + dt/2 A) f with one Thomas sweep."""
+    lower, diag, upper = tri
+    half = 0.5 * dt
+    dl, dd, du = -half * lower, 1.0 - half * diag, -half * upper
+
+    def rhs_apply(f):
+        fm = jnp.concatenate([jnp.zeros_like(f[..., :1]), f[..., :-1]], -1)
+        fp = jnp.concatenate([f[..., 1:], jnp.zeros_like(f[..., :1])], -1)
+        return f + half * (lower * fm + diag * f + upper * fp)
+
+    def step(f, _):
+        f1 = thomas_solve(dl, dd, du, rhs_apply(f))
+        return f1, None
+
+    if save_every:
+        n_out = n_steps // save_every
+
+        def chunk(f, _):
+            f1, _ = jax.lax.scan(step, f, None, length=save_every)
+            return f1, f1
+
+        f_end, snaps = jax.lax.scan(chunk, f0, None, length=n_out)
+        return f_end, snaps
+    f_end, _ = jax.lax.scan(step, f0, None, length=n_steps)
+    return f_end
+
+
+def content(f, g_centers, da):
+    """Particle content N = int f G da (the conserved number)."""
+    return (f * g_centers * da).sum(axis=-1)
+
+
+def apply_tri(lower, diag, upper, f):
+    """y = T f for a tridiagonal T given as (lower, diag, upper)."""
+    fm = jnp.concatenate([jnp.zeros_like(f[..., :1]), f[..., :-1]], -1)
+    fp_ = jnp.concatenate([f[..., 1:], jnp.zeros_like(f[..., :1])], -1)
+    return lower * fm + diag * f + upper * fp_
+
+
+def precipitation_lifetime(daa_centers, alpha_lc_rad, n_cells=192,
+                           n_iter=64):
+    """Precipitation lifetime tau = 1/lambda_1 of the lowest decay mode.
+
+    daa_centers: <D_aa>(alpha) [rad^2/s] on the make_grid cell centers
+    (batchable: (..., n_cells); batch rows are vmapped). The operator is
+    assembled with absorbing loss cone / reflecting 90 deg walls.
+
+    lambda_1 comes from INVERSE POWER ITERATION, x <- (-A)^{-1} x with the
+    same Thomas sweep the CN stepper uses, closed by a G-weighted Rayleigh
+    quotient (-A is self-adjoint positive in the G inner product, so the
+    quotient is variational and second-order accurate in the mode error).
+    Time-marching probes were measured unusable here: realistic D(alpha)
+    spans ~8 decades, putting lambda_1 3+ decades below any a-priori window
+    while Crank-Nicolson's non-L-stable tail pollutes huge-step probes;
+    inverse iteration needs no window at all and converges at rate
+    (lambda_1/lambda_2)^k (typically < 1e-3 per sweep on these profiles).
+    Returns tau [s] (batch-shaped)."""
+    daa_centers = jnp.asarray(daa_centers)
+    centers, faces, da = make_grid(alpha_lc_rad, n_cells)
+    g_c = bounce_time_factor(centers) * np.sin(centers) * np.cos(centers)
+    g_f = bounce_time_factor(faces) * np.sin(faces) * np.cos(faces)
+    g_c = jnp.asarray(g_c)
+    g_f = jnp.asarray(np.maximum(g_f, 1.0e-12))  # G(pi/2) = 0: dead wall
+    f0 = jnp.sin(jnp.asarray(centers) - centers[0] + 0.5 * da)
+    w = g_c * da                                  # G inner-product weight
+
+    def tau_one(daa):
+        d_faces = jnp.concatenate([
+            daa[:1], 0.5 * (daa[1:] + daa[:-1]), daa[-1:]])
+        lo, dg, up = build_operator(d_faces, g_c, g_f, da)
+        nlo, ndg, nup = -lo, -dg, -up             # -A: positive definite
+
+        def body(x, _):
+            y = thomas_solve(nlo, ndg, nup, x)
+            y = y / jnp.sqrt((y * y * w).sum())
+            return y, None
+
+        x, _ = jax.lax.scan(body, f0, None, length=n_iter)
+        lam = (x * apply_tri(nlo, ndg, nup, x) * w).sum() \
+            / ((x * x * w).sum())
+        return 1.0 / lam
+
+    if daa_centers.ndim == 1:
+        return jax.jit(tau_one)(daa_centers)
+    flat = daa_centers.reshape((-1, n_cells))
+    taus = jax.jit(jax.vmap(tau_one))(flat)
+    return taus.reshape(daa_centers.shape[:-1])
+
+
+def eigen_lifetime(daa_centers, alpha_lc_rad, n_cells=192):
+    """Host-side dense eigensolve cross-check: tau = 1/min|Re eig(-A)|.
+
+    Same operator assembly as decay_lifetime, but the lowest eigenvalue is
+    taken exactly from numpy.linalg.eig on the (small, ~n_cells) dense
+    matrix. Used by tests to pin the scan/CN path; also handy offline."""
+    daa = np.asarray(daa_centers, np.float64)
+    centers, faces, da = make_grid(alpha_lc_rad, n_cells)
+    g_c = bounce_time_factor(centers) * np.sin(centers) * np.cos(centers)
+    g_f = bounce_time_factor(faces) * np.sin(faces) * np.cos(faces)
+    g_f = np.maximum(g_f, 1.0e-12)
+    d_faces = np.concatenate([
+        daa[..., :1], 0.5 * (daa[..., 1:] + daa[..., :-1]), daa[..., -1:]],
+        axis=-1)
+    lower, diag, upper = build_operator(d_faces, g_c, g_f, da)
+    a = np.diag(diag) + np.diag(lower[1:], -1) + np.diag(upper[:-1], 1)
+    ev = np.linalg.eigvals(-a)
+    ev = ev[np.abs(ev.imag) < 1.0e-9 * np.abs(ev.real).max()].real
+    return 1.0 / ev[ev > 0.0].min()
