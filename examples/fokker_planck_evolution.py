@@ -88,15 +88,20 @@ def main():
                                jnp.asarray(daa[-1:])])
     tri = fp.build_operator(d_faces, jnp.asarray(g_c), jnp.asarray(g_f), da)
     f0 = jnp.sin(jnp.asarray(centers - centers[0]))
-    n_snap, per = 6, 300
-    dt = 0.5 * tau / (n_snap * per)
-    _, snaps = fp.evolve_cn(f0, tri, dt, n_snap * per, save_every=per)
+    # log-spaced snapshot times: the in-band pitch angles drain on the
+    # fast internal-mixing scale (~1e-3 tau), the near-90 deg reservoir
+    # (where the band has no resonance) holds out to t ~ tau
+    t_snaps = tau * np.array([1e-4, 1e-3, 1e-2, 0.1, 0.5])
     ax.plot(np.degrees(centers), np.asarray(f0), color="k", lw=1.0,
             label="t = 0")
-    for i in range(n_snap):
-        ax.plot(np.degrees(centers), np.asarray(snaps[i]),
-                color=plt.cm.viridis(i / (n_snap - 1)),
-                label=f"t = {dt*per*(i+1)/tau:.2f} " + r"$\tau$")
+    f_cur, t_cur, snaps = f0, 0.0, []
+    for i, t_target in enumerate(t_snaps):
+        f_cur = fp.evolve_cn(f_cur, tri, (t_target - t_cur) / 300, 300)
+        t_cur = t_target
+        snaps.append(f_cur)
+        ax.plot(np.degrees(centers), np.asarray(f_cur),
+                color=plt.cm.viridis(i / (len(t_snaps) - 1)),
+                label=f"t = {t_target/tau:g} " + r"$\tau$")
     # lowest mode by inverse iteration (same machinery as the lifetime)
     x = f0
     for _ in range(8):
