@@ -106,6 +106,41 @@ class WaveSpectrum:
         raise ValueError(f"unknown directions={self.directions!r}")
 
 
+def spectrum_from_rays(f_hz, bw_t, df_floor_frac=0.05, band_pad=1.0,
+                       directions="both"):
+    """Moment-matched WaveSpectrum from per-ray frequencies and amplitudes.
+
+    The bridge from the tracer to the diffusion tier: given the frequencies
+    f_hz and (gain-weighted) wave amplitudes bw_t [T] of an ensemble of
+    rays arriving at one region (e.g. the equator of one L-shell), build
+    the equivalent truncated-Gaussian band:
+
+      bw_total^2 = sum bw_i^2          (incoherent superposition -- random
+                                        lightning source phases)
+      f_m  = power-weighted mean f     (first spectral moment)
+      df   = power-weighted std        (second moment; floored at
+                                        df_floor_frac * f_m so a
+                                        near-monochromatic set keeps a
+                                        finite band)
+      band = [min f - band_pad*df, max f + band_pad*df], floored at df/10.
+
+    Rays with zero amplitude are ignored. Raises if no power at all."""
+    f_hz = np.atleast_1d(np.asarray(f_hz, np.float64))
+    bw_t = np.broadcast_to(np.asarray(bw_t, np.float64), f_hz.shape)
+    p = bw_t * bw_t
+    p_tot = p.sum()
+    if not p_tot > 0.0:
+        raise ValueError("spectrum_from_rays: no wave power in the ray set")
+    f_m = float((p * f_hz).sum() / p_tot)
+    var = float((p * (f_hz - f_m) ** 2).sum() / p_tot)
+    df = max(math.sqrt(var), df_floor_frac * f_m)
+    sel = p > 0.0
+    f_lc = max(float(f_hz[sel].min()) - band_pad * df, 0.1 * df)
+    f_uc = float(f_hz[sel].max()) + band_pad * df
+    return WaveSpectrum(bw_t=float(math.sqrt(p_tot)), f_m=f_m, df=df,
+                        f_lc=f_lc, f_uc=f_uc, directions=directions)
+
+
 def _mu_r(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0):
     """Cold parallel R-mode index mu(f) and a propagation mask.
 

@@ -284,3 +284,36 @@ def test_testparticle_monte_carlo_matches_daa():
                            t_end=0.02, dt=0.25 / wce, seed=11)
     d_mc = float(np.mean((alpha - alpha0) ** 2) / (2.0 * t))
     assert 0.6 < d_mc / d_ql < 1.6, (d_mc, d_ql)
+
+
+def test_spectrum_from_rays_moments():
+    """Moment matching: total power is the incoherent sum, f_m/df are the
+    power-weighted mean/std, the band covers every contributing ray, and
+    zero-amplitude rays are ignored."""
+    f = np.array([800.0, 1000.0, 1500.0, 4000.0])
+    bw = np.array([50e-12, 100e-12, 50e-12, 0.0])
+    spec = diffusion.spectrum_from_rays(f, bw)
+    np.testing.assert_allclose(spec.bw_t**2, (bw**2).sum(), rtol=1e-12)
+    p = bw**2
+    fm = (p * f).sum() / p.sum()
+    df = math.sqrt((p * (f - fm) ** 2).sum() / p.sum())
+    np.testing.assert_allclose(spec.f_m, fm, rtol=1e-12)
+    np.testing.assert_allclose(spec.df, df, rtol=1e-12)
+    # the dead 4 kHz ray must not drag the band up
+    assert spec.f_uc < 4000.0
+    assert spec.f_lc < 800.0 < 1500.0 < spec.f_uc
+    # the banded integral still carries the matched total power
+    w = np.linspace(2 * math.pi * spec.f_lc, 2 * math.pi * spec.f_uc, 40001)
+    total = np.trapezoid(spec.power_density(w), w)
+    np.testing.assert_allclose(total, spec.bw_t**2, rtol=1e-6)
+
+
+def test_spectrum_from_rays_monochromatic_floor():
+    """A single-frequency ray set keeps a finite bandwidth (the floor)
+    and pins f_m to that frequency; empty power raises."""
+    spec = diffusion.spectrum_from_rays([1000.0, 1000.0], [1e-12, 2e-12])
+    assert spec.f_m == 1000.0
+    assert spec.df == 0.05 * 1000.0
+    assert spec.f_lc < 1000.0 < spec.f_uc
+    with pytest.raises(ValueError):
+        diffusion.spectrum_from_rays([1000.0], [0.0])

@@ -34,6 +34,9 @@ def test_dryrun_multichip_in_process():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # 46 s: the driver itself exercises this re-exec path
+# every round via MULTICHIP_r*.json; the in-process variant above keeps
+# fast-gate coverage of dryrun_multichip
 def test_dryrun_multichip_subprocess_self_provision():
     # more devices than this interpreter has: forces the re-exec path the
     # driver hits on the single-chip host

@@ -5,6 +5,7 @@ the kernel BODY (same _step_one as the XLA path, VMEM-resident carry,
 int32-broadcast masks) in interpreter mode, which runs everywhere."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,6 +17,9 @@ from raytrace_tpu.ops import rhs as rhs_mod
 from raytrace_tpu.ops import pallas_stepper
 
 
+@pytest.mark.slow  # 30 s: the Pallas kernel is the documented
+# correctness/fallback tier (docs/DESIGN.md); parity stays in the full
+# suite and in the on-chip bench (pallas_r03.json)
 def test_pallas_chunk_matches_xla_steps():
     env = make_env_lat()
     env = type(env)(
