@@ -400,3 +400,131 @@ def loss_cone_lifetime_s(e_kev, l_shell, env, spec: WaveSpectrum,
     with np.errstate(divide="ignore"):
         return np.where(daa > 0.0, 1.0 / np.where(daa > 0.0, daa, 1.0),
                         np.inf)
+
+
+# ---------------------------------------------------------------------------
+# jittable (TPU) mirror of the local-coefficient chain
+# ---------------------------------------------------------------------------
+# The numpy implementation above is the readable float64 oracle; the
+# functions below are the SAME algorithm written for jax.numpy so (E, alpha)
+# maps compile onto the chip (vmapped/batched natively, fori_loop bisection).
+# Parity is pinned in tests/test_diffusion.py::test_jax_local_matches_numpy.
+# dispersion.stix_rlp and growth._dstix_dw are pure arithmetic and are
+# shared verbatim by both paths.
+
+def _mu_r_jnp(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0):
+    import jax.numpy as jnp
+
+    r_ = dispersion.stix_rlp(ne_m3, bmag, f, eta_he, eta_o)[0]
+    ok = r_ > 0.0
+    return jnp.sqrt(jnp.where(ok, r_, 1.0)), ok
+
+
+def _vg_parallel_jnp(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0):
+    import jax.numpy as jnp
+
+    from .growth import _dstix_dw
+
+    w = _TWO_PI * f
+    mu2 = dispersion.stix_rlp(ne_m3, bmag, f, eta_he, eta_o)[0]
+    ok = mu2 > 0.0
+    mu = jnp.sqrt(jnp.where(ok, mu2, 1.0))
+    dmudw = _dstix_dw(w, ne_m3, bmag, "whistler", eta_he, eta_o) / (2.0 * mu)
+    return jnp.where(ok, C_LIGHT / (mu + w * dmudw), 0.0)
+
+
+def _power_density_jnp(spec: WaveSpectrum, w):
+    import jax.numpy as jnp
+
+    wm, dw = _TWO_PI * spec.f_m, _TWO_PI * spec.df
+    inband = (w >= _TWO_PI * spec.f_lc) & (w <= _TWO_PI * spec.f_uc)
+    g = jnp.exp(-(((w - wm) / dw) ** 2))
+    return jnp.where(inband, spec.bw_t**2 * g / spec._norm_w(), 0.0)
+
+
+def local_coefficients_jax(e_kev, alpha_rad, bmag, ne_m3,
+                           spec: WaveSpectrum, eta_he=0.0, eta_o=0.0,
+                           jac_floor=1.0e-3, n_grid=512, n_bisect=30,
+                           max_roots=3):
+    """Jittable local D_aa/D_ap/D_pp -- same algorithm as
+    local_coefficients, written in jax.numpy. All array args broadcast to
+    a common batch shape S; spec / eta / grid sizes are static. Wrap in
+    jax.jit at the call site (e.g. jit with static spec via closure).
+    Returns dict daa, dap, dpp, n_roots shaped S."""
+    import jax
+    import jax.numpy as jnp
+
+    e_kev, alpha_rad, bmag, ne_m3 = jnp.broadcast_arrays(
+        jnp.asarray(e_kev), jnp.asarray(alpha_rad), jnp.asarray(bmag),
+        jnp.asarray(ne_m3))
+    shape = e_kev.shape
+    gamma = 1.0 + e_kev * 1.0e3 / _MC2_EV
+    v = jnp.sqrt(1.0 - 1.0 / (gamma * gamma)) * C_LIGHT
+    p = gamma * M_E * v
+    vpar = v * jnp.cos(alpha_rad)
+    sina = jnp.sin(alpha_rad)
+    wc_rel = _TWO_PI * FCE_E * bmag / gamma
+
+    wgrid = jnp.linspace(_TWO_PI * spec.f_lc, _TWO_PI * spec.f_uc, n_grid)
+
+    def g_of(w, sign):
+        mu, ok = _mu_r_jnp(w / _TWO_PI, bmag, ne_m3, eta_he, eta_o)
+        k = sign * (w / C_LIGHT) * mu
+        return w - k * vpar - wc_rel, ok
+
+    daa = jnp.zeros(shape)
+    dap_sum = jnp.zeros(shape)
+    dpp_sum = jnp.zeros(shape)
+    n_roots = jnp.zeros(shape, jnp.int32)
+    pref = (math.pi / 2.0) * (Q_E / (gamma * M_E)) ** 2
+
+    for sign, wt in spec.direction_signs():          # static (<= 2)
+        wg = wgrid.reshape((n_grid,) + (1,) * len(shape))
+        gg, pk = g_of(wg, sign)
+        seg = (gg[:-1] * gg[1:] < 0.0) & pk[:-1] & pk[1:]
+        rank = jnp.cumsum(seg, axis=0) - 1
+        for j in range(max_roots):                   # static
+            sel = seg & (rank == j)
+            has = sel.any(axis=0)
+            idx = jnp.argmax(sel, axis=0)
+            lo = wgrid[idx]
+            hi = wgrid[jnp.minimum(idx + 1, n_grid - 1)]
+            glo, _ = g_of(lo, sign)
+
+            def bisect(_, carry):
+                lo, hi, glo = carry
+                mid = 0.5 * (lo + hi)
+                gmid, _ = g_of(mid, sign)
+                left = (glo * gmid) <= 0.0
+                return (jnp.where(left, lo, mid),
+                        jnp.where(left, mid, hi),
+                        jnp.where(left, glo, gmid))
+
+            lo, hi, glo = jax.lax.fori_loop(0, n_bisect, bisect,
+                                            (lo, hi, glo))
+            wj = 0.5 * (lo + hi)
+            mu_j, ok_j = _mu_r_jnp(wj / _TWO_PI, bmag, ne_m3, eta_he, eta_o)
+            valid = has & ok_j
+            wj_s = jnp.where(valid, wj, 1.0)
+            kj_s = jnp.where(valid, sign * (wj_s / C_LIGHT) * mu_j, 1.0)
+            vg = _vg_parallel_jnp(wj_s / _TWO_PI, bmag, ne_m3, eta_he,
+                                  eta_o)
+            vg_signed = jnp.sign(kj_s) * vg
+            jac = jnp.abs(1.0 - vpar / jnp.where(vg_signed == 0.0, jnp.inf,
+                                                 vg_signed))
+            jac = jnp.maximum(jac, jac_floor)
+            phase = wj_s / (kj_s * v)
+            amp = 1.0 - phase * jnp.cos(alpha_rad)
+            daa_j = jnp.where(
+                valid,
+                pref * wt * _power_density_jnp(spec, wj_s) * amp * amp / jac,
+                0.0)
+            qj = jnp.where(valid,
+                           phase * sina / jnp.where(amp == 0.0, jnp.inf,
+                                                    amp), 0.0)
+            daa = daa + daa_j
+            dap_sum = dap_sum + (-qj * daa_j)
+            dpp_sum = dpp_sum + qj * qj * daa_j
+            n_roots = n_roots + valid.astype(jnp.int32)
+    return {"daa": daa, "dap": dap_sum * p, "dpp": dpp_sum * p * p,
+            "n_roots": n_roots}

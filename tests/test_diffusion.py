@@ -317,3 +317,37 @@ def test_spectrum_from_rays_monochromatic_floor():
     assert spec.f_lc < 1000.0 < spec.f_uc
     with pytest.raises(ValueError):
         diffusion.spectrum_from_rays([1000.0], [0.0])
+
+
+def test_jax_local_matches_numpy():
+    """The jittable chip path (local_coefficients_jax) is the SAME algorithm
+    as the numpy float64 oracle -- same root lattice, same bisection count,
+    same Jacobian floor -- so on the CPU-x64 test backend the two must agree
+    to rounding, root counts exactly."""
+    import jax
+
+    e = np.array([[20.0], [40.0], [80.0], [300.0]])        # keV
+    a = np.radians(np.linspace(12.0, 78.0, 6))[None, :]
+    ref = diffusion.local_coefficients(e, a, B0, NE, SPEC)
+    fn = jax.jit(lambda ek, al: diffusion.local_coefficients_jax(
+        ek, al, B0, NE, SPEC))
+    got = {k: np.asarray(v) for k, v in fn(e, a).items()}
+    assert (got["n_roots"] == ref["n_roots"]).all()
+    assert ref["n_roots"].sum() >= 8        # the case actually resonates
+    for key in ("daa", "dap", "dpp"):
+        np.testing.assert_allclose(got[key], ref[key], rtol=1e-9,
+                                   atol=1e-30, err_msg=key)
+
+
+def test_jax_local_directional_spectrum():
+    """Parity holds for a one-sided spectrum too (exercises the static
+    direction loop at length 1)."""
+    spec = WaveSpectrum(bw_t=SPEC.bw_t, f_m=SPEC.f_m, df=SPEC.df,
+                        f_lc=SPEC.f_lc, f_uc=SPEC.f_uc,
+                        directions="forward")
+    e, a = 55.0, np.radians([30.0, 60.0])
+    ref = diffusion.local_coefficients(e, a, B0, NE, spec)
+    got = {k: np.asarray(v) for k, v in
+           diffusion.local_coefficients_jax(e, a, B0, NE, spec).items()}
+    assert (got["n_roots"] == ref["n_roots"]).all()
+    np.testing.assert_allclose(got["daa"], ref["daa"], rtol=1e-9)
