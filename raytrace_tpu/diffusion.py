@@ -528,3 +528,89 @@ def local_coefficients_jax(e_kev, alpha_rad, bmag, ne_m3,
             n_roots = n_roots + valid.astype(jnp.int32)
     return {"daa": daa, "dap": dap_sum * p, "dpp": dpp_sum * p * p,
             "n_roots": n_roots}
+
+
+def mirror_latitude_jnp(alpha_eq_rad, n_bisect=60):
+    """Jittable mirror of mirror_latitude (same bisection, fori_loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    s2 = jnp.sin(jnp.asarray(alpha_eq_rad)) ** 2
+    lo = jnp.zeros_like(s2)
+    hi = jnp.full_like(s2, 0.5 * math.pi - 1.0e-6)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        up = (s2 * jnp.sqrt(1.0 + 3.0 * jnp.sin(mid) ** 2)
+              - jnp.cos(mid) ** 6) >= 0.0
+        return jnp.where(up, lo, mid), jnp.where(up, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, n_bisect, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+def bounce_averaged_jax(e_kev, alpha_eq_rad, l_shell, env, spec: WaveSpectrum,
+                        lat_cut_deg=None, n_lat=96, **kw):
+    """Jittable bounce average -- the same quadrature as bounce_averaged
+    (lam = lam_m sin x midpoint rule, first-invariant chain map), with the
+    medium from the SAME jnp functions the tracer integrates
+    (models.medium.b_mag / ne_total_m3) and the local coefficients from
+    local_coefficients_jax. This is the chip path for (E, alpha_eq)
+    diffusion maps: wrap in jax.jit with spec / n_lat / root grid static
+    (e.g. functools.partial + closure), batch shapes broadcast.
+    Parity vs the numpy oracle is pinned in tests/test_diffusion.py."""
+    import jax.numpy as jnp
+
+    from .models import medium
+
+    e_kev, alpha_eq = jnp.broadcast_arrays(jnp.asarray(e_kev),
+                                           jnp.asarray(alpha_eq_rad))
+    gamma = 1.0 + e_kev * 1.0e3 / _MC2_EV
+    v = jnp.sqrt(1.0 - 1.0 / (gamma * gamma)) * C_LIGHT
+    lam_m = mirror_latitude_jnp(alpha_eq)
+
+    x = (jnp.arange(n_lat) + 0.5) * (0.5 * math.pi / n_lat)
+    lam = lam_m[..., None] * jnp.sin(x)               # S + (n_lat,)
+    dlam = lam_m[..., None] * jnp.cos(x) * (0.5 * math.pi / n_lat)
+
+    slat, clat = jnp.sin(lam), jnp.cos(lam)
+    b_ratio = jnp.sqrt(1.0 + 3.0 * slat * slat) / clat**6
+    s2a = jnp.clip(jnp.sin(alpha_eq[..., None]) ** 2 * b_ratio, 0.0, 1.0)
+    sina = jnp.sqrt(s2a)
+    cosa = jnp.sqrt(jnp.clip(1.0 - s2a, 0.0, None))
+
+    r = jnp.asarray(l_shell) * clat * clat
+    bm = medium.b_mag(r, jnp.abs(lam), env)
+    ne = medium.ne_total_m3(r, jnp.abs(lam), env)
+
+    jarc = jnp.asarray(l_shell) * clat \
+        * jnp.sqrt(1.0 + 3.0 * slat * slat) * _RE_M
+
+    alpha_loc = jnp.arcsin(jnp.clip(sina, 0.0, 1.0))
+    coeff = local_coefficients_jax(
+        jnp.broadcast_to(e_kev[..., None], lam.shape), alpha_loc, bm, ne,
+        spec, eta_he=float(getattr(env, "eta_he", 0.0)),
+        eta_o=float(getattr(env, "eta_o", 0.0)), **kw)
+
+    if lat_cut_deg is not None:
+        inwave = jnp.degrees(jnp.abs(lam)) <= float(lat_cut_deg)
+    else:
+        inwave = jnp.ones(lam.shape, bool)
+
+    cosa_safe = jnp.maximum(cosa, 1.0e-12)
+    wline = jarc * dlam / cosa_safe                   # ds / |cos a|
+    s_norm = wline.sum(axis=-1)
+
+    tana_eq = jnp.tan(jnp.clip(alpha_eq, 1.0e-9, math.pi / 2 - 1.0e-9))
+    tana = sina / cosa_safe
+    chain = (tana_eq[..., None] / jnp.maximum(tana, 1.0e-12)) ** 2
+
+    out = {}
+    for key, mapfac in (("daa", chain), ("dap", jnp.sqrt(chain)),
+                        ("dpp", jnp.ones_like(chain))):
+        d = jnp.where(inwave, coeff[key], 0.0)
+        out[key] = (d * mapfac * wline).sum(axis=-1) / s_norm
+    out["tau_b"] = 4.0 * s_norm / v
+    out["mirror_lat_rad"] = lam_m
+    return out

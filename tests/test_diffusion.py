@@ -351,3 +351,32 @@ def test_jax_local_directional_spectrum():
            diffusion.local_coefficients_jax(e, a, B0, NE, spec).items()}
     assert (got["n_roots"] == ref["n_roots"]).all()
     np.testing.assert_allclose(got["daa"], ref["daa"], rtol=1e-9)
+
+
+def test_jax_bounce_average_matches_numpy():
+    """bounce_averaged_jax (the chip path: jnp medium + jittable local
+    chain + fori_loop mirror bisection) agrees with the numpy float64
+    oracle to rounding on the CPU-x64 backend, including the lat-cut
+    mask and under jax.jit."""
+    import functools
+
+    import jax
+
+    from raytrace_tpu.models import make_env_lat
+
+    env = make_env_lat()
+    spec = WaveSpectrum(bw_t=50e-12, f_m=800.0, df=300.0,
+                        f_lc=200.0, f_uc=1800.0)
+    e = np.array([[30.0], [100.0], [300.0]])
+    a = np.radians([[20.0, 45.0, 70.0]])
+    kw = dict(n_lat=24, n_grid=192, n_bisect=24)
+    ref = diffusion.bounce_averaged(e, a, 3.0, env, spec,
+                                    lat_cut_deg=20.0, **kw)
+    fn = jax.jit(functools.partial(diffusion.bounce_averaged_jax,
+                                   l_shell=3.0, env=env, spec=spec,
+                                   lat_cut_deg=20.0, **kw))
+    got = fn(e, a)
+    assert np.asarray(ref["daa"]).max() > 0.0
+    for k in ("daa", "dap", "dpp", "tau_b", "mirror_lat_rad"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-12, atol=1e-30, err_msg=k)
