@@ -445,14 +445,24 @@ def _power_density_jnp(spec: WaveSpectrum, w):
 def local_coefficients_jax(e_kev, alpha_rad, bmag, ne_m3,
                            spec: WaveSpectrum, eta_he=0.0, eta_o=0.0,
                            jac_floor=1.0e-3, n_grid=512, n_bisect=30,
-                           max_roots=3):
+                           max_roots=3, momentum_units="si"):
     """Jittable local D_aa/D_ap/D_pp -- same algorithm as
     local_coefficients, written in jax.numpy. All array args broadcast to
     a common batch shape S; spec / eta / grid sizes are static. Wrap in
     jax.jit at the call site (e.g. jit with static spec via closure).
-    Returns dict daa, dap, dpp, n_roots shaped S."""
+    Returns dict daa, dap, dpp, n_roots shaped S.
+
+    momentum_units: 'si' (kg m/s -- matches the numpy oracle exactly) or
+    'mc' (m_e c units: dap [rad/s], dpp [1/s] per (m_e c)). On float32
+    chips 'mc' is MANDATORY for the momentum channels: p_SI ~ 1e-22
+    underflows f32 in dpp ~ D p^2 (~1e-45 < the f32 min normal 1.2e-38),
+    silently flushing D_pp to zero. D_aa is unit-free and unaffected."""
     import jax
     import jax.numpy as jnp
+
+    if momentum_units not in ("si", "mc"):
+        raise ValueError(f"unknown momentum_units={momentum_units!r}")
+    p_unit = (M_E * C_LIGHT) if momentum_units == "si" else 1.0
 
     e_kev, alpha_rad, bmag, ne_m3 = jnp.broadcast_arrays(
         jnp.asarray(e_kev), jnp.asarray(alpha_rad), jnp.asarray(bmag),
@@ -460,7 +470,7 @@ def local_coefficients_jax(e_kev, alpha_rad, bmag, ne_m3,
     shape = e_kev.shape
     gamma = 1.0 + e_kev * 1.0e3 / _MC2_EV
     v = jnp.sqrt(1.0 - 1.0 / (gamma * gamma)) * C_LIGHT
-    p = gamma * M_E * v
+    p = gamma * (v / C_LIGHT) * p_unit
     vpar = v * jnp.cos(alpha_rad)
     sina = jnp.sin(alpha_rad)
     wc_rel = _TWO_PI * FCE_E * bmag / gamma
@@ -559,7 +569,11 @@ def bounce_averaged_jax(e_kev, alpha_eq_rad, l_shell, env, spec: WaveSpectrum,
     local_coefficients_jax. This is the chip path for (E, alpha_eq)
     diffusion maps: wrap in jax.jit with spec / n_lat / root grid static
     (e.g. functools.partial + closure), batch shapes broadcast.
-    Parity vs the numpy oracle is pinned in tests/test_diffusion.py."""
+    Parity vs the numpy oracle is pinned in tests/test_diffusion.py.
+
+    kw passes through to local_coefficients_jax; on float32 chips pass
+    momentum_units='mc' (SI momentum underflows f32 in dap/dpp -- see
+    local_coefficients_jax)."""
     import jax.numpy as jnp
 
     from .models import medium

@@ -118,12 +118,26 @@ def _avg_p(x):
 
 @dataclass(frozen=True)
 class _Op2D:
-    """Assembled conductances (pytree leaves all jnp arrays)."""
+    """Assembled conductances (pytree leaves all jnp arrays).
+
+    The tensor is split per cell as D = diag(remainder) + rank-1:
+        D = [[daa - |c| s, 0], [0, dpp - |c|/s]]
+          + |c| [[s, sgn c], [sgn c, 1/s]],      s = sqrt(daa/dpp),
+    (both parts PSD whenever c^2 = dap^2 <= daa dpp). The diagonal
+    remainder is discretized with compact face fluxes (k_a, k_p -- the
+    1D-solver stencil, no odd-even decoupling); the rank-1 part with
+    centered cell gradients as the EXACT perfect square
+    |c| (sqrt(s) ga + sgn(c) gp / sqrt(s))^2 (r_a, r_x, r_p below), so
+    the assembled operator is symmetric positive semidefinite BY
+    CONSTRUCTION -- no cross-term limiter, even at the exactly-marginal
+    det D = 0 tensors single-resonance physics produces."""
 
     k_a: jnp.ndarray      # (n_a-1, n_p) interior alpha-face conductance
     k_lc: jnp.ndarray     # (n_p,) loss-cone wall conductance (0 if reflect)
     k_p: jnp.ndarray      # (n_a, n_p-1) interior p-face conductance
-    w_x: jnp.ndarray      # (n_a, n_p) cell cross-term weight (G Dap V)
+    r_a: jnp.ndarray      # (n_a, n_p) rank-1 cell weight G V |c| s
+    r_x: jnp.ndarray      # (n_a, n_p) rank-1 cell weight G V c (signed)
+    r_p: jnp.ndarray      # (n_a, n_p) rank-1 cell weight G V |c| / s
     mass: jnp.ndarray     # (n_a, n_p) G_c * da * dp
     diag: jnp.ndarray     # (n_a, n_p) diagonal of A (preconditioner)
     da: float
@@ -134,7 +148,8 @@ class _Op2D:
 
 jax.tree_util.register_dataclass(
     _Op2D,
-    data_fields=["k_a", "k_lc", "k_p", "w_x", "mass", "diag", "dpc"],
+    data_fields=["k_a", "k_lc", "k_p", "r_a", "r_x", "r_p", "mass",
+                 "diag", "dpc"],
     meta_fields=["da", "n_a", "n_p"],
 )
 
@@ -193,24 +208,43 @@ def make_operator_2d(grid: Grid2D, daa, dap, dpp, loss_cone="absorbing",
         g_pf = _avg_p(g_c)
         g_wall = g_c[0, :]
 
+    # PSD split (see _Op2D): rank-1 magnitudes per cell. Where one
+    # diagonal entry vanishes the cross term must too (Dap^2 <= Daa Dpp);
+    # guards keep the 0/0 limits at zero. Tiny PSD violations from the
+    # bounce-average roundoff are absorbed by clipping the remainders.
+    absc = jnp.abs(dap)
+    tiny = jnp.asarray(np.finfo(np.asarray(daa).dtype).tiny * 1e4,
+                       daa.dtype)
+    s = jnp.sqrt(jnp.maximum(daa, tiny) / jnp.maximum(dpp, tiny))
+    c_on = (absc > 0.0) & (daa > 0.0) & (dpp > 0.0)
+    rank_a = jnp.where(c_on, absc * s, 0.0)
+    rank_p = jnp.where(c_on, absc / s, 0.0)
+    c_eff = jnp.where(c_on, dap, 0.0)
+    daa_rem = jnp.maximum(daa - rank_a, 0.0)
+    dpp_rem = jnp.maximum(dpp - rank_p, 0.0)
+
     # face conductances K = (G D)_face * (transverse width) / (normal dist)
-    k_a = _avg_a(daa) * g_af * dp[None, :] / da
-    k_p = _avg_p(dpp) * g_pf * da / dpc[None, :]
+    k_a = _avg_a(daa_rem) * g_af * dp[None, :] / da
+    k_p = _avg_p(dpp_rem) * g_pf * da / dpc[None, :]
 
     if loss_cone == "absorbing":
-        # Dirichlet f = 0 at the wall, half-cell distance (1D convention)
+        # Dirichlet f = 0 at the wall, half-cell distance (1D convention);
+        # the wall flux carries the FULL Daa (the physical absorption)
         k_lc = daa[0, :] * g_wall * dp / (0.5 * da)
     elif loss_cone == "reflecting":
         k_lc = jnp.zeros((n_p,), daa.dtype)
     else:
         raise ValueError(f"unknown loss_cone {loss_cone!r}")
 
-    w_x = dap * g_c * da * dp[None, :]            # cell cross weight (x V)
-    mass = g_c * da * dp[None, :]
+    vol = g_c * da * dp[None, :]
+    r_a = rank_a * vol
+    r_x = c_eff * vol
+    r_p = rank_p * vol
+    mass = vol
 
     # diagonal of A for the Jacobi preconditioner: face terms scatter K
-    # onto both adjacent cells; the cross term's centered gradients have
-    # (near-)zero self-coefficient and are omitted.
+    # onto both adjacent cells; the rank-1 cell terms' centered gradients
+    # have (near-)zero self-coefficient and are omitted.
     zrow = jnp.zeros((1, n_p), daa.dtype)
     diag = (jnp.concatenate([k_a, zrow], 0)
             + jnp.concatenate([zrow, k_a], 0))
@@ -218,16 +252,24 @@ def make_operator_2d(grid: Grid2D, daa, dap, dpp, loss_cone="absorbing",
     zcol = jnp.zeros((n_a, 1), daa.dtype)
     diag = diag + (jnp.concatenate([k_p, zcol], 1)
                    + jnp.concatenate([zcol, k_p], 1))
-    return _Op2D(k_a=k_a, k_lc=k_lc, k_p=k_p, w_x=w_x, mass=mass,
-                 diag=diag, da=da, dpc=dpc, n_a=n_a, n_p=n_p)
+    return _Op2D(k_a=k_a, k_lc=k_lc, k_p=k_p, r_a=r_a, r_x=r_x, r_p=r_p,
+                 mass=mass, diag=diag, da=da, dpc=dpc, n_a=n_a, n_p=n_p)
 
 
 def _energy(f, op: _Op2D):
-    """0.5 a(f, f): the quadratic energy whose gradient is A f."""
+    """0.5 a(f, f): the quadratic energy whose gradient is A f.
+
+    Face terms carry the diagonal remainder; the cell terms carry the
+    rank-1 part, which is the perfect square
+    0.5 (r_a ga^2 + 2 r_x ga gp + r_p gp^2) = 0.5 |c| G V
+    (sqrt(s) ga + sgn(c) gp/sqrt(s))^2 >= 0 -- so a(f,f) >= 0 termwise."""
     ea = 0.5 * (op.k_a * (f[1:, :] - f[:-1, :]) ** 2).sum()
     elc = 0.5 * (op.k_lc * f[0, :] ** 2).sum()
     ep = 0.5 * (op.k_p * (f[:, 1:] - f[:, :-1]) ** 2).sum()
-    ex = (op.w_x * _grad_a(f, op.da) * _grad_p(f, op.dpc)).sum()
+    ga = _grad_a(f, op.da)
+    gp = _grad_p(f, op.dpc)
+    ex = 0.5 * (op.r_a * ga * ga + 2.0 * op.r_x * ga * gp
+                + op.r_p * gp * gp).sum()
     return ea + elc + ep + ex
 
 
@@ -252,6 +294,9 @@ def _pcg(apply_h, b, x0, m_inv, tol, maxiter):
     bnorm = jnp.sqrt((b * b).sum())
     eps = tol * jnp.maximum(bnorm, 1.0e-300)
 
+    tiny = jnp.asarray(1.0e-37 if b.dtype == jnp.float32 else 1.0e-300,
+                       b.dtype)
+
     def cond(c):
         _, r, _, _, k = c
         return (jnp.sqrt((r * r).sum()) > eps) & (k < maxiter)
@@ -259,12 +304,14 @@ def _pcg(apply_h, b, x0, m_inv, tol, maxiter):
     def body(c):
         x, r, p, rz, k = c
         hp = apply_h(p)
-        alpha = rz / (p * hp).sum()
+        # denominators guarded for f32: underflowed curvature / rz would
+        # turn a converged iterate into NaN instead of a no-op step
+        alpha = rz / jnp.maximum((p * hp).sum(), tiny)
         x = x + alpha * p
         r = r - alpha * hp
         z = m_inv * r
         rz_new = (r * z).sum()
-        p = z + (rz_new / rz) * p
+        p = z + (rz_new / jnp.maximum(rz, tiny)) * p
         return x, r, p, rz_new, k + 1
 
     x, r, _, _, k = jax.lax.while_loop(cond, body, (x0, r, z, rz, 0))

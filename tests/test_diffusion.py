@@ -380,3 +380,25 @@ def test_jax_bounce_average_matches_numpy():
     for k in ("daa", "dap", "dpp", "tau_b", "mirror_lat_rad"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
                                    rtol=1e-12, atol=1e-30, err_msg=k)
+
+
+def test_jax_local_momentum_units_mc():
+    """momentum_units='mc' returns the momentum channels in m_e c units:
+    dap x (m_e c) and dpp x (m_e c)^2 equal the SI oracle. (On float32
+    chips 'mc' is mandatory -- p_SI ~ 1e-22 underflows f32 in D_pp.)"""
+    from raytrace_tpu.constants import C_LIGHT, M_E
+
+    e, a = 55.0, np.radians([30.0, 60.0])
+    ref = diffusion.local_coefficients(e, a, B0, NE, SPEC)
+    got = diffusion.local_coefficients_jax(e, a, B0, NE, SPEC,
+                                           momentum_units="mc")
+    s = M_E * C_LIGHT
+    np.testing.assert_allclose(np.asarray(got["daa"]), ref["daa"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(got["dap"]) * s, ref["dap"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(got["dpp"]) * s * s, ref["dpp"],
+                               rtol=1e-9)
+    with pytest.raises(ValueError):
+        diffusion.local_coefficients_jax(e, a, B0, NE, SPEC,
+                                         momentum_units="cgs")

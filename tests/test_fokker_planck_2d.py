@@ -176,3 +176,27 @@ def test_unit_helpers_roundtrip():
     e = np.array([30.0, 300.0, 3000.0])
     np.testing.assert_allclose(fp2.energy_from_p(fp2.p_from_energy(e)), e,
                                rtol=1e-12)
+
+
+def test_psd_at_exactly_marginal_tensor():
+    """Single-resonance physics produces EXACTLY rank-1 local tensors
+    (det D = 0, |Dap| = sqrt(Daa Dpp)). The naive face/cell mixed
+    discretization is indefinite there (measured -1e-3 of the max
+    eigenvalue before the split scheme); the remainder + perfect-square
+    split must stay PSD to roundoff with no cross-term limiter."""
+    g = fp2.make_grid_2d(np.radians(8.0), 12, 0.4, 3.0, 11)
+    rng = np.random.default_rng(7)
+    na, npp = 12, 11
+    a11 = rng.uniform(0.3, 3.0, (na, npp))
+    a22 = rng.uniform(0.3, 3.0, (na, npp))
+    sgn = np.where(rng.uniform(size=(na, npp)) < 0.5, -1.0, 1.0)
+    a12 = sgn * np.sqrt(a11 * a22)            # det = 0 everywhere
+    op = fp2.make_operator_2d(g, a11, a12, a22)
+    a = _dense(op, na, npp)
+    ev = np.linalg.eigvalsh(0.5 * (a + a.T))
+    assert ev.min() > -1e-13 * ev.max()
+    # and evolution from a rough state stays bounded
+    f0 = jnp.asarray(rng.uniform(0.0, 1.0, (na, npp)))
+    f1 = fp2.evolve_cn_2d(f0, op, 0.5, 200, cg_tol=1e-12)
+    assert np.isfinite(np.asarray(f1)).all()
+    assert float(jnp.abs(f1).max()) < 2.0
