@@ -28,6 +28,14 @@ R-mode index (ops/dispersion.stix_rlp) and vg from growth.py's closed-form
 parallel group velocity. W(w) is the wave magnetic power spectral density
 (T^2 per rad/s; int W dw = <Bw^2>), the standard truncated-Gaussian band.
 
+mode='emic' switches the whole chain to L-mode ion-cyclotron waves seen by
+electrons through the ANOMALOUS n = -1 resonance (w - k vpar = -wc/gamma;
+derive_diffusion.py step 5 shows the amplitude/kick algebra is identical) --
+the classic EMIC loss channel: only >= MeV electrons reach the root, the
+threshold drops with plasma density (plumes), and the scattering is almost
+purely pitch-angle (w/(kv) << 1). Validated by its own L-mode Boris Monte
+Carlo (tests/test_diffusion.py).
+
 The implementation is validated end-to-end by a test-particle Monte Carlo
 (tests/test_diffusion.py, marked slow): electrons pushed by a Boris
 integrator through an explicit random-phase superposition of the SAME wave
@@ -141,18 +149,21 @@ def spectrum_from_rays(f_hz, bw_t, df_floor_frac=0.05, band_pad=1.0,
                         f_lc=f_lc, f_uc=f_uc, directions=directions)
 
 
-def _mu_r(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0):
-    """Cold parallel R-mode index mu(f) and a propagation mask.
+def _mu_r(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0, mode="whistler"):
+    """Cold parallel index mu(f) of the chosen mode + propagation mask.
 
-    The PHYSICAL R branch (stix_rlp's R), not the traced quartic's
-    bug-compatible '+' root -- same policy as growth.gamma_whistler."""
-    r_ = np.asarray(
+    mode='whistler': the PHYSICAL R branch (stix_rlp's R), not the traced
+    quartic's bug-compatible '+' root -- same policy as
+    growth.gamma_whistler. mode='emic': the L branch (ion-cyclotron
+    bands; electrons see it through the anomalous n = -1 resonance)."""
+    idx = 0 if mode == "whistler" else 1
+    m2 = np.asarray(
         dispersion.stix_rlp(np.asarray(ne_m3, np.float64),
                             np.asarray(bmag, np.float64),
-                            np.asarray(f, np.float64), eta_he, eta_o)[0],
+                            np.asarray(f, np.float64), eta_he, eta_o)[idx],
         np.float64)
-    ok = r_ > 0.0
-    return np.sqrt(np.where(ok, r_, 1.0)), ok
+    ok = m2 > 0.0
+    return np.sqrt(np.where(ok, m2, 1.0)), ok
 
 
 def kinematics(e_kev):
@@ -166,10 +177,17 @@ def kinematics(e_kev):
 
 def resonant_roots(e_kev, alpha_rad, bmag, ne_m3, spec: WaveSpectrum,
                    eta_he=0.0, eta_o=0.0, n_grid=512, n_bisect=30,
-                   max_roots=3):
-    """Resonant frequencies of  g(w) = w - k(w) vpar - wc/gamma = 0.
+                   max_roots=3, mode="whistler"):
+    """Resonant frequencies of  g(w) = w - k(w) vpar -+ wc/gamma = 0.
 
-    k(w) = s (w/c) mu_R(w) with s the propagation direction sign; only the
+    mode='whistler': the n = +1 electron cyclotron resonance on the R
+    branch (g = w - k vpar - wc/gamma). mode='emic': electrons in L-mode
+    ion-cyclotron waves resonate ANOMALOUSLY, n = -1
+    (g = w - k vpar + wc/gamma; tools/derive_diffusion.py derives the
+    L-mode pair's resonant phase as theta - phi, flipping the wc sign) --
+    since w << wc_e, only >= MeV electrons reach the root: the classic
+    EMIC relativistic-electron loss channel.
+    k(w) = s (w/c) mu(w) with s the propagation direction sign; only the
     spectrum band [w_lc, w_uc] is searched (resonances outside carry zero
     weight). Inputs broadcast to a common shape S; returns a dict of
     arrays shaped (n_dir, max_roots) + S:
@@ -185,14 +203,15 @@ def resonant_roots(e_kev, alpha_rad, bmag, ne_m3, spec: WaveSpectrum,
     shape = e_kev.shape
     gamma, v, _ = kinematics(e_kev)
     vpar = v * np.cos(alpha_rad)
-    wc_rel = _TWO_PI * FCE_E * bmag / gamma          # wc/gamma, rad/s
+    res_sign = 1.0 if mode == "whistler" else -1.0   # n = +1 vs n = -1
+    wc_rel = res_sign * _TWO_PI * FCE_E * bmag / gamma   # +-wc/gamma
 
     wgrid = np.linspace(_TWO_PI * spec.f_lc, _TWO_PI * spec.f_uc, n_grid)
 
     def g_of(w, sign):
         # w broadcasts against the batch; evanescent points masked out by
         # propagating=False -> excluded from sign-change detection.
-        mu, ok = _mu_r(w / _TWO_PI, bmag, ne_m3, eta_he, eta_o)
+        mu, ok = _mu_r(w / _TWO_PI, bmag, ne_m3, eta_he, eta_o, mode)
         k = sign * (w / C_LIGHT) * mu
         return w - k * vpar - wc_rel, ok
 
@@ -225,7 +244,8 @@ def resonant_roots(e_kev, alpha_rad, bmag, ne_m3, spec: WaveSpectrum,
                 lo = np.where(left, lo, mid)
                 glo = np.where(left, glo, gmid)
             wj = 0.5 * (lo + hi)
-            mu_j, ok_j = _mu_r(wj / _TWO_PI, bmag, ne_m3, eta_he, eta_o)
+            mu_j, ok_j = _mu_r(wj / _TWO_PI, bmag, ne_m3, eta_he, eta_o,
+                               mode)
             valid = has & ok_j
             w_out[di, j] = np.where(valid, wj, np.nan)
             k_out[di, j] = np.where(valid, sign * (wj / C_LIGHT) * mu_j, 0.0)
@@ -235,9 +255,16 @@ def resonant_roots(e_kev, alpha_rad, bmag, ne_m3, spec: WaveSpectrum,
 
 
 def local_coefficients(e_kev, alpha_rad, bmag, ne_m3, spec: WaveSpectrum,
-                       eta_he=0.0, eta_o=0.0, jac_floor=1.0e-3, **root_kw):
+                       eta_he=0.0, eta_o=0.0, jac_floor=1.0e-3,
+                       mode="whistler", **root_kw):
     """Local quasi-linear D_aa [rad^2/s], D_ap [rad kg m/s /s], D_pp
     [(kg m/s)^2 /s] at one point of the medium. Arrays broadcast.
+
+    mode='whistler' (R-mode, n = +1) or 'emic' (L-mode ion-cyclotron
+    waves scattering relativistic electrons through the anomalous n = -1
+    resonance -- the amplitude and kick-direction algebra is IDENTICAL,
+    tools/derive_diffusion.py derives both polarizations; only the
+    resonance sign and the dispersion branch change).
 
     jac_floor: |1 - vpar/vg| is clamped below this value (the v_par = v_g
     tangent resonance, where quasi-linear theory itself breaks down --
@@ -249,13 +276,13 @@ def local_coefficients(e_kev, alpha_rad, bmag, ne_m3, spec: WaveSpectrum,
     vpar = v * np.cos(alpha_rad)
     sina = np.sin(alpha_rad)
     roots = resonant_roots(e_kev, alpha_rad, bmag, ne_m3, spec,
-                           eta_he, eta_o, **root_kw)
+                           eta_he, eta_o, mode=mode, **root_kw)
     wj, kj, wt, ok = (roots[x] for x in ("w", "k", "weight", "valid"))
     wj_safe = np.where(ok, wj, 1.0)
     kj_safe = np.where(ok, kj, 1.0)
 
     vg = group_velocity_parallel(wj_safe / _TWO_PI, bmag, ne_m3,
-                                 "whistler", eta_he, eta_o)
+                                 mode, eta_he, eta_o)
     vg_signed = np.sign(kj_safe) * vg
     jac = np.abs(1.0 - vpar / np.where(vg_signed == 0.0, np.inf, vg_signed))
     jac = np.maximum(jac, jac_floor)
@@ -412,24 +439,27 @@ def loss_cone_lifetime_s(e_kev, l_shell, env, spec: WaveSpectrum,
 # dispersion.stix_rlp and growth._dstix_dw are pure arithmetic and are
 # shared verbatim by both paths.
 
-def _mu_r_jnp(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0):
+def _mu_r_jnp(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0, mode="whistler"):
     import jax.numpy as jnp
 
-    r_ = dispersion.stix_rlp(ne_m3, bmag, f, eta_he, eta_o)[0]
-    ok = r_ > 0.0
-    return jnp.sqrt(jnp.where(ok, r_, 1.0)), ok
+    idx = 0 if mode == "whistler" else 1
+    m2 = dispersion.stix_rlp(ne_m3, bmag, f, eta_he, eta_o)[idx]
+    ok = m2 > 0.0
+    return jnp.sqrt(jnp.where(ok, m2, 1.0)), ok
 
 
-def _vg_parallel_jnp(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0):
+def _vg_parallel_jnp(f, bmag, ne_m3, eta_he=0.0, eta_o=0.0,
+                     mode="whistler"):
     import jax.numpy as jnp
 
     from .growth import _dstix_dw
 
     w = _TWO_PI * f
-    mu2 = dispersion.stix_rlp(ne_m3, bmag, f, eta_he, eta_o)[0]
+    idx = 0 if mode == "whistler" else 1
+    mu2 = dispersion.stix_rlp(ne_m3, bmag, f, eta_he, eta_o)[idx]
     ok = mu2 > 0.0
     mu = jnp.sqrt(jnp.where(ok, mu2, 1.0))
-    dmudw = _dstix_dw(w, ne_m3, bmag, "whistler", eta_he, eta_o) / (2.0 * mu)
+    dmudw = _dstix_dw(w, ne_m3, bmag, mode, eta_he, eta_o) / (2.0 * mu)
     return jnp.where(ok, C_LIGHT / (mu + w * dmudw), 0.0)
 
 
@@ -445,7 +475,8 @@ def _power_density_jnp(spec: WaveSpectrum, w):
 def local_coefficients_jax(e_kev, alpha_rad, bmag, ne_m3,
                            spec: WaveSpectrum, eta_he=0.0, eta_o=0.0,
                            jac_floor=1.0e-3, n_grid=512, n_bisect=30,
-                           max_roots=3, momentum_units="si"):
+                           max_roots=3, momentum_units="si",
+                           mode="whistler"):
     """Jittable local D_aa/D_ap/D_pp -- same algorithm as
     local_coefficients, written in jax.numpy. All array args broadcast to
     a common batch shape S; spec / eta / grid sizes are static. Wrap in
@@ -463,6 +494,7 @@ def local_coefficients_jax(e_kev, alpha_rad, bmag, ne_m3,
     if momentum_units not in ("si", "mc"):
         raise ValueError(f"unknown momentum_units={momentum_units!r}")
     p_unit = (M_E * C_LIGHT) if momentum_units == "si" else 1.0
+    res_sign = 1.0 if mode == "whistler" else -1.0   # n = +1 vs n = -1
 
     e_kev, alpha_rad, bmag, ne_m3 = jnp.broadcast_arrays(
         jnp.asarray(e_kev), jnp.asarray(alpha_rad), jnp.asarray(bmag),
@@ -473,12 +505,12 @@ def local_coefficients_jax(e_kev, alpha_rad, bmag, ne_m3,
     p = gamma * (v / C_LIGHT) * p_unit
     vpar = v * jnp.cos(alpha_rad)
     sina = jnp.sin(alpha_rad)
-    wc_rel = _TWO_PI * FCE_E * bmag / gamma
+    wc_rel = res_sign * _TWO_PI * FCE_E * bmag / gamma
 
     wgrid = jnp.linspace(_TWO_PI * spec.f_lc, _TWO_PI * spec.f_uc, n_grid)
 
     def g_of(w, sign):
-        mu, ok = _mu_r_jnp(w / _TWO_PI, bmag, ne_m3, eta_he, eta_o)
+        mu, ok = _mu_r_jnp(w / _TWO_PI, bmag, ne_m3, eta_he, eta_o, mode)
         k = sign * (w / C_LIGHT) * mu
         return w - k * vpar - wc_rel, ok
 
@@ -513,12 +545,13 @@ def local_coefficients_jax(e_kev, alpha_rad, bmag, ne_m3,
             lo, hi, glo = jax.lax.fori_loop(0, n_bisect, bisect,
                                             (lo, hi, glo))
             wj = 0.5 * (lo + hi)
-            mu_j, ok_j = _mu_r_jnp(wj / _TWO_PI, bmag, ne_m3, eta_he, eta_o)
+            mu_j, ok_j = _mu_r_jnp(wj / _TWO_PI, bmag, ne_m3, eta_he,
+                                   eta_o, mode)
             valid = has & ok_j
             wj_s = jnp.where(valid, wj, 1.0)
             kj_s = jnp.where(valid, sign * (wj_s / C_LIGHT) * mu_j, 1.0)
             vg = _vg_parallel_jnp(wj_s / _TWO_PI, bmag, ne_m3, eta_he,
-                                  eta_o)
+                                  eta_o, mode)
             vg_signed = jnp.sign(kj_s) * vg
             jac = jnp.abs(1.0 - vpar / jnp.where(vg_signed == 0.0, jnp.inf,
                                                  vg_signed))

@@ -208,25 +208,32 @@ def test_loss_cone_lifetime_inverse_power():
 # the decisive check: test-particle Monte Carlo vs quasi-linear D_aa
 # ---------------------------------------------------------------------------
 
-def _boris_push(e_kev, alpha0, spec, n_part, n_modes, t_end, dt, seed):
-    """Relativistic Boris pusher through an explicit random-phase R-mode
+def _boris_push(e_kev, alpha0, spec, n_part, n_modes, t_end, dt, seed,
+                mode="whistler"):
+    """Relativistic Boris pusher through an explicit random-phase circular
     wave field in uniform B0 z. Mode frequencies are stratified-random
     PER PARTICLE (each particle draws its own n_modes frequencies, one
     per sub-band) so the ensemble-average spectrum is continuous -- the
     standard cure for discrete-mode resonance-overlap artifacts. Field
     conventions are exactly those derived in tools/derive_diffusion.py:
-    Bw_i (cos ph, -sin ph, 0), Ew_i = -(w_i/k_i) Bw_i (sin ph, cos ph, 0),
-    ph = k_i z - w_i t + random chi_i. Returns final pitch angles."""
+    R-mode: Bw_i (cos ph, -sin ph, 0), Ew_i = -(w_i/k_i) Bw_i
+    (sin ph, cos ph, 0); L-mode ('emic'): Bw_i (cos ph, +sin ph, 0),
+    Ew_i = +(w_i/k_i) Bw_i (sin ph, -cos ph, 0);
+    ph = k_i z - w_i t + random chi_i. Propagation direction follows the
+    mode's resonance (backward for R, forward for L at vpar > 0).
+    Returns final pitch angles."""
     rng = np.random.default_rng(seed)
+    pol = 1.0 if mode == "whistler" else -1.0       # R vs L rotation sense
     w_lo, w_hi = 2 * math.pi * spec.f_lc, 2 * math.pi * spec.f_uc
     dw = (w_hi - w_lo) / n_modes
     w_ij = w_lo + (np.arange(n_modes)[None, :]
                    + rng.random((n_part, n_modes))) * dw
-    mu_ij, ok = diffusion._mu_r(w_ij / (2 * math.pi), B0, NE)
+    mu_ij, ok = diffusion._mu_r(w_ij / (2 * math.pi), B0, NE, mode=mode)
     assert ok.all()
-    k_ij = -(w_ij / C_LIGHT) * mu_ij          # backward waves
+    k_sign = -1.0 if mode == "whistler" else 1.0
+    k_ij = k_sign * (w_ij / C_LIGHT) * mu_ij
     b_ij = np.sqrt(spec.power_density(w_ij) * dw)
-    e_ij = -(w_ij / k_ij) * b_ij
+    e_ij = -pol * (w_ij / k_ij) * b_ij
     chi_ij = rng.random((n_part, n_modes)) * 2 * math.pi
 
     _, _, p0 = diffusion.kinematics(e_kev)
@@ -245,9 +252,9 @@ def _boris_push(e_kev, alpha0, spec, n_part, n_modes, t_end, dt, seed):
         eph = np.exp(1j * ph)
         cph, sph = eph.real, eph.imag
         bx = (b_ij * cph).sum(1)
-        by = -(b_ij * sph).sum(1)
+        by = -pol * (b_ij * sph).sum(1)
         ex = (e_ij * sph).sum(1)
-        ey = (e_ij * cph).sum(1)
+        ey = pol * (e_ij * cph).sum(1)
         p[:, 0] += half * ex
         p[:, 1] += half * ey
         g = np.sqrt(1.0 + (p * p).sum(1) / mc**2)
@@ -402,3 +409,94 @@ def test_jax_local_momentum_units_mc():
     with pytest.raises(ValueError):
         diffusion.local_coefficients_jax(e, a, B0, NE, SPEC,
                                          momentum_units="cgs")
+
+
+# ---- EMIC (L-mode) electron scattering: the anomalous n = -1 channel ----
+
+FCP = FCE / 1836.15267
+EMIC_SPEC = WaveSpectrum(bw_t=1e-9, f_m=0.6 * FCP, df=0.25 * FCP,
+                         f_lc=0.3 * FCP, f_uc=0.95 * FCP)
+
+
+def test_emic_root_on_l_branch_anomalous_resonance():
+    """EMIC roots satisfy w - k vpar = -wc/gamma (n = -1) ON the L-mode
+    dispersion, and propagate forward (k > 0) for vpar > 0 -- the
+    electron must outrun the wave to see its rotation sense reversed."""
+    e_kev, alpha = 5000.0, np.radians(60.0)
+    roots = diffusion.resonant_roots(e_kev, alpha, B0, NE, EMIC_SPEC,
+                                     mode="emic")
+    ok = roots["valid"]
+    assert ok.sum() >= 1
+    wj, kj = roots["w"][ok], roots["k"][ok]
+    assert (kj > 0.0).all()
+    mu, prop = diffusion._mu_r(wj / (2 * math.pi), B0, NE, mode="emic")
+    assert prop.all()
+    np.testing.assert_allclose(kj, (wj / C_LIGHT) * mu, rtol=1e-12)
+    gamma, v, _ = diffusion.kinematics(e_kev)
+    res = wj - kj * v * math.cos(alpha) + 2 * math.pi * FCE / gamma
+    assert (np.abs(res) < 1e-6 * 2 * math.pi * FCE / gamma).all()
+
+
+def test_emic_scatters_only_relativistic_electrons():
+    """The textbook EMIC phenomenology on this framework's own dispersion:
+    (a) a minimum resonant energy in the MeV range (w << wc_e forces
+    k vpar ~ wc/gamma, reachable only at v ~ c); (b) the threshold DROPS
+    with plasma density (larger mu_L -- why EMIC loss lives in plumes);
+    (c) scattering is almost purely pitch-angle (w/(k v) << 1 makes
+    D_pp/p^2 negligible against D_aa)."""
+    alpha = np.radians(60.0)
+    low = diffusion.local_coefficients(1000.0, alpha, B0, NE, EMIC_SPEC,
+                                       mode="emic")
+    assert low["n_roots"] == 0 and low["daa"] == 0.0
+    hi = diffusion.local_coefficients(5000.0, alpha, B0, NE, EMIC_SPEC,
+                                      mode="emic")
+    assert hi["n_roots"] >= 1 and hi["daa"] > 1e-4     # ~1 nT is strong
+
+    def threshold(ne):
+        for e in np.geomspace(200.0, 20000.0, 48):
+            c = diffusion.local_coefficients(e, alpha, B0, ne, EMIC_SPEC,
+                                             mode="emic")
+            if c["n_roots"] > 0:
+                return e
+        return np.inf
+
+    th = [threshold(ne) for ne in (1e8, 1e9, 1e10)]
+    assert th[0] > th[1] > th[2]
+    assert 1.0e3 < th[0] < 1.0e4                       # 1-10 MeV at 100/cc
+    # near-pure pitch-angle diffusion (measured ratio ~5e-6 here)
+    _, _, p = diffusion.kinematics(5000.0)
+    assert hi["dpp"] / (p * p) < 1e-4 * hi["daa"]
+
+
+def test_jax_emic_matches_numpy():
+    """mode='emic' parity of the jittable chain vs the numpy oracle."""
+    e = np.array([3000.0, 5000.0, 8000.0])
+    a = np.radians(55.0)
+    ref = diffusion.local_coefficients(e, a, B0, NE, EMIC_SPEC, mode="emic")
+    got = {k: np.asarray(v) for k, v in diffusion.local_coefficients_jax(
+        e, a, B0, NE, EMIC_SPEC, mode="emic").items()}
+    assert (got["n_roots"] == ref["n_roots"]).all()
+    assert ref["n_roots"].sum() >= 2
+    for key in ("daa", "dap", "dpp"):
+        np.testing.assert_allclose(got[key], ref[key], rtol=1e-9,
+                                   atol=1e-60, err_msg=key)
+
+
+@pytest.mark.slow
+def test_emic_monte_carlo_matches_daa():
+    """L-mode test particles: 5 MeV electrons pushed through an explicit
+    random-phase EMIC wave field diffuse in pitch angle at the
+    quasi-linear rate. Shares field conventions (derived in
+    tools/derive_diffusion.py) but no quasi-linear algebra."""
+    e_kev, alpha0 = 5000.0, math.radians(60.0)
+    spec = WaveSpectrum(bw_t=EMIC_SPEC.bw_t, f_m=EMIC_SPEC.f_m,
+                        df=EMIC_SPEC.df, f_lc=EMIC_SPEC.f_lc,
+                        f_uc=EMIC_SPEC.f_uc, directions="forward")
+    d_ql = float(diffusion.daa_local(e_kev, alpha0, B0, NE, spec,
+                                     mode="emic"))
+    assert d_ql > 0.0
+    wce = 2 * math.pi * FCE
+    alpha, t = _boris_push(e_kev, alpha0, spec, n_part=160, n_modes=160,
+                           t_end=0.05, dt=0.25 / wce, seed=23, mode="emic")
+    d_mc = float(np.mean((alpha - alpha0) ** 2) / (2.0 * t))
+    assert 0.6 < d_mc / d_ql < 1.6, (d_mc, d_ql)

@@ -75,7 +75,29 @@ Carlo (tests/test_diffusion.py): electrons pushed through an explicit
 random-phase wave field by a Boris integrator, <Delta alpha^2>/(2t) compared
 against D_aa -- no quasi-linear algebra shared between the two paths.
 
-Run: python tools/derive_diffusion.py   (asserts all four; a few seconds)
+  (5) The L-mode (EMIC) pair. Repeating (1)-(3) for the LEFT-circular
+      field pair
+
+          Bw = Bw (cos ph, +sin ph, 0)
+          Ew = +(w/k) Bw (sin ph, -cos ph, 0)     [Faraday, asserted]
+
+      gives the SAME closed forms with the resonant phase theta - ph
+      instead of theta + ph:
+
+          d(alpha)/dt = -Ww (1 - (w/(k v)) cos(alpha)) sin(th - ph)
+          d(v)/dt     =  Ww (w/k) sin(alpha) sin(th - ph)
+
+      so the amplitude factor and the kick-direction ratio q are
+      UNCHANGED, and only the resonance flips sign: stationarity of
+      th - ph gives wc - (k vpar - w) = 0, i.e. w - k vpar = -wc -- the
+      anomalous n = -1 resonance. Since w << wc_e for ion-band waves,
+      k vpar must reach ~wc/gamma: only relativistic (>= MeV) electrons
+      resonate. This is the mode='emic' channel of diffusion.py (the
+      classic EMIC relativistic-electron loss mechanism), with k(w) from
+      the repo's cold parallel L index; validated end-to-end by the
+      L-mode Boris Monte Carlo in tests/test_diffusion.py.
+
+Run: python tools/derive_diffusion.py   (asserts all five; a few seconds)
 """
 
 import sympy as sp
@@ -160,9 +182,40 @@ def main():
     assert sp.simplify(dg - (1 - vpar / vg)) == 0
     print("(4) |d/dw (w - k(w) vpar - wc)| = |1 - vpar/vg|   OK")
 
-    print("\nAll four steps assert: D_aa = sum (pi/2) (e/(gamma m))^2 "
+    # ---- (5) L-mode (EMIC) pair: same forms, resonant phase th - ph ------
+    Eb = sp.symbols("Eb", real=True)
+    Bvec_l = sp.Matrix([Bw * sp.cos(phase), Bw * sp.sin(phase), 0])
+    Evec_l = sp.Matrix([Eb * sp.sin(phase), -Eb * sp.cos(phase), 0])
+    curlE_l = sp.Matrix([-sp.diff(Evec_l[1], z), sp.diff(Evec_l[0], z), 0])
+    sol_l = sp.solve(sp.simplify(curlE_l + sp.diff(Bvec_l, t)), Eb,
+                     dict=True)
+    assert len(sol_l) == 1 and \
+        sp.simplify(sol_l[0][Eb] - (w / k) * Bw) == 0, sol_l
+    Evec_l = Evec_l.subs(Eb, (w / k) * Bw)
+
+    force_l = -e * (Evec_l + vvec.cross(Bvec_l + sp.Matrix([0, 0, B0])))
+    acc_l = force_l / m
+    dvpar_l = sp.simplify(acc_l[2])
+    dvperp_l = sp.simplify(acc_l[0] * sp.cos(th) + acc_l[1] * sp.sin(th))
+    dalpha_l = sp.simplify(
+        (sp.cos(alpha) * dvperp_l - sp.sin(alpha) * dvpar_l).subs(sub) / v
+    )
+    dv_l = sp.simplify((vpar * dvpar_l + vperp * dvperp_l).subs(sub) / v)
+    # identical amplitude factor and speed kick, resonant phase th - phase
+    dalpha_l_expect = -Ww * (1 - (w / (k * v)) * sp.cos(alpha)) \
+        * sp.sin(th - phase)
+    dv_l_expect = Ww * (w / k) * sp.sin(alpha) * sp.sin(th - phase)
+    assert sp.simplify(sp.expand_trig(dalpha_l - dalpha_l_expect)) == 0
+    assert sp.simplify(sp.expand_trig(dv_l - dv_l_expect)) == 0
+    # same kick-direction ratio -> same q; only the resonance flips:
+    # stationary (th - ph) => wc - (k vpar - w) = 0 => w - k vpar = -wc
+    assert sp.simplify(dv_l / (v * dalpha_l) + q) == 0
+    print("(5) L-mode pair: same amplitude factor and q; resonant phase")
+    print("    th - ph  =>  w - k vpar = -wc (anomalous n = -1)   OK")
+
+    print("\nAll five steps assert: D_aa = sum (pi/2) (e/(gamma m))^2 "
           "W(w_j) (1 - w_j cos a/(k_j v))^2 / |1 - vpar/vg_j|,")
-    print("D_ap = -q p D_aa, D_pp = q^2 p^2 D_aa.")
+    print("D_ap = -q p D_aa, D_pp = q^2 p^2 D_aa  (R- and L-mode pairs).")
 
 
 if __name__ == "__main__":
