@@ -154,23 +154,6 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _grad_a(f, da):
-    """Centered divided gradient along alpha, one-sided at the walls."""
-    interior = (f[2:, :] - f[:-2, :]) / (2.0 * da)
-    lo = (f[1:2, :] - f[0:1, :]) / da
-    hi = (f[-1:, :] - f[-2:-1, :]) / da
-    return jnp.concatenate([lo, interior, hi], axis=0)
-
-
-def _grad_p(f, dpc):
-    """Centered divided gradient along p (nonuniform), one-sided walls."""
-    dpc2 = dpc[:-1] + dpc[1:]
-    interior = (f[:, 2:] - f[:, :-2]) / dpc2
-    lo = (f[:, 1:2] - f[:, 0:1]) / dpc[0]
-    hi = (f[:, -1:] - f[:, -2:-1]) / dpc[-1]
-    return jnp.concatenate([lo, interior, hi], axis=1)
-
-
 def make_operator_2d(grid: Grid2D, daa, dap, dpp, loss_cone="absorbing",
                      g_centers=None, t_alpha=None):
     """Assemble the 2D operator from the cell-centered tensor.
@@ -259,18 +242,34 @@ def make_operator_2d(grid: Grid2D, daa, dap, dpp, loss_cone="absorbing",
 def _energy(f, op: _Op2D):
     """0.5 a(f, f): the quadratic energy whose gradient is A f.
 
-    Face terms carry the diagonal remainder; the cell terms carry the
-    rank-1 part, which is the perfect square
-    0.5 (r_a ga^2 + 2 r_x ga gp + r_p gp^2) = 0.5 |c| G V
-    (sqrt(s) ga + sgn(c) gp/sqrt(s))^2 >= 0 -- so a(f,f) >= 0 termwise."""
+    Face terms carry the diagonal remainder. The rank-1 part is evaluated
+    as a PERFECT SQUARE at the four corners of each cell (quarter-weight
+    quadrature) using the adjacent FACE gradients:
+
+        (1/4) sum_{A in {left,right}} sum_{P in {bottom,top}}
+              |c| G V (sqrt(s) ga_A + sgn(c) gp_P / sqrt(s))^2
+
+    Each corner term is a square (r_a r_p = r_x^2 by construction), so
+    a(f,f) >= 0 termwise -- PSD with no limiter even at det D = 0. Using
+    face gradients (not cell-centered ones) matters where the tensor is
+    EXACTLY rank-1 over a region (single-resonance physics, e.g. the
+    EMIC channel): the remainder vanishes there, and a centered-gradient
+    square has an odd-even null mode that shows up as a checkerboard in
+    the solution; face gradients see and damp it. Domain-wall gradients
+    are taken as zero for the rank part (the absorbing loss-cone flux is
+    carried by the dedicated full-D_aa wall term)."""
     ea = 0.5 * (op.k_a * (f[1:, :] - f[:-1, :]) ** 2).sum()
     elc = 0.5 * (op.k_lc * f[0, :] ** 2).sum()
     ep = 0.5 * (op.k_p * (f[:, 1:] - f[:, :-1]) ** 2).sum()
-    ga = _grad_a(f, op.da)
-    gp = _grad_p(f, op.dpc)
-    ex = 0.5 * (op.r_a * ga * ga + 2.0 * op.r_x * ga * gp
-                + op.r_p * gp * gp).sum()
-    return ea + elc + ep + ex
+    ga_f = jnp.pad((f[1:, :] - f[:-1, :]) / op.da, ((1, 1), (0, 0)))
+    gp_f = jnp.pad((f[:, 1:] - f[:, :-1]) / op.dpc[None, :],
+                   ((0, 0), (1, 1)))
+    quad = 0.0
+    for ga in (ga_f[:-1, :], ga_f[1:, :]):
+        for gp in (gp_f[:, :-1], gp_f[:, 1:]):
+            quad = quad + (op.r_a * ga * ga + 2.0 * op.r_x * ga * gp
+                           + op.r_p * gp * gp).sum()
+    return ea + elc + ep + 0.125 * quad
 
 
 _apply_a = jax.grad(_energy)       # A f: exactly symmetric by construction

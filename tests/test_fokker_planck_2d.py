@@ -200,3 +200,27 @@ def test_psd_at_exactly_marginal_tensor():
     f1 = fp2.evolve_cn_2d(f0, op, 0.5, 200, cg_tol=1e-12)
     assert np.isfinite(np.asarray(f1)).all()
     assert float(jnp.abs(f1).max()) < 2.0
+
+
+def test_checkerboard_mode_is_damped():
+    """Where the tensor is exactly rank-1 the diagonal remainder vanishes,
+    and a cell-centered-gradient cross discretization leaves an odd-even
+    (checkerboard) null mode that contaminates the solution (seen as a
+    sawtooth in the EMIC-dominated region of examples/belt_competition.py
+    before the corner-quadrature scheme). With face-gradient corner
+    quadrature the checkerboard must DECAY under evolution."""
+    na, npp = 20, 18
+    g = fp2.make_grid_2d(np.radians(8.0), na, 0.4, 3.0, npp)
+    # exactly rank-1, alpha-dominant (the EMIC shape): daa >> dpp
+    daa = np.full((na, npp), 1.0)
+    dpp = np.full((na, npp), 1e-5)
+    dap = np.sqrt(daa * dpp)
+    op = fp2.make_operator_2d(g, daa, dap, dpp, loss_cone="reflecting")
+    ii, jj = np.meshgrid(np.arange(na), np.arange(npp), indexing="ij")
+    checker = ((-1.0) ** (ii + jj)).astype(float)
+    f0 = jnp.asarray(1.0 + 0.2 * checker)
+    f1 = np.asarray(fp2.evolve_cn_2d(f0, op, 0.05, 80, cg_tol=1e-12))
+    amp0 = np.abs((np.asarray(f0) * checker).mean())
+    amp1 = np.abs((f1 * checker).mean())
+    assert amp1 < 0.02 * amp0
+    assert np.abs(f1 - 1.0).max() < 0.05
