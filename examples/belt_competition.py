@@ -96,11 +96,10 @@ def main():
     f0 = jnp.asarray(np.exp(-e_c[None, :] / 150.0) * np.ones((N_A, 1)))
     n_steps = int(T_DAYS * 86400.0 / DT_S)
     save_every = n_steps // 8
-    cg_tol = 1e-11 if jax.config.jax_enable_x64 else 3e-6
     _, snap_ch = fp2.evolve_cn_2d(f0, op_ch, DT_S, n_steps,
-                                  save_every=save_every, cg_tol=cg_tol)
+                                  save_every=save_every)
     _, snap_sum = fp2.evolve_cn_2d(f0, op_sum, DT_S, n_steps,
-                                   save_every=save_every, cg_tol=cg_tol)
+                                   save_every=save_every)
     snap_ch = np.asarray(snap_ch)
     snap_sum = np.asarray(snap_sum)
     t_snap = np.arange(1, snap_ch.shape[0] + 1) * save_every * DT_S

@@ -105,9 +105,8 @@ def main():
 
     n_steps = int(T_DAYS * 86400.0 / DT_S)
     save_every = n_steps // 8
-    cg_tol = 1e-11 if jax.config.jax_enable_x64 else 3e-6
     f_end, snaps = fp2.evolve_cn_2d(f0, op, DT_S, n_steps,
-                                    save_every=save_every, cg_tol=cg_tol)
+                                    save_every=save_every)
     snaps = np.asarray(snaps)                           # (8, N_A, N_P)
     t_snap = (np.arange(1, snaps.shape[0] + 1)) * save_every * DT_S
 

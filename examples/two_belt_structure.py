@@ -44,8 +44,6 @@ N_L = 240
 
 
 def main():
-    import functools
-
     import jax
 
     if jax.default_backend() == "cpu":
@@ -58,9 +56,8 @@ def main():
     import numpy as np
 
     from raytrace_tpu import diffusion, fokker_planck as fp1, radial
-    from raytrace_tpu.constants import FCE_E
     from raytrace_tpu.diffusion import WaveSpectrum
-    from raytrace_tpu.models import make_env_lat, medium
+    from raytrace_tpu.models import make_env_lat
 
     os.makedirs(OUT, exist_ok=True)
 
@@ -77,19 +74,18 @@ def main():
     nc = 96
     tau = np.full(l_probe.size, np.inf)
     daa_map = []
-    a_lc_list = []
     for i, L in enumerate(l_probe):
+        if L >= lppi:              # hiss lives inside the plasmasphere
+            daa_map.append(np.zeros(nc))
+            continue
         rl = 1.0 / L
         a_lc = math.asin(math.sqrt(rl**3 / math.sqrt(4.0 - 3.0 * rl)))
-        a_lc_list.append(a_lc)
         centers, _, _ = fp1.make_grid(a_lc, nc)
         ba = diffusion.bounce_averaged_jax(
             jnp.asarray(E_MEV * 1000.0), jnp.asarray(centers),
             l_shell=float(L), env=env, spec=spec, n_lat=32, n_grid=192,
             n_bisect=24)
         daa = np.asarray(ba["daa"], np.float64)
-        if L >= lppi:              # hiss lives inside the plasmasphere
-            daa = np.zeros_like(daa)
         daa_map.append(daa)
         if daa.max() > 0.0:
             dmax = daa.max()

@@ -153,34 +153,38 @@ def thomas_solve(lower, diag, upper, b):
 
 
 @partial(jax.jit, static_argnames=("n_steps", "save_every"))
-def evolve_cn(f0, tri, dt, n_steps, save_every=0):
-    """Crank-Nicolson evolution of df/dt = A f for n_steps of dt.
+def evolve_cn(f0, tri, dt, n_steps, save_every=0, source=None):
+    """Crank-Nicolson evolution of df/dt = A f + source for n_steps of dt.
 
     tri = (lower, diag, upper) of A, batch-broadcastable against f0
-    (..., n). save_every > 0 additionally returns snapshots every that many
-    steps, stacked on a leading axis. Each step solves
-    (I - dt/2 A) f+ = (I + dt/2 A) f with one Thomas sweep."""
+    (..., n). source: optional constant-in-time RHS vector (enters each
+    CN step at full weight dt). save_every > 0 additionally returns
+    snapshots every that many steps, stacked on a leading axis; a
+    n_steps % save_every remainder is still evolved (f_end always
+    reflects the full n_steps). Each step solves
+    (I - dt/2 A) f+ = (I + dt/2 A) f + dt source with one Thomas sweep."""
     lower, diag, upper = tri
     half = 0.5 * dt
     dl, dd, du = -half * lower, 1.0 - half * diag, -half * upper
+    b = 0.0 if source is None else dt * source
 
     def rhs_apply(f):
-        fm = jnp.concatenate([jnp.zeros_like(f[..., :1]), f[..., :-1]], -1)
-        fp = jnp.concatenate([f[..., 1:], jnp.zeros_like(f[..., :1])], -1)
-        return f + half * (lower * fm + diag * f + upper * fp)
+        return f + half * apply_tri(lower, diag, upper, f) + b
 
     def step(f, _):
         f1 = thomas_solve(dl, dd, du, rhs_apply(f))
         return f1, None
 
     if save_every:
-        n_out = n_steps // save_every
+        n_out, rem = divmod(n_steps, save_every)
 
         def chunk(f, _):
             f1, _ = jax.lax.scan(step, f, None, length=save_every)
             return f1, f1
 
         f_end, snaps = jax.lax.scan(chunk, f0, None, length=n_out)
+        if rem:
+            f_end, _ = jax.lax.scan(step, f_end, None, length=rem)
         return f_end, snaps
     f_end, _ = jax.lax.scan(step, f0, None, length=n_steps)
     return f_end

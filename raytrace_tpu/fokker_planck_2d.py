@@ -54,8 +54,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .constants import C_LIGHT, M_E
+from .constants import C_LIGHT, M_E, Q_E
 from .fokker_planck import bounce_time_factor, make_grid
+
+_MC2_KEV = M_E * C_LIGHT * C_LIGHT / Q_E / 1.0e3   # electron rest energy, keV
+# (same Q_E provenance as diffusion._MC2_EV, so the keV <-> p mapping used to
+# build grids here is identical to the one the diffusion tier uses)
 
 
 @dataclass(frozen=True)
@@ -86,14 +90,12 @@ def make_grid_2d(alpha_lc_rad, n_alpha, p_min_mc, p_max_mc, n_p,
 
 def energy_from_p(p_mc):
     """Kinetic energy [keV] from momentum in m_e c units."""
-    mc2_kev = M_E * C_LIGHT * C_LIGHT / 1.602176634e-19 / 1.0e3
-    return (np.sqrt(1.0 + np.asarray(p_mc) ** 2) - 1.0) * mc2_kev
+    return (np.sqrt(1.0 + np.asarray(p_mc) ** 2) - 1.0) * _MC2_KEV
 
 
 def p_from_energy(e_kev):
     """Momentum [m_e c] from kinetic energy [keV]."""
-    mc2_kev = M_E * C_LIGHT * C_LIGHT / 1.602176634e-19 / 1.0e3
-    gamma = 1.0 + np.asarray(e_kev) / mc2_kev
+    gamma = 1.0 + np.asarray(e_kev) / _MC2_KEV
     return np.sqrt(gamma * gamma - 1.0)
 
 
@@ -155,7 +157,7 @@ jax.tree_util.register_dataclass(
 
 
 def make_operator_2d(grid: Grid2D, daa, dap, dpp, loss_cone="absorbing",
-                     g_centers=None, t_alpha=None):
+                     g_centers=None):
     """Assemble the 2D operator from the cell-centered tensor.
 
     daa/dap/dpp: (n_a, n_p) at grid cell centers, solver units (p in m_e c;
@@ -175,7 +177,7 @@ def make_operator_2d(grid: Grid2D, daa, dap, dpp, loss_cone="absorbing",
     dpc = jnp.asarray(grid.dpc)
 
     if g_centers is None:
-        t_c = bounce_time_factor(grid.alpha_c) if t_alpha is None else t_alpha
+        t_c = bounce_time_factor(grid.alpha_c)
         t_f = bounce_time_factor(grid.alpha_f)
         ga_c = np.maximum(t_c * np.sin(grid.alpha_c) * np.cos(grid.alpha_c),
                           1.0e-12)
@@ -226,8 +228,16 @@ def make_operator_2d(grid: Grid2D, daa, dap, dpp, loss_cone="absorbing",
     mass = vol
 
     # diagonal of A for the Jacobi preconditioner: face terms scatter K
-    # onto both adjacent cells; the rank-1 cell terms' centered gradients
-    # have (near-)zero self-coefficient and are omitted.
+    # onto both adjacent cells. The rank-1 corner quadrature contributes
+    # too: each interior face gradient carries weight (r/4)(cell_lo +
+    # cell_hi) summed over its two corners, so its Hessian adds
+    # 0.5 (r_lo + r_hi) / h^2 to BOTH adjacent cells; the r_x cross term's
+    # self-coefficient cancels exactly at interior cells (the two face
+    # gradients' sensitivities are +-1/h), leaving only a small
+    # uncompensated wall-cell term -- harmless in a preconditioner. With
+    # an exactly rank-1 tensor the face remainders k_a/k_p vanish and
+    # these terms ARE the whole diagonal (verified <=0.1% vs the true
+    # Hessian diagonal; ~6% at walls in the general case).
     zrow = jnp.zeros((1, n_p), daa.dtype)
     diag = (jnp.concatenate([k_a, zrow], 0)
             + jnp.concatenate([zrow, k_a], 0))
@@ -235,6 +245,12 @@ def make_operator_2d(grid: Grid2D, daa, dap, dpp, loss_cone="absorbing",
     zcol = jnp.zeros((n_a, 1), daa.dtype)
     diag = diag + (jnp.concatenate([k_p, zcol], 1)
                    + jnp.concatenate([zcol, k_p], 1))
+    ra_face = 0.5 * (r_a[1:, :] + r_a[:-1, :]) / (da * da)
+    diag = diag + (jnp.concatenate([ra_face, zrow], 0)
+                   + jnp.concatenate([zrow, ra_face], 0))
+    rp_face = 0.5 * (r_p[:, 1:] + r_p[:, :-1]) / (dpc[None, :] ** 2)
+    diag = diag + (jnp.concatenate([rp_face, zcol], 1)
+                   + jnp.concatenate([zcol, rp_face], 1))
     return _Op2D(k_a=k_a, k_lc=k_lc, k_p=k_p, r_a=r_a, r_x=r_x, r_p=r_p,
                  mass=mass, diag=diag, da=da, dpc=dpc, n_a=n_a, n_p=n_p)
 
@@ -319,12 +335,18 @@ def _pcg(apply_h, b, x0, m_inv, tol, maxiter):
 
 @partial(jax.jit, static_argnames=("n_steps", "save_every", "cg_maxiter"))
 def evolve_cn_2d(f0, op: _Op2D, dt, n_steps, save_every=0,
-                 cg_tol=1.0e-10, cg_maxiter=500):
+                 cg_tol=None, cg_maxiter=500):
     """Crank-Nicolson evolution of M df/dt = -A f for n_steps of dt.
 
     Each step solves the SPD system (M + dt/2 A) f+ = (M - dt/2 A) f by
     preconditioned CG, warm-started from the previous f. save_every > 0
-    additionally returns snapshots stacked on a leading axis."""
+    additionally returns snapshots stacked on a leading axis; a
+    n_steps % save_every remainder is still evolved (f_end always
+    reflects the full n_steps). cg_tol defaults by dtype: 1e-10 in f64,
+    3e-6 in f32 -- a tighter tol than f32 residuals can reach would
+    silently burn cg_maxiter iterations per step."""
+    if cg_tol is None:
+        cg_tol = 1.0e-10 if f0.dtype == jnp.float64 else 3.0e-6
     half = 0.5 * dt
     m_inv = 1.0 / (op.mass + half * op.diag)
 
@@ -337,13 +359,15 @@ def evolve_cn_2d(f0, op: _Op2D, dt, n_steps, save_every=0,
         return f1, None
 
     if save_every:
-        n_out = n_steps // save_every
+        n_out, rem = divmod(n_steps, save_every)
 
         def chunk(f, _):
             f1, _ = jax.lax.scan(step, f, None, length=save_every)
             return f1, f1
 
         f_end, snaps = jax.lax.scan(chunk, f0, None, length=n_out)
+        if rem:
+            f_end, _ = jax.lax.scan(step, f_end, None, length=rem)
         return f_end, snaps
     f_end, _ = jax.lax.scan(step, f0, None, length=n_steps)
     return f_end

@@ -34,11 +34,10 @@ All jittable; the L grid is ~10^2 cells, so everything is host-trivial
 and the value is in the COUPLING to the framework's lifetime chain.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fokker_planck import build_operator, thomas_solve
+from .fokker_planck import build_operator, evolve_cn, thomas_solve
 
 
 def make_l_grid(l_in=1.1, l_out=7.0, n_cells=160):
@@ -116,32 +115,12 @@ def evolve_radial(f0, l_centers, l_faces, dl, dll_faces, dt, n_steps,
     """Crank-Nicolson evolution with the outer Dirichlet source held.
 
     (I - dt/2 A) f+ = (I + dt/2 A) f + dt b  per step (the sources are
-    constant in time, so they enter the CN step at full weight)."""
+    constant in time, so they enter the CN step at full weight) -- the
+    shared fokker_planck.evolve_cn machinery with source = b."""
     lo, dg, up = build_radial_operator(l_centers, l_faces, dl, dll_faces,
                                        inv_tau_centers)
     b = _outer_source(l_centers, l_faces, dl, dll_faces, f_out)
     if source_centers is not None:
         b = b + jnp.asarray(source_centers)
-    half = 0.5 * dt
-    dl_, dd_, du_ = -half * lo, 1.0 - half * dg, -half * up
-
-    def rhs_apply(f):
-        fm = jnp.concatenate([jnp.zeros_like(f[..., :1]), f[..., :-1]], -1)
-        fp_ = jnp.concatenate([f[..., 1:], jnp.zeros_like(f[..., :1])], -1)
-        return f + half * (lo * fm + dg * f + up * fp_) + dt * b
-
-    def step(f, _):
-        f1 = thomas_solve(dl_, dd_, du_, rhs_apply(f))
-        return f1, None
-
-    f0 = jnp.asarray(f0)
-    if save_every:
-        n_out = n_steps // save_every
-
-        def chunk(f, _):
-            f1, _ = jax.lax.scan(step, f, None, length=save_every)
-            return f1, f1
-
-        return jax.lax.scan(chunk, f0, None, length=n_out)
-    f_end, _ = jax.lax.scan(step, f0, None, length=n_steps)
-    return f_end
+    return evolve_cn(jnp.asarray(f0), (lo, dg, up), dt, n_steps,
+                     save_every=save_every, source=b)

@@ -224,3 +224,47 @@ def test_checkerboard_mode_is_damped():
     amp1 = np.abs((f1 * checker).mean())
     assert amp1 < 0.02 * amp0
     assert np.abs(f1 - 1.0).max() < 0.05
+
+
+def test_preconditioner_diag_matches_hessian():
+    """op.diag tracks the TRUE diagonal of A -- including the rank-1
+    corner-quadrature self-coefficients. Decisive case: an exactly
+    rank-1 tensor (single-resonance physics, e.g. the EMIC channel),
+    where the face remainders vanish and the rank-1 terms ARE the whole
+    diagonal; a stale diag there degenerates Jacobi-PCG to mass scaling."""
+    g = fp2.make_grid_2d(np.radians(8.0), 7, 0.5, 4.0, 6)
+    na, npp = 7, 6
+    daa = np.full((na, npp), 1.0)
+    dpp = np.full((na, npp), 1e-5)
+    dap = np.sqrt(daa * dpp)
+    op = fp2.make_operator_2d(g, daa, dap, dpp)
+    true_diag = np.diag(_dense(op, na, npp)).reshape(na, npp)
+    np.testing.assert_allclose(np.asarray(op.diag), true_diag, rtol=5e-3)
+
+    # general PSD tensor: only the wall cells' uncompensated cross term
+    # may deviate (~10%); interior must be exact to roundoff
+    rng = np.random.default_rng(3)
+    daa = rng.uniform(0.5, 2.0, (na, npp))
+    dpp = rng.uniform(0.5, 2.0, (na, npp))
+    dap = rng.uniform(-0.95, 0.95, (na, npp)) * np.sqrt(daa * dpp)
+    op = fp2.make_operator_2d(g, daa, dap, dpp)
+    true_diag = np.diag(_dense(op, na, npp)).reshape(na, npp)
+    rel = np.abs(np.asarray(op.diag) - true_diag) / np.abs(true_diag)
+    assert rel.max() < 0.15
+    assert rel[1:-1, 1:-1].max() < 1e-6
+
+
+def test_save_every_remainder_still_evolved():
+    """n_steps % save_every != 0: f_end reflects ALL n_steps (the
+    remainder tail is not silently dropped)."""
+    g = fp2.make_grid_2d(np.radians(8.0), 6, 0.5, 3.0, 5)
+    rng = np.random.default_rng(5)
+    daa = rng.uniform(0.5, 2.0, (6, 5))
+    op = fp2.make_operator_2d(g, daa, np.zeros((6, 5)), np.zeros((6, 5)))
+    f0 = jnp.asarray(rng.uniform(0.5, 1.5, (6, 5)))
+    f_plain = fp2.evolve_cn_2d(f0, op, 0.05, 7, cg_tol=1e-12)
+    f_chunk, snaps = fp2.evolve_cn_2d(f0, op, 0.05, 7, save_every=3,
+                                      cg_tol=1e-12)
+    assert snaps.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(f_chunk), np.asarray(f_plain),
+                               rtol=1e-9)

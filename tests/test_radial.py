@@ -124,3 +124,18 @@ def test_crand_source_builds_inner_belt():
     # outer zone unchanged by the inner source
     i_out = np.argmin(np.abs(centers - 5.5))
     np.testing.assert_allclose(f_src[i_out], f_no[i_out], rtol=1e-6)
+
+
+def test_evolve_radial_remainder_steps():
+    """evolve_radial with n_steps % save_every != 0 evolves the full
+    n_steps (shared fokker_planck.evolve_cn remainder handling)."""
+    centers, faces, dl = radial.make_l_grid(1.6, 6.4, 40)
+    d_faces = radial.dll_power_law(faces, d0=3.0e-8)
+    f0 = np.zeros(centers.size)
+    f_plain = np.asarray(radial.evolve_radial(
+        f0, centers, faces, dl, d_faces, dt=2.0e4, n_steps=11, f_out=1.0))
+    f_chunk, snaps = radial.evolve_radial(
+        f0, centers, faces, dl, d_faces, dt=2.0e4, n_steps=11, f_out=1.0,
+        save_every=4)
+    assert np.asarray(snaps).shape[0] == 2
+    np.testing.assert_allclose(np.asarray(f_chunk), f_plain, rtol=1e-12)
