@@ -1,12 +1,17 @@
-"""Round-3 stiff-pool A/B: stiff_stepper="ros2x" vs "ros3pr" on the knee.
+"""Round-3 stiff-pool A/B, FORCED hand-off: ros2x vs ros3pr integrating.
 
-tests/test_ros3pr.py proved the ROS3PR-class set (derived from first
-principles in tools/derive_ros3.py) has NO Prothero-Robinson order
-reduction where ros2x sits on a lambda-independent error floor. This
-run answers the remaining question from ROADMAP #5: does that matter ON
-CHIP for the production auto-mode stiff pool -- the rays the rounds
-tracer hands off after a rejection burst at the plasmapause knee /
-whistler reflection?
+First finding (this file's initial run, kept in perf_r03m.json under
+"default_switch"): at the production threshold (stiff_switch = 0.5) the
+knee fans NEVER trip the stiff hand-off under the BS3 base -- rejection
+stays at 1.5-2.4%, every round runs on the non-stiff pool, and the two
+stiff_stepper settings are bit-identical (statuses, steps, medians all
+equal; stiff_rounds = 0). perf_r03l.py measures the same incidence on
+the 10,240-ray headline. So the production A/B is moot by construction;
+to compare the steppers where they actually INTEGRATE, this run forces
+the hand-off with stiff_switch = 0.05 / stiff_unswitch = 0.0 (any
+rejection burst migrates the ray, and it stays) -- the regime CVODE's
+method switching would live in if the problem were as stiff as the
+reference's CVODE_BDF choice assumed.
 
 Workloads (auto over bs3 base, rtol 1e-5 / atol 1e-8 f32):
   knee2d -- the knee preset fan scaled to 384 rays (lats 0.9-1.15,
@@ -18,8 +23,8 @@ Workloads (auto over bs3 base, rtol 1e-5 / atol 1e-8 f32):
 For each: stiff_stepper in {ros2x, ros3pr}; identical everything else.
 Records wall, attempted steps, the stiff-pool rounds specifically
 (stepper field of tracer.last_rounds), per-ray status agreement, and
-landing medians. Decision rule: the cheaper wall at equal statuses and
-medians-within-noise wins the default.
+landing medians. Decision rule: the cheaper stiff-pool wall at equal
+statuses and medians-within-noise wins the default.
 
 Writes benchmarks/perf_r03m.json.
 """
@@ -92,7 +97,8 @@ def main():
             env, frame=frame, mesh=mesh, cfg=cfg, spec=stop,
             max_steps=20000, round_steps=(2048, 2048, 1024), chunk=512,
             bucket_floor=256, stepper="auto", base_stepper="bs3",
-            stiff_stepper=stiff, want_carry=False,
+            stiff_stepper=stiff, stiff_switch=0.05, stiff_unswitch=0.0,
+            want_carry=False,
         )
         tracer(u0, f, valid)  # compile + warm
         walls = []
@@ -145,8 +151,18 @@ def main():
         print(wl, "agreement", recs["status_agreement_pct"], flush=True)
         results[wl] = recs
 
+    payload = {"forced_switch_0p05": results}
+    # preserve the default-threshold run (stiff pool never entered) if
+    # its results are already on disk from the first pass of this file
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            prior = json.load(fh)
+        if "forced_switch_0p05" not in prior:
+            payload["default_switch_0p5"] = prior
+        else:
+            payload["default_switch_0p5"] = prior.get("default_switch_0p5")
     with open(OUT, "w") as fh:
-        json.dump(results, fh, indent=1)
+        json.dump(payload, fh, indent=1)
     print("wrote", OUT)
 
 

@@ -105,7 +105,7 @@ class RunConfig:
     dt0: float = 1.0e-4
     adaptive: bool = True
     stepper: str = "auto"           # "auto" (rounds tracer switches
-                                    # DP5 <-> ros2x per ray on rejection
+                                    # base <-> ros3pr per ray on rejection
                                     # bursts, like CVODE's method choice)
                                     # | "dopri5" | "bs3" | "heun2" |
                                     # "ros2" | "ros2x" | "ros3pr"
@@ -267,7 +267,7 @@ def preset(name, **overrides):
         # auto stepping over the BS3 base: the ensemble rides dt_max
         # (median accepted dt = 0.985 dt_max, perf_r03.json), so the
         # half-cost 3(2) pair wins 1.7x wall at the same tolerance
-        # contract; the stiff ros2x pool is unchanged.
+        # contract; the stiff pool (ros3pr) is unchanged.
         "ensemble10k": dict(
             name="ensemble10k", frame="2d_lat",
             medium=MediumConfig(b0=B0_2D),
@@ -312,7 +312,7 @@ def preset(name, **overrides):
         ),
         # 3D knee stress: 7-state rays launched so their trajectories
         # traverse L ~ Lppi..Lppo (the plasmapause gradient region that
-        # drives DP5 rejection bursts and the auto-mode ros2x pool --
+        # drives DP5 rejection bursts and the auto-mode stiff pool --
         # with the 7x7 unpivoted W-solve, steppers._solve_nopivot).
         "knee_3d": dict(
             name="knee_3d", frame="3d",

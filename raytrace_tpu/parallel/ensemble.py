@@ -225,7 +225,7 @@ def make_rounds_tracer(
     stall_progress: float = 1.0e-3,
     stiff_switch: float = 0.5,
     stiff_unswitch: float = 0.02,
-    stiff_stepper: str = "ros2x",
+    stiff_stepper: str = "ros3pr",
     base_stepper: str = "dopri5",
     order_switch_dt: float = 0.0,
     order_unswitch_dt: float = 0.5,
@@ -240,8 +240,11 @@ def make_rounds_tracer(
     rejection fraction over a round exceeds `stiff_switch` (the
     rejection-burst signature of stiff dynamics at whistler reflection
     points / the plasmapause knee -- measured 77% there) is re-bucketed
-    into a stiff pool integrated with `stiff_stepper` (default ros2x,
-    L-stable order-3 Rosenbrock; "ros4x" serves tight tolerances), and
+    into a stiff pool integrated with `stiff_stepper` (default ros3pr,
+    the in-repo-derived stage-order-aware Rosenbrock: on the forced
+    knee A/B it needs 7x fewer stiff attempts than ros2x on the 7-state
+    frame at equal landings, benchmarks/perf_r03m.json; "ros2x" is the
+    L-stable order-3 alternative, "ros4x" serves tight tolerances), and
     returns to DP5 when its round rejection falls below
     `stiff_unswitch`. Pools are separate compiled programs over the same
     RayCarry, so the switch is exact (dt/controller state carry over) and
@@ -281,7 +284,7 @@ def make_rounds_tracer(
     the remaining budget runs as ONE round -- and the rays still alive
     there are the ones the scheduled rounds did not finish, i.e.
     accuracy-limited (ceiling-riders exhaust the phase budget in
-    ~t_max/dt_max ~ 5k steps; stiff rays are in the ros2x pool), which
+    ~t_max/dt_max ~ 5k steps; stiff rays are in their own pool), which
     is order 5's regime on paper (~4.6x bigger steps than the bs3 base
     for 2x the stage cost, zero extra programs since the merged tail is
     its own program either way). MEASURED NEGATIVE on the headline
@@ -533,7 +536,7 @@ def make_rounds_tracer(
         # the final result patches the status column
         override = np.full(n, -1, np.int32)
 
-        # per-ray stiff flag (auto mode): rejection burst -> ros2x pool.
+        # per-ray stiff flag (auto mode): rejection burst -> stiff pool.
         # Switching is gated on PROGRESS: a bursting ray that also made no
         # phase-path progress is a Zeno ray wedged on a dispersion
         # singularity -- not stiff-solvable; it gets DT_UNDERFLOW from the
@@ -690,7 +693,7 @@ def make_rounds_tracer(
             steps_done += nr
             i += 1
 
-        run.last_stiff = stiff  # which rays ended on the ros2x pool
+        run.last_stiff = stiff  # which rays ended on the stiff pool
         run.last_slow = slow    # which rays ended on the dopri5 pool
         patch = override >= 0
         if not want_carry:

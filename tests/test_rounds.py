@@ -79,9 +79,11 @@ def test_caution_controller_limits_rejection_bursts():
 
 def test_auto_stepper_pool_handoff():
     """stepper='auto': rays crossing the switch threshold are re-bucketed
-    into the ros2x pool mid-flight; the carry hand-off across methods must
+    into the stiff pool mid-flight; the carry hand-off across methods must
     produce the same physics (statuses equal, landing states within the
-    cross-method tolerance). Threshold forced low so smooth rays switch."""
+    cross-method tolerance). Threshold forced low so smooth rays switch;
+    ros2x pinned explicitly (ros3pr -- the default pool -- has its own
+    test below)."""
     mesh, env, u0, f, valid = _setup(tuple(np.linspace(0.6, 0.9, 4)))
     kw = dict(
         mesh=mesh, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
@@ -89,7 +91,8 @@ def test_auto_stepper_pool_handoff():
         round_steps=256, bucket_floor=8,
     )
     auto_tr = make_rounds_tracer(
-        env, stepper="auto", stiff_switch=0.001, stiff_unswitch=0.0, **kw
+        env, stepper="auto", stiff_stepper="ros2x",
+        stiff_switch=0.001, stiff_unswitch=0.0, **kw
     )
     res_auto = auto_tr(u0, f, valid)
     assert auto_tr.last_stiff is not None and auto_tr.last_stiff.any()
@@ -107,11 +110,12 @@ def test_auto_stepper_pool_handoff():
 
 
 def test_auto_pool_ros3pr_stiff_stepper():
-    """stiff_stepper='ros3pr' through the production rounds path: the
-    derived stage-order-aware Rosenbrock (tools/derive_ros3.py) serves
-    as the auto-mode stiff pool, with the same carry hand-off contract
-    as ros2x -- statuses equal to the pure-DP5 run, landing states
-    within the cross-method tolerance."""
+    """The DEFAULT stiff pool (ros3pr, the derived stage-order-aware
+    Rosenbrock of tools/derive_ros3.py -- promoted after the forced knee
+    A/B, benchmarks/perf_r03m.json) through the production rounds path,
+    with the same carry hand-off contract as ros2x -- statuses equal to
+    the pure-DP5 run, landing states within the cross-method
+    tolerance."""
     mesh, env, u0, f, valid = _setup(tuple(np.linspace(0.6, 0.9, 4)))
     kw = dict(
         mesh=mesh, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
