@@ -1,0 +1,332 @@
+"""Magnetospheric convection electric field, cold-plasma drift paths,
+the self-consistent plasmapause, and energy-dependent Alfven layers.
+
+This closes the loop the plasmasphere model leaves open: the reference
+takes the plasmapause location as an EMPIRICAL input, Lppi = 5.6 -
+0.46 Kp_max (plasmasphere.jl:43 -> models/plasmasphere.py:
+lppi_from_kp), with the outer knee Lppo found by a density scan. The
+physics behind that relation is drift kinematics: cold plasma E x B
+drifts along equipotentials of the total (corotation + convection)
+electric potential, and the plasmapause is the LAST CLOSED
+EQUIPOTENTIAL (LCE) through the dusk stagnation point -- flux tubes
+inside corotate and stay filled, flux tubes outside convect to the
+magnetopause and drain. This module derives that boundary from the
+framework's own dipole field and a Volland-Stern convection model, and
+the test suite checks the derived MLT-averaged LCE radius against the
+CA1992 empirical relation over the active-Kp range -- the empirical
+law comes OUT of the drift physics here, it is not quoted anywhere in
+this module.
+
+Model (equatorial plane; SI volts; phi = MLT angle, eastward from
+noon, so dusk = +pi/2, dawn = -pi/2; MLT increases eastward):
+
+  corotation   Phi_cor(L)      = -C_cor / L,  C_cor = Omega_E B0 RE^2
+                                 (~92 kV: the corotation potential drop
+                                 from infinity to L=1)
+  convection   Phi_vs(L, phi)  = -A L^gamma sin(phi)   (Volland 1973 /
+                                 Stern 1975; gamma=2 is the standard
+                                 shielding exponent)
+  Kp scaling   A(Kp) per Maynard & Chen (1975):
+                                 A = 45 / (1 - 0.159 Kp + 0.0093 Kp^2)^3
+                                 volts/RE^2.
+
+With B = (B0/L^3) z_hat at the magnetic equator (northward; the
+equatorial limit of models/dipole.py), the E x B drift is
+
+  v_E = (z_hat x grad Phi)/B,
+
+so drift paths are level sets of Phi. The dusk stagnation point is the
+saddle d(Phi)/dL = 0 at sin(phi) = 1:
+
+  L_s = (C_cor / (gamma A))^(1/(gamma+1))      [= (C/2A)^(1/3) at gamma=2]
+
+and the plasmapause is the Phi = Phi(L_s, dusk) contour -- the classic
+teardrop with its bulge at dusk.
+
+Energetic electrons add the gradient-curvature drift (drift.py). For
+equatorially mirroring particles the full drift Hamiltonian is
+
+  H(L, phi; M) = gamma_rel(M, B(L)) m c^2 + q Phi(L, phi),
+
+conserved along drift paths at fixed relativistic first invariant
+M = p_perp^2 / (2 m B). Its level sets are the energy-dependent drift
+shells; the last closed H-contour is the ALFVEN LAYER separating open
+(convecting) from closed (trapped) energetic-electron orbits. For
+electrons (q = -e) the gradient drift is eastward like corotation, so
+the stagnation saddle stays at dusk and moves OUTWARD with energy --
+the M -> 0 limit reproduces the plasmapause LCE exactly (tested).
+
+Everything here is host-side NumPy float64 on ~10^2-point grids (like
+radial.py / drift.py): these are once-per-run boundary solves, not hot
+loops; the value is that they are derived from the same constants and
+dipole as the traced rays.
+"""
+
+import math
+
+import numpy as np
+
+from .constants import B0_3D, C_LIGHT, M_E, Q_E, RE
+
+# Earth's sidereal rotation rate [rad/s].
+OMEGA_EARTH = 7.2921159e-5
+
+# Corotation potential constant C_cor = Omega B0 RE^2 [V] (~92.4 kV).
+C_COROTATION_V = OMEGA_EARTH * B0_3D * RE * RE
+
+_MC2_J = M_E * C_LIGHT * C_LIGHT
+
+
+def maynard_chen_a(kp):
+    """Volland-Stern amplitude A(Kp) [V/RE^2] (Maynard & Chen 1975).
+
+    A = 0.045 / (1 - 0.159 Kp + 0.0093 Kp^2)^3 kV/RE^2. The quadratic
+    has no real roots (discriminant < 0), so the denominator is
+    positive for all Kp; A grows monotonically up to the denominator's
+    minimum at Kp ~ 8.5 (the fit was made for Kp <= 6)."""
+    kp = np.asarray(kp, np.float64)
+    denom = 1.0 - 0.159 * kp + 0.0093 * kp * kp
+    return 45.0 / denom**3
+
+
+def potential(l_shell, mlt_rad, kp, gamma_shield=2.0, corotation=True):
+    """Total equatorial electric potential Phi [V].
+
+    l_shell, mlt_rad broadcast; mlt_rad is the MLT angle eastward from
+    noon (dusk = +pi/2). corotation=False gives the bare Volland-Stern
+    term (uniform dawn-dusk field at gamma_shield=1)."""
+    l = np.asarray(l_shell, np.float64)
+    phi = np.asarray(mlt_rad, np.float64)
+    a = maynard_chen_a(kp)
+    v = -a * l**gamma_shield * np.sin(phi)
+    if corotation:
+        v = v - C_COROTATION_V / l
+    return v
+
+
+def exb_drift(l_shell, mlt_rad, kp, gamma_shield=2.0):
+    """Cold-plasma E x B drift in the equatorial plane.
+
+    Returns a dict with dl_dt [RE/s] and dphi_dt [rad/s] computed from
+    v_E = (z_hat x grad Phi)/B with B = B0/L^3 northward:
+
+      dphi/dt = (1/(L RE)) * (dPhi/dr) / B
+      dL/dt   = -(1/(L RE)) * (dPhi/dphi) / (B RE)   [per RE]
+
+    The corotation term alone gives dphi/dt = Omega_E exactly (tested);
+    signs make eastward positive."""
+    l = np.asarray(l_shell, np.float64)
+    phi = np.asarray(mlt_rad, np.float64)
+    a = maynard_chen_a(kp)
+    b_t = B0_3D / l**3
+    # dPhi/dr [V/m]: d/dr(-C/L) = C/(L^2 RE); convection term
+    dphi_dr = (C_COROTATION_V / (l * l)
+               - gamma_shield * a * l ** (gamma_shield - 1.0)
+               * np.sin(phi)) / RE
+    # dPhi/dphi [V/rad]
+    dphi_dphi = -a * l**gamma_shield * np.cos(phi)
+    return {
+        "dphi_dt": dphi_dr / (l * RE * b_t),
+        "dl_dt": -dphi_dphi / (l * RE * RE * b_t),
+    }
+
+
+def stagnation_point(kp, gamma_shield=2.0):
+    """Dusk stagnation point of the cold-plasma flow.
+
+    Closed form: dPhi/dL = 0 at sin(phi)=1 gives
+    L_s = (C_cor / (gamma A))^(1/(gamma+1)). Returns (L_s, Phi_s)."""
+    a = maynard_chen_a(kp)
+    l_s = (C_COROTATION_V / (gamma_shield * a)) ** (1.0 /
+                                                    (gamma_shield + 1.0))
+    phi_s = potential(l_s, 0.5 * math.pi, kp, gamma_shield)
+    return float(l_s), float(phi_s)
+
+
+def _contour_radius(value_fn, target, mlt, l_lo, l_hi, n_bisect=70):
+    """Innermost radius where the monotone-bracketed value_fn(L, mlt)
+    crosses target, per MLT (vectorized bisection)."""
+    lo = np.full_like(mlt, l_lo, np.float64)
+    hi = np.full_like(mlt, l_hi, np.float64)
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo + hi)
+        below = value_fn(mid, mlt) < target
+        lo = np.where(below, mid, lo)
+        hi = np.where(below, hi, mid)
+    return 0.5 * (lo + hi)
+
+
+def plasmapause(kp, n_mlt=96, gamma_shield=2.0):
+    """Last closed equipotential: the derived plasmapause.
+
+    Returns a dict:
+      mlt_rad    -- MLT angles (eastward from noon), shape (n_mlt,)
+      l_pp       -- LCE radius at each MLT [RE]
+      l_stag     -- dusk stagnation radius (the maximum of l_pp)
+      l_mean     -- MLT-averaged LCE radius; this is the quantity the
+                    CA1992 Lppi(Kp) relation describes (tested against
+                    models/plasmasphere.lppi_from_kp without quoting it)
+
+    The LCE is the Phi = Phi_stag contour. Along every meridian, Phi
+    rises monotonically from -inf (corotation dominates inward) to
+    Phi(L_s, mlt) >= Phi_stag (equality exactly at dusk: at fixed L the
+    convection term -A L^g sin(phi) is smallest at dusk), so the
+    contour has exactly one root in (0, L_s] and bisection on
+    [0.05, L_s] is safe -- dPhi/dL = C/L^2 - g A L^(g-1) sin(phi) > 0
+    there because the per-meridian saddle radius is >= L_s."""
+    l_s, phi_s = stagnation_point(kp, gamma_shield)
+    mlt = (np.arange(n_mlt) + 0.5) * (2.0 * math.pi / n_mlt) - math.pi
+
+    def val(l, m):
+        return potential(l, m, kp, gamma_shield)
+
+    l_pp = _contour_radius(val, phi_s, mlt, 0.05, l_s)
+    return {
+        "mlt_rad": mlt,
+        "l_pp": l_pp,
+        "l_stag": l_s,
+        "l_mean": float(l_pp.mean()),
+    }
+
+
+def _gamma_rel(m_inv, b_t):
+    """Relativistic gamma of an equatorially-mirroring particle with
+    first invariant M = p_perp^2/(2 m B) in field B: p^2 = 2 m M B,
+    gamma = sqrt(1 + p^2 c^2 / (m c^2)^2)."""
+    p2c2 = 2.0 * M_E * m_inv * b_t * C_LIGHT * C_LIGHT
+    return np.sqrt(1.0 + p2c2 / (_MC2_J * _MC2_J))
+
+
+def electron_hamiltonian(l_shell, mlt_rad, m_inv, kp, gamma_shield=2.0):
+    """Drift Hamiltonian H = gamma_rel m c^2 - e_signed Phi [J] for
+    equatorially mirroring electrons (q = -e) at fixed first invariant
+    m_inv [J/T]. Level sets are drift paths; M -> 0 reduces to the
+    cold-plasma equipotentials (up to the constant rest energy)."""
+    l = np.asarray(l_shell, np.float64)
+    b_t = B0_3D / l**3
+    phi_v = potential(l, mlt_rad, kp, gamma_shield)
+    return _gamma_rel(m_inv, b_t) * _MC2_J + (-Q_E) * phi_v
+
+
+def alfven_layer(e_kev, kp, gamma_shield=2.0, n_mlt=96, n_iter=40):
+    """Energy-dependent last closed drift shell for equatorial electrons.
+
+    e_kev is the particle kinetic energy AT the dusk stagnation point of
+    its own layer (the natural label: M is then fixed self-consistently
+    by M = p_perp^2(E)/(2 m B(L_s)), with L_s itself depending on M --
+    solved by fixed-point iteration, which contracts because L_s grows
+    slowly with M). Returns per energy (broadcast over e_kev):
+      l_stag   -- dusk stagnation radius of the layer
+      l_mean   -- MLT-averaged layer radius
+      l_dawn   -- radius at dawn (the tightest constriction)
+      m_inv    -- the converged first invariant [J/T]
+
+    Electrons' gradient drift is eastward (with corotation), so the
+    saddle stays at dusk and moves outward with energy; e_kev -> 0
+    reproduces plasmapause() (tested)."""
+    e_kev = np.atleast_1d(np.asarray(e_kev, np.float64))
+    a = maynard_chen_a(kp)
+
+    def p2_of_e(e_kev_arr):
+        g = 1.0 + e_kev_arr * 1.0e3 * Q_E / _MC2_J
+        return (g * g - 1.0) * _MC2_J * M_E  # p^2 = (gamma^2-1) m^2 c^2
+
+    # dusk saddle: dH/dL = 0 with H(L) = gamma(M,B)mc^2 + e*A*L^g + e*C/L
+    # dgamma/dL = (M/(gamma mc^2)) dB/dL = -3 M B /(gamma mc^2 L)
+    def dusk_saddle(m_inv):
+        # solve f(L) = dH/dL = -3 M B(L)/(gamma L) + e g A L^(g-1)
+        #                      - e C/L^2 = 0
+        # by bisection: f < 0 inside (H decreasing: eastward-trapped),
+        # f > 0 outside. The hi bracket is deliberately far beyond any
+        # physical magnetopause: the saddle scales like
+        # L_s^2 ~ 3 E_kin/(2 e A), so a 100 keV electron at Kp=3 sits at
+        # L_s ~ 27 -- a layer beyond ~10 RE simply means "trapped at
+        # every local L" (only ~keV ring-current/plasma-sheet energies
+        # have Alfven layers inside the magnetosphere).
+        lo = np.full_like(m_inv, 1.5)
+        hi = np.full_like(m_inv, 1.0e4)
+        for _ in range(80):
+            mid = 0.5 * (lo + hi)
+            b_t = B0_3D / mid**3
+            g_rel = _gamma_rel(m_inv, b_t)
+            f = (-3.0 * m_inv * b_t / (g_rel * mid)
+                 + Q_E * gamma_shield * a * mid ** (gamma_shield - 1.0)
+                 - Q_E * C_COROTATION_V / mid**2) / RE
+            lo = np.where(f < 0.0, mid, lo)
+            hi = np.where(f < 0.0, hi, mid)
+        return 0.5 * (lo + hi)
+
+    # fixed point: M from E at the current L_s, L_s from M
+    l_s = np.full(e_kev.shape, stagnation_point(kp, gamma_shield)[0])
+    m_inv = np.zeros_like(e_kev)
+    for _ in range(n_iter):
+        b_s = B0_3D / l_s**3
+        m_inv = p2_of_e(e_kev) / (2.0 * M_E * b_s)
+        l_s = dusk_saddle(m_inv)
+
+    mlt = (np.arange(n_mlt) + 0.5) * (2.0 * math.pi / n_mlt) - math.pi
+    h_sep = electron_hamiltonian(l_s, 0.5 * math.pi, m_inv, kp,
+                                 gamma_shield)
+
+    # H decreases inward along each meridian? H = gamma mc^2 - e Phi...
+    # moving inward: gamma grows (B grows) and -e*Phi with Phi -> -inf
+    # gives -e*Phi -> +inf... both INCREASE inward, so H > H_sep inside
+    # and the contour is bracketed by H - H_sep crossing zero from
+    # above: bisect on (H(L) - H_sep) decreasing in L near the root.
+    l_layer = np.empty(e_kev.shape + mlt.shape)
+    for i in np.ndindex(e_kev.shape):
+        def val(l, m, _i=i):
+            return -electron_hamiltonian(l, m, m_inv[_i], kp,
+                                         gamma_shield)
+        l_layer[i] = _contour_radius(val, -h_sep[i], mlt, 0.05,
+                                     float(l_s[i]))
+
+    dawn_idx = int(np.argmin(np.abs(mlt + 0.5 * math.pi)))
+    return {
+        "e_kev": e_kev,
+        "l_stag": l_s,
+        "l_mean": l_layer.mean(axis=-1),
+        "l_dawn": l_layer[..., dawn_idx],
+        "l_layer": l_layer,
+        "mlt_rad": mlt,
+        "m_inv": m_inv,
+    }
+
+
+def trace_drift_path(l0, mlt0_rad, kp, t_span_s, n_steps=4000,
+                     gamma_shield=2.0, l_escape=15.0):
+    """Integrate one cold-plasma drift path (RK4, host-side).
+
+    Returns dict of l, mlt_rad, t_s arrays plus escaped (bool) and
+    n_valid. Paths inside the plasmapause close on themselves (tested:
+    return to start); paths outside leave sunward -- once L exceeds
+    l_escape (a stand-in for the magnetopause, where the dipole +
+    Volland-Stern model has no authority anyway) the trajectory is
+    frozen at its last value and escaped=True. Useful for plasmaspheric
+    plume / erosion visualisation."""
+    dt = float(t_span_s) / n_steps
+
+    def rhs(y):
+        d = exb_drift(y[0], y[1], kp, gamma_shield)
+        return np.array([d["dl_dt"], d["dphi_dt"]], np.float64)
+
+    y = np.array([float(l0), float(mlt0_rad)], np.float64)
+    out = np.empty((n_steps + 1, 2))
+    out[0] = y
+    escaped = False
+    n_valid = n_steps + 1
+    for i in range(n_steps):
+        k1 = rhs(y)
+        k2 = rhs(y + 0.5 * dt * k1)
+        k3 = rhs(y + 0.5 * dt * k2)
+        k4 = rhs(y + dt * k3)
+        y = y + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        if not np.isfinite(y).all() or y[0] > l_escape or y[0] < 1.0:
+            out[i + 1:] = out[i]
+            escaped = True
+            n_valid = i + 1
+            break
+        out[i + 1] = y
+    t = np.arange(n_steps + 1) * dt
+    return {"l": out[:, 0], "mlt_rad": out[:, 1], "t_s": t,
+            "escaped": escaped, "n_valid": n_valid}
