@@ -293,6 +293,47 @@ def alfven_layer(e_kev, kp, gamma_shield=2.0, n_mlt=96, n_iter=40):
     }
 
 
+def erosion_times(kp_quiet, kp_storm, n_mlt=24, l_escape=10.0,
+                  t_max_s=48.0 * 3600.0, n_steps=6000,
+                  gamma_shield=2.0):
+    """Drift-kinematic plasmasphere stripping times after a Kp step.
+
+    models/storm.py ASSUMES a fast-erosion relaxation time tau_erode
+    ~ 3 h; this derives the same timescale from the drift physics.
+    Parcels are seeded on the quiet-time plasmapause (the material
+    boundary) at n_mlt local times; after Kp jumps to kp_storm they lie
+    outside the new last closed equipotential, so the enhanced
+    convection carries them sunward and out. The stripping time is the
+    drift time to l_escape (a stand-in magnetopause) under the storm
+    field. Nightside parcels must first corotate around to the dayside
+    outflow path, so the MEDIAN time is a fraction of a corotation day
+    -- hours, which is exactly the tau_erode scale storm.py quotes
+    (tested: the derived median falls in the 1-12 h bracket and shrinks
+    with storm strength).
+
+    Parcels still inside the new LCE (weak steps) never escape and
+    report +inf. Returns dict: mlt_rad, t_strip_s, t_median_s,
+    frac_stripped."""
+    pp_q = plasmapause(kp_quiet, n_mlt=n_mlt, gamma_shield=gamma_shield)
+    t_strip = np.full(n_mlt, np.inf)
+    for i in range(n_mlt):
+        tr = trace_drift_path(float(pp_q["l_pp"][i]),
+                              float(pp_q["mlt_rad"][i]), kp_storm,
+                              t_max_s, n_steps=n_steps,
+                              gamma_shield=gamma_shield,
+                              l_escape=l_escape)
+        if tr["escaped"]:
+            t_strip[i] = tr["t_s"][tr["n_valid"] - 1]
+    stripped = np.isfinite(t_strip)
+    return {
+        "mlt_rad": pp_q["mlt_rad"],
+        "t_strip_s": t_strip,
+        "t_median_s": (float(np.median(t_strip[stripped]))
+                       if stripped.any() else math.inf),
+        "frac_stripped": float(stripped.mean()),
+    }
+
+
 def trace_drift_path(l0, mlt0_rad, kp, t_span_s, n_steps=4000,
                      gamma_shield=2.0, l_escape=15.0):
     """Integrate one cold-plasma drift path (RK4, host-side).

@@ -11,7 +11,12 @@ storm phases:
   - **Erosion** is fast: enhanced convection strips the outer
     plasmasphere within hours of a Kp rise, so the plasmapause follows
     the instantaneous CA1992 position inward with a short relaxation
-    time (``tau_erode``, ~3 h).
+    time (``tau_erode``, ~3 h). That constant is no longer merely
+    assumed: ``raytrace_tpu.convection.erosion_times`` derives the
+    same hours-scale stripping clock from drift kinematics (median
+    drift time from the quiet boundary to the magnetopause after the
+    Kp step -- 2.9 h for a 1->4 step, faster for stronger storms;
+    examples/plasmasphere_erosion.py renders the plume it implies).
   - **Refilling** is slow: after the storm the trough refills from the
     ionosphere over days, so the plasmapause relaxes back outward with
     ``tau_refill`` (~30 h at the plasmapause; full saturation at high L

@@ -167,3 +167,19 @@ def test_maynard_chen_monotone_and_positive():
     assert (a > 0.0).all()
     kp = np.linspace(0.0, 8.5, 50)
     assert (np.diff(cv.maynard_chen_a(kp)) > 0.0).all()
+
+
+def test_erosion_times_derive_storm_tau():
+    """The drift-kinematic stripping time after a Kp step lands on the
+    hours scale models/storm.py assumes for tau_erode (~3 h), and
+    stronger storms strip faster. Everything seeded on the quiet
+    boundary is outside the storm LCE and eventually leaves."""
+    prev = None
+    for ks in (4.0, 5.0, 6.0):
+        r = cv.erosion_times(1.0, ks, n_mlt=16)
+        assert r["frac_stripped"] == 1.0
+        t_h = r["t_median_s"] / 3600.0
+        assert 0.5 < t_h < 12.0, t_h
+        if prev is not None:
+            assert t_h < prev
+        prev = t_h
