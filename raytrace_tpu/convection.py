@@ -328,17 +328,37 @@ def erosion_times(kp_quiet, kp_storm, n_mlt=24, l_escape=10.0,
 
     Parcels still inside the new LCE (weak steps) never escape and
     report +inf. Returns dict: mlt_rad, t_strip_s, t_median_s,
-    frac_stripped."""
+    frac_stripped.
+
+    All seeds advance together through one vectorized RK4 on the E x B
+    field (exb_drift broadcasts over the parcel axis); escapers are
+    frozen where they crossed and stamped with the crossing time."""
     pp_q = plasmapause(kp_quiet, n_mlt=n_mlt, gamma_shield=gamma_shield)
     t_strip = np.full(n_mlt, np.inf)
-    for i in range(n_mlt):
-        tr = trace_drift_path(float(pp_q["l_pp"][i]),
-                              float(pp_q["mlt_rad"][i]), kp_storm,
-                              t_max_s, n_steps=n_steps,
-                              gamma_shield=gamma_shield,
-                              l_escape=l_escape)
-        if tr["escaped"]:
-            t_strip[i] = tr["t_s"][tr["n_valid"] - 1]
+    dt = float(t_max_s) / n_steps
+    l = pp_q["l_pp"].copy()
+    phi = pp_q["mlt_rad"].copy()
+    alive = np.ones(n_mlt, bool)
+
+    def f(lv, pv):
+        d = exb_drift(np.clip(lv, 1.0, l_escape + 1.0), pv, kp_storm,
+                      gamma_shield)
+        return d["dl_dt"], d["dphi_dt"]
+
+    for i in range(n_steps):
+        if not alive.any():
+            break
+        k1l, k1p = f(l, phi)
+        k2l, k2p = f(l + 0.5 * dt * k1l, phi + 0.5 * dt * k1p)
+        k3l, k3p = f(l + 0.5 * dt * k2l, phi + 0.5 * dt * k2p)
+        k4l, k4p = f(l + dt * k3l, phi + dt * k3p)
+        l = np.where(alive, l + (dt / 6.0) * (k1l + 2 * k2l + 2 * k3l
+                                              + k4l), l)
+        phi = np.where(alive, phi + (dt / 6.0) * (k1p + 2 * k2p + 2 * k3p
+                                                  + k4p), phi)
+        crossed = alive & (~np.isfinite(l) | (l > l_escape))
+        t_strip[crossed] = (i + 1) * dt
+        alive &= ~crossed
     stripped = np.isfinite(t_strip)
     return {
         "mlt_rad": pp_q["mlt_rad"],

@@ -15,7 +15,7 @@ storm phases:
     assumed: ``raytrace_tpu.convection.erosion_times`` derives the
     same hours-scale stripping clock from drift kinematics (median
     drift time from the quiet boundary to the magnetopause after the
-    Kp step -- 2.9 h for a 1->4 step, faster for stronger storms;
+    Kp step -- 2.8 h for a Kp 1->4 step, faster for stronger storms;
     examples/plasmasphere_erosion.py renders the plume it implies).
   - **Refilling** is slow: after the storm the trough refills from the
     ionosphere over days, so the plasmapause relaxes back outward with
