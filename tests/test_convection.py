@@ -11,10 +11,10 @@ range -- the module itself never quotes that relation."""
 import math
 
 import numpy as np
-import pytest
+
 
 from raytrace_tpu import convection as cv
-from raytrace_tpu.constants import B0_3D, M_E, Q_E, RE, C_LIGHT
+from raytrace_tpu.constants import C_LIGHT, M_E, Q_E, RE
 from raytrace_tpu.models.plasmasphere import lppi_from_kp
 
 
