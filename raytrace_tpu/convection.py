@@ -119,6 +119,27 @@ def lppi_derived(kp, n_mlt=64, gamma_shield=2.0):
     return float(out[0]) if kp.ndim == 0 else out.reshape(kp.shape)
 
 
+def lppi_at_mlt(kp, mlt_hours, n_mlt=96, gamma_shield=2.0):
+    """Derived plasmapause radius at a specific magnetic local time.
+
+    The CA1992 fit (and hence the traced medium's knee) is MLT-
+    independent, but the real boundary is the teardrop: ~40% farther
+    out at dusk than dawn. mlt_hours uses the framework's convention
+    (hours, 12 = noon, 18 = dusk; plasmasphere.jl:46 uses mlt=2).
+    Scalar or array mlt_hours; returns the LCE radius there, so an
+    MLT-local env can pin its knee via
+    make_env(kp_max=(5.6 - L)/0.46) exactly as models/storm.py does."""
+    pp = plasmapause(kp, n_mlt=n_mlt, gamma_shield=gamma_shield)
+    ang = (np.asarray(mlt_hours, np.float64) - 12.0) * (math.pi / 12.0)
+    ang = np.mod(ang + math.pi, 2.0 * math.pi) - math.pi
+    # periodic interpolation on the cell-centered mlt grid
+    grid = np.concatenate([pp["mlt_rad"] - 2.0 * math.pi, pp["mlt_rad"],
+                           pp["mlt_rad"] + 2.0 * math.pi])
+    vals = np.tile(pp["l_pp"], 3)
+    out = np.interp(ang, grid, vals)
+    return float(out) if np.ndim(mlt_hours) == 0 else out
+
+
 def exb_drift(l_shell, mlt_rad, kp, gamma_shield=2.0):
     """Cold-plasma E x B drift in the equatorial plane.
 

@@ -209,3 +209,21 @@ def test_lppi_derived_drop_in_for_storm_chain():
     assert np.isfinite(lpp_d).all() and (lpp_d > 1.5).all()
     # same storm story: erodes after the Kp=5 onset
     assert lpp_d[4] < lpp_d[0]
+
+
+def test_lppi_at_mlt_dusk_bulge_and_env_pinning():
+    """Per-MLT boundary: dusk sits well outside dawn; values track the
+    full contour; an MLT-local env pins its knee to the derived radius
+    through the same kp_max inversion storm.py uses."""
+    from raytrace_tpu.models import medium
+
+    l_dusk = cv.lppi_at_mlt(3.0, 18.0)
+    l_dawn = cv.lppi_at_mlt(3.0, 6.0)
+    assert l_dusk > 1.25 * l_dawn
+    # array input + periodicity (30 h == 6 h)
+    arr = cv.lppi_at_mlt(3.0, np.array([6.0, 18.0, 30.0]))
+    np.testing.assert_allclose(arr[0], arr[2], rtol=1e-12)
+    np.testing.assert_allclose(arr[0], l_dawn, rtol=1e-12)
+    # env pinning: the pre-solved inner knee lands on the derived radius
+    env = medium.make_env(kp_max=(5.6 - l_dawn) / 0.46)
+    np.testing.assert_allclose(float(env.lppi), l_dawn, rtol=1e-9)
