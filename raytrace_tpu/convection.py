@@ -109,8 +109,9 @@ def lppi_derived(kp, n_mlt=64, gamma_shield=2.0):
     first-principles replacement for the empirical
     models/plasmasphere.lppi_from_kp (5.6 - 0.46 Kp). Accepts scalar or
     array Kp; pass as lppi_fn= to models/storm.py's history functions
-    to drive the storm-time plasmapause from drift physics instead of
-    the CA1992 fit (they agree to ~12% over Kp in [2, 6] -- tested)."""
+    (plasmapause_history, refill_history, storm_sequence) to drive the
+    storm-time plasmapause from drift physics instead of the CA1992
+    fit (they agree to ~12% over Kp in [2, 6] -- tested)."""
     kp = np.asarray(kp, np.float64)
     flat = np.atleast_1d(kp).ravel()
     out = np.array([plasmapause(float(k), n_mlt=n_mlt,
@@ -123,8 +124,10 @@ def lppi_at_mlt(kp, mlt_hours, n_mlt=96, gamma_shield=2.0):
     """Derived plasmapause radius at a specific magnetic local time.
 
     The CA1992 fit (and hence the traced medium's knee) is MLT-
-    independent, but the real boundary is the teardrop: ~40% farther
-    out at dusk than dawn. mlt_hours uses the framework's convention
+    independent, but the real boundary is the teardrop: roughly
+    1.5-1.7x farther out at dusk than dawn (the derived LCE gives
+    dusk/dawn ~ 1.66 at Kp=3; the contour SHAPE is Kp-independent).
+    mlt_hours uses the framework's convention
     (hours, 12 = noon, 18 = dusk; plasmasphere.jl:46 uses mlt=2).
     Scalar or array mlt_hours; returns the LCE radius there, so an
     MLT-local env can pin its knee via
@@ -348,8 +351,10 @@ def erosion_times(kp_quiet, kp_storm, n_mlt=24, l_escape=10.0,
     with storm strength).
 
     Parcels still inside the new LCE (weak steps) never escape and
-    report +inf. Returns dict: mlt_rad, t_strip_s, t_median_s,
-    frac_stripped.
+    report +inf. A parcel whose trajectory goes non-finite (integrator
+    blow-up, not physics) reports NaN in t_strip_s and is counted in
+    n_diverged rather than folded into the stripped set. Returns dict:
+    mlt_rad, t_strip_s, t_median_s, frac_stripped, n_diverged.
 
     All seeds advance together through one vectorized RK4 on the E x B
     field (exb_drift broadcasts over the parcel axis); escapers are
@@ -377,7 +382,10 @@ def erosion_times(kp_quiet, kp_storm, n_mlt=24, l_escape=10.0,
                                               + k4l), l)
         phi = np.where(alive, phi + (dt / 6.0) * (k1p + 2 * k2p + 2 * k3p
                                                   + k4p), phi)
-        crossed = alive & (~np.isfinite(l) | (l > l_escape))
+        diverged = alive & ~np.isfinite(l)
+        t_strip[diverged] = np.nan
+        alive &= ~diverged
+        crossed = alive & (l > l_escape)
         t_strip[crossed] = (i + 1) * dt
         alive &= ~crossed
     stripped = np.isfinite(t_strip)
@@ -387,6 +395,7 @@ def erosion_times(kp_quiet, kp_storm, n_mlt=24, l_escape=10.0,
         "t_median_s": (float(np.median(t_strip[stripped]))
                        if stripped.any() else math.inf),
         "frac_stripped": float(stripped.mean()),
+        "n_diverged": int(np.isnan(t_strip).sum()),
     }
 
 

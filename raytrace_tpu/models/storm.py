@@ -132,16 +132,20 @@ def refill_history(
     tau_refill=30.0,
     tau_density=48.0,
     dt_hours=0.25,
+    lppi_fn=None,
 ):
     """w(t) in [0, 1]: density-level trough refill weight for
     EnvParams.ps_refill (plasmasphere.ne_plasma_cm3). Erosion intervals
     strip it toward 0 on tau_erode; quiet intervals refill toward 1 on
     tau_density (~2 days -- the plasmapause position recovers faster
-    than the trough density saturates, hence the separate timescale)."""
+    than the trough density saturates, hence the separate timescale).
+    lppi_fn: same hook as plasmapause_history -- the erosion/quiet
+    classification follows the boundary target, so a derived-boundary
+    run gets consistent lpp and refill histories."""
     t_hours = np.atleast_1d(np.asarray(t_hours, np.float64))
     grid, _, w = _histories(
         t_hours, kp_hours, kp_values, tau_erode, tau_refill, tau_density,
-        None, dt_hours,
+        None, dt_hours, lppi_fn=lppi_fn,
     )
     return np.interp(t_hours, grid, w)
 
@@ -154,6 +158,7 @@ def storm_sequence(
     tau_refill=30.0,
     refill=False,
     tau_density=48.0,
+    lppi_fn=None,
     **env_kw,
 ):
     """One EnvParams per epoch, with lppi pinned to the dynamic L_pp(t).
@@ -161,12 +166,14 @@ def storm_sequence(
     env_kw passes through to make_env (b0, day, rbar, mlt, ps_model,
     ducts, composition, ...). refill=True additionally sets each epoch's
     ps_refill to the density-level trough recovery weight
-    (refill_history). Returns (envs, lpp) -- the env list and the
+    (refill_history). lppi_fn: same hook as plasmapause_history (e.g.
+    convection.lppi_derived) -- the relaxation target driving every
+    epoch's env. Returns (envs, lpp) -- the env list and the
     plasmapause history at the epochs."""
     t_hours = np.atleast_1d(np.asarray(t_hours, np.float64))
     grid, lpp_g, w_g = _histories(
         t_hours, kp_hours, kp_values, tau_erode, tau_refill, tau_density,
-        None, 0.25,
+        None, 0.25, lppi_fn=lppi_fn,
     )
     lpp = np.interp(t_hours, grid, lpp_g)
     w = np.interp(t_hours, grid, w_g)

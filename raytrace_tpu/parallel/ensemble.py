@@ -92,6 +92,35 @@ def pad_batch(u0, f, mesh, multiple=8):
     return u0, f, valid
 
 
+def _frame_rhs(frame, env, grad_mode, root, legacy_freq_state):
+    """(rhs_fn, group_delay_index) for a frame name -- the one dispatch
+    shared by both tracer makers, so every knob (grad_mode,
+    legacy_freq_state) reaches every frame through every entry point.
+
+    legacy_freq_state reproduces the 2D reference scripts' freq-drifts-
+    by-group-delay quirk (RayMain.jl:328 vs :344) for batch-scale parity
+    runs; the 3D frame has no such quirk (freq is a true parameter
+    there, RayTrace_3D.jl:334) and refuses the flag."""
+    if frame == "2d_lat":
+        return (lambda u, ff: rhs_mod.rhs_2d_lat(
+            u, ff, env, legacy_freq_state=legacy_freq_state,
+            grad_mode=grad_mode, root=root)), 3
+    if frame == "2d_colat":
+        return (lambda u, ff: rhs_mod.rhs_2d_colat(
+            u, ff, env, legacy_freq_state=legacy_freq_state,
+            grad_mode=grad_mode, root=root)), 3
+    if frame == "3d":
+        if legacy_freq_state:
+            raise ValueError(
+                "legacy_freq_state is a 2D-script quirk; the 3D frame "
+                "already treats frequency as a parameter "
+                "(RayTrace_3D.jl:334)"
+            )
+        return (lambda u, ff: rhs_mod.rhs_3d(
+            u, ff, env, grad_mode=grad_mode, root=root)), 6
+    raise ValueError(f"unknown frame {frame!r}")
+
+
 def make_ensemble_tracer(
     env: medium.EnvParams,
     *,
@@ -105,24 +134,14 @@ def make_ensemble_tracer(
     mesh=None,
     grad_mode="fused",
     root=1.0,
+    legacy_freq_state: bool = False,
 ):
     """Jitted (u0, f) -> TraceResult over the ray batch.
 
     frame: '2d_lat' | '2d_colat' | '3d'. With a mesh, inputs/outputs are
     sharded over the 'rays' axis (ICI data parallelism)."""
-    if frame == "2d_lat":
-        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_lat(
-            u, ff, env, grad_mode=grad_mode, root=root)
-        group_idx = 3
-    elif frame == "2d_colat":
-        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_colat(
-            u, ff, env, grad_mode=grad_mode, root=root)
-        group_idx = 3
-    elif frame == "3d":
-        rhs_fn = lambda u, ff: rhs_mod.rhs_3d(u, ff, env, root=root)
-        group_idx = 6
-    else:
-        raise ValueError(f"unknown frame {frame!r}")
+    rhs_fn, group_idx = _frame_rhs(frame, env, grad_mode, root,
+                                   legacy_freq_state)
 
     def run(u0, f):
         return trace(
@@ -232,6 +251,7 @@ def make_rounds_tracer(
     tail_stepper: str = "",
     want_carry: bool = True,
     pipeline: int = 1,
+    legacy_freq_state: bool = False,
 ):
     """Ensemble tracer with host-side bucketed re-batching.
 
@@ -339,19 +359,8 @@ def make_rounds_tracer(
     dispatch than it hides (measured 0.975 / 0.997 / 1.101 s at
     pipeline 1 / 2 / 3 on the 10k headline) -- the knob exists for
     topologies with genuinely asynchronous dispatch."""
-    if frame == "2d_lat":
-        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_lat(
-            u, ff, env, grad_mode=grad_mode, root=root)
-        group_idx = 3
-    elif frame == "2d_colat":
-        rhs_fn = lambda u, ff: rhs_mod.rhs_2d_colat(
-            u, ff, env, grad_mode=grad_mode, root=root)
-        group_idx = 3
-    elif frame == "3d":
-        rhs_fn = lambda u, ff: rhs_mod.rhs_3d(u, ff, env, root=root)
-        group_idx = 6
-    else:
-        raise ValueError(f"unknown frame {frame!r}")
+    rhs_fn, group_idx = _frame_rhs(frame, env, grad_mode, root,
+                                   legacy_freq_state)
 
     # round_steps: int (uniform) or a schedule tuple -- short early rounds
     # retire the fast majority cheaply, long late rounds amortize per-round

@@ -260,7 +260,11 @@ def _rhs_for(config: RunConfig, env: medium_mod.EnvParams):
                 u, ff, env, grad_mode=config.grad_mode, root=config.root),
             3,
         )
-    return (lambda u, ff: rhs_mod.rhs_3d(u, ff, env, root=config.root), 6)
+    return (
+        lambda u, ff: rhs_mod.rhs_3d(
+            u, ff, env, grad_mode=config.grad_mode, root=config.root),
+        6,
+    )
 
 
 def summarize(result, valid):

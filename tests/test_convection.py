@@ -178,6 +178,9 @@ def test_erosion_times_derive_storm_tau():
     for ks in (4.0, 5.0, 6.0):
         r = cv.erosion_times(1.0, ks, n_mlt=16)
         assert r["frac_stripped"] == 1.0
+        # healthy integration: no RK4 blow-ups masquerading as strips
+        assert r["n_diverged"] == 0
+        assert np.isfinite(r["t_strip_s"]).all()
         t_h = r["t_median_s"] / 3600.0
         assert 0.5 < t_h < 12.0, t_h
         if prev is not None:

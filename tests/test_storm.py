@@ -266,3 +266,27 @@ def test_refill_l_dependent_fused_autodiff_native_parity():
         float(dispersion.mu_2d_lat(*a, env)) for a in zip(r, lat, chi, f)
     ])
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_derived_boundary_threads_whole_storm_chain():
+    """lppi_fn reaches refill_history and storm_sequence too (not just
+    plasmapause_history), so a derived-boundary run gets CONSISTENT lpp
+    and refill histories from one target function."""
+    from raytrace_tpu import convection as cv
+
+    hours, kp = _storm_kp()
+    t = np.array([12.0, 30.0, 60.0])
+    fn = lambda k: cv.lppi_derived(k, n_mlt=16)
+    w_e = storm.refill_history(t, hours, kp, dt_hours=1.0)
+    w_d = storm.refill_history(t, hours, kp, dt_hours=1.0, lppi_fn=fn)
+    assert w_d.shape == w_e.shape
+    # same qualitative story (strip in the main phase) either way; the
+    # derived boundary classifies erosion epochs consistently
+    assert w_d[1] < w_d[0]
+    envs, lpp = storm.storm_sequence(t, hours, kp, lppi_fn=fn)
+    # every epoch env's pre-solved knee sits at the derived history
+    for env, L in zip(envs, lpp):
+        np.testing.assert_allclose(float(env.lppi), L, rtol=1e-9)
+    # and the history really is the derived one, not the empirical fit
+    lpp_emp = storm.plasmapause_history(t, hours, kp)
+    assert not np.allclose(lpp, lpp_emp, rtol=1e-3)
