@@ -135,11 +135,15 @@ def make_ensemble_tracer(
     grad_mode="fused",
     root=1.0,
     legacy_freq_state: bool = False,
+    save_every: int = 0,
+    save_fn=None,
 ):
     """Jitted (u0, f) -> TraceResult over the ray batch.
 
     frame: '2d_lat' | '2d_colat' | '3d'. With a mesh, inputs/outputs are
-    sharded over the 'rays' axis (ICI data parallelism)."""
+    sharded over the 'rays' axis (ICI data parallelism). save_every > 0
+    turns on the per-step snapshot channel (the reference SavingCallback,
+    RayTrace_lat.jl:318-330) -- see integrate.solve.trace."""
     rhs_fn, group_idx = _frame_rhs(frame, env, grad_mode, root,
                                    legacy_freq_state)
 
@@ -147,7 +151,7 @@ def make_ensemble_tracer(
         return trace(
             rhs_fn, u0, f, cfg=cfg, spec=spec, group_idx=group_idx,
             adaptive=adaptive, stepper=stepper, max_steps=max_steps,
-            chunk=chunk,
+            chunk=chunk, save_every=save_every, save_fn=save_fn,
         )
 
     if mesh is not None:
@@ -252,6 +256,8 @@ def make_rounds_tracer(
     want_carry: bool = True,
     pipeline: int = 1,
     legacy_freq_state: bool = False,
+    save_every: int = 0,
+    save_fn=None,
 ):
     """Ensemble tracer with host-side bucketed re-batching.
 
@@ -358,7 +364,29 @@ def make_rounds_tracer(
     on the tunneled single-chip setup every extra program costs more in
     dispatch than it hides (measured 0.975 / 0.997 / 1.101 s at
     pipeline 1 / 2 / 3 on the 10k headline) -- the knob exists for
-    topologies with genuinely asynchronous dispatch."""
+    topologies with genuinely asynchronous dispatch.
+
+    save_every > 0 turns on the TRAJECTORY CHANNEL (the reference's
+    SavingCallback, RayTrace_lat.jl:318-330, at production ensemble
+    scale): each round integrates under lax.scan and emits a decimated
+    snapshot block (u, t, status [, save_fn extras]) every save_every
+    attempted steps, which rides the round's existing device->host
+    transfer -- device memory stays bounded by ONE round's block
+    (round_steps/save_every x bucket x state), never the full
+    max_steps history. The host scatters each ray's block rows at its
+    own snapshot cursor (rays in different stepper pools advance their
+    cursors at their own round budgets) and forward-fills terminated
+    rays with their frozen terminal state -- exactly what the
+    single-shot trace(save_every=...) scan records for retired lanes,
+    so with a pinned stepper the assembled trajectory equals the
+    single-shot channel bitwise (test_rounds.py). Requires every round
+    length and max_steps to be multiples of save_every (snapshot
+    cadence then aligns across round boundaries). Costs the
+    within-round early exit (scan, not while_loop) -- the same trade
+    the single-shot trajectory tracer makes over the WHOLE budget,
+    here bounded per round. save_fn(u, f) appends per-snapshot
+    diagnostics (e.g. integrate.saving.save_fn_for's
+    (mu, dmu/dpsi, dip, psi))."""
     rhs_fn, group_idx = _frame_rhs(frame, env, grad_mode, root,
                                    legacy_freq_state)
 
@@ -369,6 +397,20 @@ def make_rounds_tracer(
         tuple(round_steps) if isinstance(round_steps, (tuple, list))
         else (int(round_steps),)
     )
+
+    save_on = save_every > 0
+    if save_on:
+        bad = [n for n in schedule + (max_steps,) if n % save_every]
+        if bad:
+            raise ValueError(
+                "the trajectory channel needs every round length and "
+                f"max_steps to be multiples of save_every={save_every}; "
+                f"got {bad} (snapshot cadence must align across rounds)"
+            )
+        # the stiff pool's short-round cap, rounded to the cadence
+        stiff_cap = max(save_every, 1024 - 1024 % save_every)
+    else:
+        stiff_cap = 1024
 
     # base_stepper only applies in auto mode (the non-stiff pool's
     # method); an explicit stepper pins every ray to that method
@@ -400,6 +442,7 @@ def make_rounds_tracer(
         return dict(
             cfg=cfg, spec=spec, group_idx=group_idx, adaptive=adaptive,
             stepper=st, max_steps=n, chunk=min(chunk, n),
+            save_every=save_every, save_fn=save_fn,
         )
 
     # start/cont speak the packed-carry protocol (ONE flat array instead
@@ -427,7 +470,7 @@ def make_rounds_tracer(
     def start(u, ff, n):
         res = trace(rhs_fn, u, ff, **make_kw(n, base_stepper))
         fl = pack_carry(res.carry, ff)
-        return fl, fl[:, jnp.asarray(_stat_cols(u.shape[1]))]
+        return fl, fl[:, jnp.asarray(_stat_cols(u.shape[1]))], res.traj
 
     # device-resident rounds: the full packed carry never leaves the chip
     # between rounds. Each round gathers its bucket by index, integrates,
@@ -446,7 +489,7 @@ def make_rounds_tracer(
         # pad lanes are duplicates of sel[0]; duplicate-index scatter is
         # well-defined here because every duplicate writes identical rows
         fl_new = fl_full.at[sel].set(out)
-        return fl_new, fl_new[:, jnp.asarray(_stat_cols(sd))]
+        return fl_new, fl_new[:, jnp.asarray(_stat_cols(sd))], res.traj
 
     # small buckets are latency-bound on TPU (10k lanes ~ 80 VPU tiles
     # already borderline); keep at least bucket_floor lanes per round
@@ -519,7 +562,21 @@ def make_rounds_tracer(
         # host mirror of its 4 bookkeeping columns only
         first = min(round_len(0), max_steps)
         w0_start = _clock()
-        fl_dev, st_dev = start(jnp.asarray(u0), jnp.asarray(f), first)
+        fl_dev, st_dev, tr_dev = start(jnp.asarray(u0), jnp.asarray(f),
+                                       first)
+        # trajectory channel: host-side per-ray snapshot buffers + cursor
+        # (next snap slot per ray -- pools advance at their own budgets)
+        if save_on:
+            n_snaps = max_steps // save_every
+            s0 = first // save_every
+            tr0 = {k: np.asarray(v) for k, v in tr_dev.items()}
+            traj_buf = {
+                k: np.zeros((n_snaps,) + v.shape[1:], v.dtype)
+                for k, v in tr0.items()
+            }
+            for k, v in tr0.items():
+                traj_buf[k][:s0] = v
+            cursor = np.full(n, s0, np.int64)
         fetch_dev = None   # speculative final-fetch handle
         if first >= max_steps:
             # single-round schedule (run.py's tiny-batch path): round 0
@@ -656,7 +713,7 @@ def make_rounds_tracer(
                 # 1024 wasted attempts instead of a full dp5-length round.
                 # Keyed on pool identity, not method name: a Rosenbrock
                 # tail_stepper must still run the full merged-tail budget.
-                nr_pool = min(nr, 1024) if is_stiff_pool else nr
+                nr_pool = min(nr, stiff_cap) if is_stiff_pool else nr
                 for idx in _split_parts(idx_all, pipeline):
                     w0 = _clock()
                     b = _bucket_size(idx.size, n, floor)
@@ -666,11 +723,11 @@ def make_rounds_tracer(
                     acc0 = hs[idx, ACC_].copy()
                     rej0 = hs[idx, REJ_].copy()
                     t0 = hs[idx, T_].copy()
-                    fl_dev, st_dev = cont_sel(
+                    fl_dev, st_dev, tr_dev = cont_sel(
                         fl_dev, jnp.asarray(sel, jnp.int32), nr_pool, st
                     )
                     jobs.append((idx, st, is_stiff_pool, nr_pool, b, acc0,
-                                 rej0, t0, w0, st_dev))
+                                 rej0, t0, w0, st_dev, tr_dev))
             if steps_done + nr >= max_steps:
                 # this round exhausts the budget, so the while loop
                 # provably exits after it: dispatch the final fetch NOW,
@@ -687,8 +744,17 @@ def make_rounds_tracer(
                     except AttributeError:
                         pass
             for (idx, st, is_stiff_pool, nr_pool, b, acc0, rej0, t0, w0,
-                 st_dev) in jobs:
+                 st_dev, tr_dev) in jobs:
                 hs = np.asarray(st_dev)
+                if save_on:
+                    # scatter the bucket's snapshot block at each ray's
+                    # own cursor (pad lanes beyond idx.size are dropped)
+                    s_blk = nr_pool // save_every
+                    rows = cursor[idx][None, :] + np.arange(s_blk)[:, None]
+                    for k, v in tr_dev.items():
+                        blk = np.asarray(v)[:, :idx.size]
+                        traj_buf[k][rows, idx[None, :]] = blk
+                    cursor[idx] += s_blk
                 att = (hs[idx, ACC_] - acc0) + (hs[idx, REJ_] - rej0)
                 rf = (hs[idx, REJ_] - rej0) / np.maximum(att, 1)
                 run.last_rounds.append(dict(
@@ -704,6 +770,22 @@ def make_rounds_tracer(
 
         run.last_stiff = stiff  # which rays ended on the stiff pool
         run.last_slow = slow    # which rays ended on the dopri5 pool
+        if save_on:
+            # assemble: gather row min(k, cursor-1) per ray, so rows past
+            # a ray's cursor forward-fill its last snapshot -- the exact
+            # frozen state the single-shot scan keeps recording for
+            # retired lanes, hence pinned-stepper bitwise equality with
+            # trace(save_every=...) (test_rounds.py). Stiff-pool rays,
+            # whose shorter rounds take fewer snapshots, hold their last
+            # round-end state instead (rounds-tracer-specific).
+            rows_ix = np.minimum(
+                np.arange(n_snaps)[:, None],
+                np.maximum(cursor - 1, 0)[None, :],
+            )
+            cols_ix = np.arange(n)[None, :]
+            traj_out = {k: v[rows_ix, cols_ix] for k, v in traj_buf.items()}
+        else:
+            traj_out = None
         patch = override >= 0
         if not want_carry:
             # light fetch: result columns only (no solver-internal
@@ -720,7 +802,7 @@ def make_rounds_tracer(
                 u=cols[:, :sd], t=cols[:, sd], status=status,
                 n_accept=cols[:, sd + 2].astype(np.int32),
                 n_reject=cols[:, sd + 3].astype(np.int32),
-                traj=None, carry=None,
+                traj=traj_out, carry=None,
             )
         # one full fetch at the end; apply the host-side status overrides
         fl = np.asarray(fl_dev).copy()
@@ -731,7 +813,7 @@ def make_rounds_tracer(
         return TraceResult(
             u=final.u, t=final.t, status=final.status,
             n_accept=final.n_accept, n_reject=final.n_reject,
-            traj=None, carry=final,
+            traj=traj_out, carry=final,
         )
 
     run.last_stiff = None

@@ -645,3 +645,45 @@ def test_legacy_freq_state_batch_parity_2d():
     # the quirk is live: differs from the clean freq-as-parameter run
     clean = make_ensemble_tracer(env, **kw)(jnp.asarray(u0), jnp.asarray(f))
     assert not np.array_equal(np.asarray(batch.u), np.asarray(clean.u))
+
+
+def test_rounds_trajectory_channel_matches_single_shot():
+    """save_every through the rounds tracer: the host-assembled per-ray
+    snapshot buffers (scattered per round at each ray's cursor, forward-
+    filled past termination) equal the single-shot lax.scan channel
+    exactly with a pinned stepper -- the reference SavingCallback
+    (RayTrace_lat.jl:318-330) at production ensemble scale."""
+    from raytrace_tpu.integrate.saving import save_fn_for
+    from raytrace_tpu.parallel.ensemble import make_ensemble_tracer
+
+    mesh, env, u0, f, valid = _setup(tuple(np.linspace(0.6, 0.9, 8)))
+    sf = save_fn_for("2d_lat", env)
+    kw = dict(
+        mesh=mesh, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e8 / RE), max_steps=2048,
+        stepper="dopri5", save_every=64, save_fn=sf,
+    )
+    rounds = make_rounds_tracer(env, round_steps=512, bucket_floor=8,
+                                stall_progress=0.0, **kw)(u0, f, valid)
+    single = make_ensemble_tracer(env, **kw)(jnp.asarray(u0), jnp.asarray(f))
+    v = np.asarray(valid)
+    assert rounds.traj is not None and set(rounds.traj) == set(single.traj)
+    assert rounds.traj["u"].shape[0] == 2048 // 64
+    for k in single.traj:
+        np.testing.assert_array_equal(
+            np.asarray(rounds.traj[k])[:, v], np.asarray(single.traj[k])[:, v],
+            err_msg=f"trajectory channel {k!r} diverged",
+        )
+    # forward-fill exercised: at least one ray terminated well before the
+    # budget, and its post-termination snapshots hold the frozen state
+    st = np.asarray(rounds.traj["status"])[:, v]
+    assert (st[-1] != events.ACTIVE).any()
+
+
+def test_rounds_trajectory_cadence_validation():
+    mesh, env, u0, f, valid = _setup((0.7,))
+    with pytest.raises(ValueError, match="multiples of save_every"):
+        make_rounds_tracer(
+            env, mesh=mesh, spec=StopSpec(r_floor=1.0, t_max=1e8 / RE),
+            max_steps=1024, round_steps=(100, 512), save_every=64,
+        )
