@@ -44,31 +44,70 @@ struct Env {
   double ps_refill;                  // trough refill weight in [0, 1]
   double ps_refill_q;                // tau(L) ~ L^q exponent (0 = global)
   double ps_refill_lref;             // shell where ps_refill is exact
+  // MLT-resolved plasmasphere (models/medium.py::mlt_ps_params):
+  // longitude phi maps to local time; the plasmapause follows the
+  // derived-LCE Fourier shape, the trough gets the smooth day-night
+  // modulation. ps_mlt == 0 keeps the axisymmetric medium exactly.
+  double ps_mlt;        // gate (0/1)
+  double ps_mlt_a0;     // base MLT angle (eastward from noon), rad
+  double ps_mlt_c[7];   // Fourier shape coeffs c0, c1, s1, c2, s2, c3, s3
+  double ps_mlt_tamp;   // trough day-night half-amplitude
+  double ps_mlt_c3;     // base-knee trough log10 density
 };
 
-// env array protocol (raytrace_tpu/native.py::_env_array): 19 doubles in
-// the struct's field order
+// env array protocol (raytrace_tpu/native.py::_env_array): 30 doubles in
+// the struct's field order (the Fourier block is fixed at 7 slots; unused
+// higher harmonics ride as zeros)
+constexpr int ENV_DOUBLES = 30;
+
 Env env_from(const double* v) {
   return Env{v[0],  v[1],  v[2],  v[3],  v[4],  v[5],  v[6],  v[7],  v[8],
-             v[9], v[10], v[11], v[12], v[13], v[14], v[15], v[16], v[17],
-             v[18]};
+             v[9],  v[10], v[11], v[12], v[13], v[14], v[15], v[16], v[17],
+             v[18], v[19], v[20],
+             {v[21], v[22], v[23], v[24], v[25], v[26], v[27]},
+             v[28], v[29]};
 }
 
 // ---- environment (reference: RayTrace_lat.jl:66-84, plasmasphere.jl) ----
 
-double ne_total_m3(double r, double lat, const Env& e) {
+// effective CA1992 parameters at longitude phi for the MLT-resolved
+// medium (models/medium.py::mlt_ps_params): derived-LCE Fourier shape
+// for the plasmapause, branch-1/branch-2 continuity for ne_lppi/lppo,
+// smooth periodic day-night trough modulation. Exact base values at
+// phi = 0 by construction.
+void mlt_params(const Env& e, double phi, double* lppi, double* lppo,
+                double* ne_lppi, double* trough) {
+  double ang = e.ps_mlt_a0 + phi;
+  double shape = e.ps_mlt_c[0];
+  for (int k = 1; k <= 3; k++)
+    shape += e.ps_mlt_c[2 * k - 1] * std::cos(k * ang) +
+             e.ps_mlt_c[2 * k] * std::sin(k * ang);
+  double li = e.lppi * shape;
+  double g1i = (-0.3145 * li + 3.9043) +
+               e.ps_season * std::exp((2.0 - li) / 1.5);
+  *lppi = li;
+  *ne_lppi = std::pow(10.0, g1i);
+  *lppo = li + 0.1 * (g1i - e.ps_mlt_c3);
+  *trough = e.ps_trough +
+            e.ps_mlt_tamp * (std::cos(ang) - std::cos(e.ps_mlt_a0));
+}
+
+double ne_total_m3(double r, double lat, const Env& e, double phi = 0.0) {
   double ne_i = e.iono_n0 * std::exp(-e.iono_decay * (r - e.iono_r0));
   double cl = std::cos(lat);
   double L = r / (cl * cl);
+  double lppi = e.lppi, lppo = e.lppo, ne_lppi = e.ne_lppi,
+         trough = e.ps_trough;
+  if (e.ps_mlt != 0.0) mlt_params(e, phi, &lppi, &lppo, &ne_lppi, &trough);
   double ne_p;
-  if (L <= e.lppi) {
+  if (L <= lppi) {
     double log_ne = (-0.3145 * L + 3.9043) +
                     e.ps_season * std::exp((2.0 - L) / 1.5);
     ne_p = std::pow(10.0, log_ne);
-  } else if (L <= e.lppo) {
-    ne_p = e.ne_lppi * std::pow(10.0, (e.lppi - L) / 0.1);
+  } else if (L <= lppo) {
+    ne_p = ne_lppi * std::pow(10.0, (lppi - L) / 0.1);
   } else {
-    ne_p = e.ps_trough * std::pow(L, -4.5) +
+    ne_p = trough * std::pow(L, -4.5) +
            (1.0 - std::exp((2.0 - L) / 10.0));
     if (e.ps_refill != 0.0) {
       // density-level trough refilling: log-space blend toward the
@@ -417,7 +456,7 @@ double mu_3d(double r, double theta, double phi, double rho_r, double rho_t,
   cospsi = std::max(-1.0, std::min(1.0, cospsi));
   double psi = std::acos(cospsi);  // RayTrace_3D.jl:138-141
   double mu, mu2;
-  mu_dmudpsi(ne_total_m3(r, lat, e), bmag, f, psi, &mu, nullptr, &mu2,
+  mu_dmudpsi(ne_total_m3(r, lat, e, phi), bmag, f, psi, &mu, nullptr, &mu2,
              e.eta_he, e.eta_o);
   return mu;
 }
@@ -439,7 +478,13 @@ void rhs_3d(const double* u, double f, const Env& e, int grad_mode,
   double dmudtheta =
       (mu_3d(r, theta + ha / 2, phi, rho_r, rho_t, rho_p, f, e) -
        mu_3d(r, theta - ha / 2, phi, rho_r, rho_t, rho_p, f, e)) / ha;
-  double dmudphi = 0.0;  // axisymmetric medium; FD confirms 0 identically
+  // axisymmetric medium: FD confirms d/dphi == 0 identically; the
+  // MLT-resolved plasmasphere makes it live
+  double dmudphi =
+      (e.ps_mlt != 0.0)
+          ? (mu_3d(r, theta, phi + ha / 2, rho_r, rho_t, rho_p, f, e) -
+             mu_3d(r, theta, phi - ha / 2, rho_r, rho_t, rho_p, f, e)) / ha
+          : 0.0;
   double dmudf = (mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f + hf / 2, e) -
                   mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f - hf / 2, e)) /
                  hf;
@@ -455,8 +500,8 @@ void rhs_3d(const double* u, double f, const Env& e, int grad_mode,
     cospsi = std::max(-1.0, std::min(1.0, cospsi));
     double psi = std::acos(cospsi);
     double mu_ref, mu2, dmudpsi;
-    mu_dmudpsi(ne_total_m3(r, lat, e), bmag, f, psi, &mu_ref, &dmudpsi, &mu2,
-               e.eta_he, e.eta_o);
+    mu_dmudpsi(ne_total_m3(r, lat, e, phi), bmag, f, psi, &mu_ref, &dmudpsi,
+               &mu2, e.eta_he, e.eta_o);
     double sinpsi = std::sin(psi);
     auto sgn = [](double x) { return x > 0 ? 1.0 : (x < 0 ? -1.0 : 0.0); };
     double bk[3] = {br, bt, 0.0};

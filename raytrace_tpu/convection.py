@@ -143,6 +143,41 @@ def lppi_at_mlt(kp, mlt_hours, n_mlt=96, gamma_shield=2.0):
     return float(out) if np.ndim(mlt_hours) == 0 else out
 
 
+def mlt_shape_fourier(kp, mlt0_hours, n_harm=2, n_mlt=192,
+                      gamma_shield=2.0):
+    """Smooth periodic parameterization of the derived plasmapause SHAPE.
+
+    Least-squares Fourier fit (n_harm harmonics) of the LCE radius over
+    MLT, normalized so the series evaluates to EXACTLY 1 at the base
+    MLT mlt0_hours -- the traced medium multiplies its empirical Lppi by
+    this shape, so the phi = 0 meridian reproduces the axisymmetric
+    medium bit-for-bit and the dusk bulge enters only away from it.
+    The true LCE has a corner at the dusk stagnation point (the
+    separatrix crosses itself there); the low-order fit is its smooth
+    representation -- exactly what the fused gradient chain and autodiff
+    need (C-infinity in phi). Residual: ~2-4% of the local radius at
+    n_harm=2, concentrated at the dusk cusp.
+
+    Returns (a0, coeffs): a0 is the base angle (eastward from noon,
+    radians; ang(phi) = a0 + phi along a ray), coeffs a (1 + 2 n_harm)-
+    tuple (c0, c1, s1, c2, s2, ...) with
+    S(ang) = c0 + sum_k [c_{2k-1} cos(k ang) + c_{2k} sin(k ang)]."""
+    pp = plasmapause(kp, n_mlt=n_mlt, gamma_shield=gamma_shield)
+    ang = pp["mlt_rad"]
+    cols = [np.ones_like(ang)]
+    for k in range(1, n_harm + 1):
+        cols += [np.cos(k * ang), np.sin(k * ang)]
+    a_mat = np.stack(cols, axis=1)
+    c, *_ = np.linalg.lstsq(a_mat, pp["l_pp"], rcond=None)
+    a0 = (float(mlt0_hours) - 12.0) * (math.pi / 12.0)
+    base = c[0] + sum(
+        c[2 * k - 1] * math.cos(k * a0) + c[2 * k] * math.sin(k * a0)
+        for k in range(1, n_harm + 1)
+    )
+    c = c / base
+    return a0, tuple(float(x) for x in c)
+
+
 def exb_drift(l_shell, mlt_rad, kp, gamma_shield=2.0):
     """Cold-plasma E x B drift in the equatorial plane.
 

@@ -86,6 +86,27 @@ class EnvParams(NamedTuple):
     # global per-epoch weight.
     ps_refill_q: float = 0.0
     ps_refill_lref: float = 4.0
+    # MLT-resolved (non-axisymmetric) plasmasphere for the 3D frame
+    # (STATIC gate ps_mlt; CA1992 + centered dipole only). The reference
+    # freezes MLT as a scalar even in its 3D trace (RayTrace_3D.jl:114);
+    # here longitude phi maps to local time (mlt = mlt0 + phi * 12/pi)
+    # and modulates:
+    #   - the plasmapause: lppi(phi) = lppi * S(a0 + phi), S the smooth
+    #     low-order Fourier shape of the DERIVED last-closed-
+    #     equipotential teardrop (convection.mlt_shape_fourier) with
+    #     S(a0) == 1, so the phi = 0 meridian is the axisymmetric
+    #     medium exactly; ne_lppi and lppo follow by branch-1/branch-2
+    #     continuity (see mlt_ps_params);
+    #   - the trough level: trough(phi) = ps_trough
+    #     + tamp * (cos(pi mlt0/12) - cos(pi mlt/12)) -- the smooth
+    #     periodic extension of the reference's frozen 5800 + 300 mlt
+    #     term, exact at phi = 0, full day-night swing 2 * tamp.
+    ps_mlt: float = 0.0              # STATIC: 0 = axisymmetric (exact ref)
+    ps_mlt_a0: float = 0.0           # base angle (mlt0-12) pi/12, rad
+    ps_mlt_c: tuple = ()             # Fourier shape coeffs (c0, c1, s1,...)
+    ps_mlt_tamp: float = 0.0         # trough day-night half-amplitude
+    ps_mlt_c3: float = 0.0           # log10 trough density at the base
+                                     # knee: g1(lppi) - 10 (lppo - lppi)
 
 
 def make_env(
@@ -114,6 +135,9 @@ def make_env(
     ps_refill=0.0,
     ps_refill_q=0.0,
     ps_refill_lref=4.0,
+    ps_mlt=False,
+    ps_mlt_harmonics=3,
+    ps_mlt_tamp=1800.0,
 ):
     """Build EnvParams; runs the host-side plasmapause pre-solve.
 
@@ -128,7 +152,16 @@ def make_env(
     ps_model="gcpm" selects the simplified-GCPM plasmasphere the
     reference planned (RayMain.jl:99-101; plasmasphere.ne_gcpm_cm3):
     exponential decay in L times the dipole mirror ratio to the power
-    gcpm_bpow, smoothly joined to the CA1992 trough at Lppo."""
+    gcpm_bpow, smoothly joined to the CA1992 trough at Lppo.
+
+    ps_mlt=True makes the plasmasphere MLT-RESOLVED for the 3D frame
+    (see the EnvParams field comments): the plasmapause follows the
+    drift-derived teardrop (dusk plume) via a ps_mlt_harmonics-harmonic
+    Fourier shape anchored at this env's mlt, and the trough level gets
+    the smooth periodic day-night modulation (half-amplitude
+    ps_mlt_tamp cm^-3 L^4.5; the reference's 300/h slope over a 12 h
+    swing is 1800). CA1992 + centered dipole only; the 2D frames trace
+    the phi = 0 meridian, which is this medium's axisymmetric limit."""
     lppi = plasmasphere.lppi_from_kp(kp_max)
     lppo, ne_lppi = plasmasphere.initialize_plasmasphere(lppi, day, rbar, mlt)
     if iono_mlt:
@@ -167,6 +200,37 @@ def make_env(
         )
     if b_model not in ("dipole", "tilted", "igrf"):
         raise ValueError(f"unknown b_model {b_model!r}")
+    mlt_kw = {}
+    if ps_mlt:
+        if ps_model != "ca1992" or not plasmasphere_on:
+            raise ValueError(
+                "ps_mlt modulates the CA1992 plasmapause; it needs "
+                "plasmasphere_on=True and ps_model='ca1992'"
+            )
+        if b_model != "dipole":
+            raise ValueError(
+                "ps_mlt maps geographic longitude to MLT, which is only "
+                "exact for the centered axial dipole; tilted/IGRF media "
+                "are not supported with it yet"
+            )
+        from .. import convection
+
+        a0, coeffs = convection.mlt_shape_fourier(
+            kp_max, mlt, n_harm=int(ps_mlt_harmonics)
+        )
+        # base-knee trough log-density: the branch-2/branch-3 crossing
+        # condition log10 ne3(lppo) = g1(lppi) - (lppo - lppi)/0.1, with
+        # (lppi, lppo) from the host pre-solve -- defining lppo(phi) from
+        # this frozen constant keeps lppo(0) == lppo EXACTLY
+        g1_lppi = float(plasmasphere._branch1_log10(
+            float(lppi), plasmasphere.season_coeff(day, rbar)))
+        mlt_kw = dict(
+            ps_mlt=1.0,
+            ps_mlt_a0=float(a0),
+            ps_mlt_c=coeffs,
+            ps_mlt_tamp=float(ps_mlt_tamp),
+            ps_mlt_c3=float(g1_lppi - 10.0 * (lppo - lppi)),
+        )
     if b_model == "tilted":
         b_kw = dict(b_model="tilted", b_tilt=float(b_tilt),
                     b_tilt_phi=float(b_tilt_phi))
@@ -217,6 +281,7 @@ def make_env(
         ps_refill=float(ps_refill),
         ps_refill_q=float(ps_refill_q),
         ps_refill_lref=float(ps_refill_lref),
+        **mlt_kw,
     )
 
 
@@ -225,7 +290,7 @@ def make_env(
 STATIC_FIELDS = ("ps_weight", "de_weight", "ps_smooth", "iono_mix",
                  "ps_model", "b_model", "duct_amp", "igrf_coeffs",
                  "eta_he", "eta_o", "ps_refill", "ps_refill_q",
-                 "ps_refill_lref")
+                 "ps_refill_lref", "ps_mlt")
 
 
 def cast_env(env: EnvParams, dtype):
@@ -249,12 +314,79 @@ def make_env_lat():
     return make_env(b0=B0_2D, plasmasphere_on=True)
 
 
-def ne_total_m3(r, lat, env: EnvParams):
+def mlt_on(env: EnvParams):
+    """Static gate check for the MLT-resolved plasmasphere."""
+    return not (isinstance(env.ps_mlt, float) and env.ps_mlt == 0.0)
+
+
+def mlt_ps_params(phi, env: EnvParams, with_grads=False):
+    """Effective CA1992 parameters (lppi, lppo, ne_lppi, trough_c) at
+    longitude phi for an MLT-resolved medium (make_env(ps_mlt=True)).
+
+    Chain (see the EnvParams field comments; everything smooth in phi):
+      ang      = ps_mlt_a0 + phi          (eastward-from-noon MLT angle)
+      lppi(phi) = lppi * S(ang)           (derived-LCE Fourier shape,
+                                           S(a0) == 1 -- exact at phi=0)
+      ne_lppi(phi) = 10^g1(lppi(phi))     (branch-1 continuity at the
+                                           inner knee, like the host
+                                           pre-solve does at phi=0)
+      lppo(phi) = lppi(phi)
+                  + 0.1 (g1(lppi(phi)) - ps_mlt_c3)
+                                          (branch-2/3 crossing with the
+                                           trough log-density frozen at
+                                           its base value -- exact at
+                                           phi=0 by construction of c3)
+      trough(phi) = ps_trough + tamp (cos ang - cos a0)
+                                          (cos(pi mlt/12) = -cos(ang),
+                                           so the day-night modulation
+                                           reuses the shape's cos)
+
+    The harmonics are evaluated by angle recursion: one sin + one cos
+    total, regardless of harmonic count. with_grads=True additionally
+    returns (dlppi, dlppo, dg1i, dtrough)/dphi for the fused chain,
+    where dg1i is d g1(lppi(phi))/dphi (the branch-1 log10 slope times
+    dlppi)."""
+    c = env.ps_mlt_c
+    n_harm = (len(c) - 1) // 2
+    ang = env.ps_mlt_a0 + phi
+    s1a, c1a = jnp.sin(ang), jnp.cos(ang)
+    sk, ck = s1a, c1a
+    shape = c[0]
+    dshape = jnp.zeros_like(s1a)
+    for k in range(1, n_harm + 1):
+        if k > 1:
+            sk, ck = sk * c1a + ck * s1a, ck * c1a - sk * s1a
+        shape = shape + c[2 * k - 1] * ck + c[2 * k] * sk
+        dshape = dshape + k * (c[2 * k] * ck - c[2 * k - 1] * sk)
+    lppi_e = env.lppi * shape
+    dlppi = env.lppi * dshape
+    e_i = jnp.exp((2.0 - lppi_e) / 1.5)
+    g1i = (-0.3145 * lppi_e + 3.9043) + env.ps_season * e_i
+    dg1i = (-0.3145 - env.ps_season * e_i / 1.5) * dlppi
+    ne_lppi_e = jnp.exp(plasmasphere.LN10 * g1i)
+    lppo_e = lppi_e + 0.1 * (g1i - env.ps_mlt_c3)
+    dlppo = dlppi + 0.1 * dg1i
+    trough_e = env.ps_trough + env.ps_mlt_tamp * (
+        c1a - jnp.cos(env.ps_mlt_a0)
+    )
+    dtrough = -env.ps_mlt_tamp * s1a
+    params = (lppi_e, lppo_e, ne_lppi_e, trough_e)
+    if with_grads:
+        return params, (dlppi, dlppo, dg1i, dtrough)
+    return params
+
+
+def ne_total_m3(r, lat, env: EnvParams, phi=None):
     """Total electron density in m^-3 at (r [RE], lat [rad]).
 
     ne = (ne_iono(r) + w_ps * DE?(ne_plasma(L))) * 1e6
     Reference composition: RayTrace_lat.jl:70-83; DE variant
-    plasmasphere.jl:171."""
+    plasmasphere.jl:171.
+
+    phi: longitude (rad) for the MLT-resolved plasmasphere -- required
+    by the 3D frame when env.ps_mlt is on, ignored otherwise (the 2D
+    frames trace the phi = 0 meridian, where the MLT medium reduces to
+    the axisymmetric parameters exactly)."""
     ne_i = ionosphere.ne_iono_cm3(r, env.iono_n0, env.iono_decay, env.iono_r0)
     if not (isinstance(env.iono_mix, float) and env.iono_mix == 1.0):
         ne_i = env.iono_mix * ne_i + (1.0 - env.iono_mix) * (
@@ -268,8 +400,13 @@ def ne_total_m3(r, lat, env: EnvParams):
             env.gcpm_bpow, env.gcpm_knee,
         )
     else:
+        if mlt_on(env) and phi is not None:
+            lppi_e, lppo_e, ne_lppi_e, trough_e = mlt_ps_params(phi, env)
+        else:
+            lppi_e, lppo_e = env.lppi, env.lppo
+            ne_lppi_e, trough_e = env.ne_lppi, env.ps_trough
         ne_p = plasmasphere.ne_plasma_cm3(
-            L, env.lppi, env.lppo, env.ne_lppi, env.ps_season, env.ps_trough,
+            L, lppi_e, lppo_e, ne_lppi_e, env.ps_season, trough_e,
             env.ps_smooth, env.ps_refill, env.ps_refill_q,
             env.ps_refill_lref,
         )

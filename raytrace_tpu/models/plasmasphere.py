@@ -164,7 +164,10 @@ def ne_plasma_cm3(L, lppi, lppo, ne_lppi, a_season, trough_c, smooth=0.0,
     w1 = jax_sigmoid((lppi - L) / smooth)
     w2 = jax_sigmoid((lppo - L) / smooth)
     ln1 = LN10 * log_ne1
-    ln2 = jnp.log(ne2)
+    # ln2 analytically, NOT log(ne2): XLA flushes subnormals to zero, so
+    # at extreme L branch 2 underflows to 0.0 and log gives -inf, which
+    # the w2 ~ 0 weight turns into 0 * inf = NaN (value AND autodiff)
+    ln2 = jnp.log(ne_lppi) + LN10 * (lppi - L) / 0.1
     ln3 = jnp.log(ne3)
     return jnp.exp(w1 * ln1 + (1.0 - w1) * (w2 * ln2 + (1.0 - w2) * ln3))
 

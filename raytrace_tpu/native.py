@@ -57,7 +57,7 @@ def ensure_built():
 
 
 def _env_array(env):
-    # explicit 19-double layout matching the C++ Env struct (oracle.cpp
+    # explicit 30-double layout matching the C++ Env struct (oracle.cpp
     # env_from) -- independent of EnvParams field ordering. Features the
     # oracle does not implement are refused rather than silently dropped.
     if float(env.ps_smooth) != 0.0:
@@ -80,6 +80,15 @@ def _env_array(env):
             "native oracle implements the centered axial dipole only; "
             f"got b_model={env.b_model!r}"
         )
+    # MLT-resolved plasmasphere block: the Fourier shape rides a fixed
+    # 7-slot field (up to 3 harmonics; higher orders are refused)
+    coeffs = tuple(float(c) for c in env.ps_mlt_c)
+    if len(coeffs) > 7:
+        raise ValueError(
+            "native oracle implements <= 3 MLT shape harmonics; got "
+            f"{(len(coeffs) - 1) // 2}"
+        )
+    coeffs = coeffs + (0.0,) * (7 - len(coeffs))
     return np.asarray(
         [
             env.b0, env.iono_n0, env.iono_decay, env.iono_r0,
@@ -88,6 +97,8 @@ def _env_array(env):
             env.duct_amp, env.duct_l0, env.duct_w,
             env.eta_he, env.eta_o, env.ps_refill,
             env.ps_refill_q, env.ps_refill_lref,
+            env.ps_mlt, env.ps_mlt_a0, *coeffs,
+            env.ps_mlt_tamp, env.ps_mlt_c3,
         ],
         np.float64,
     )

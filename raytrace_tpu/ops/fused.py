@@ -34,10 +34,17 @@ from ..models import medium
 from ..models.plasmasphere import DE_RBASE_M, DE_S, LN10
 
 
-def _ne_and_grads(r, lat, env: medium.EnvParams):
-    """(ne_m3, d ne/dr, d ne/dlat) with compile-time gating of the
-    plasmasphere / diffusive-equilibrium terms when their weights are
-    Python-float zero (e.g. the RayMain medium)."""
+def _ne_and_grads(r, lat, env: medium.EnvParams, mlt=None):
+    """(ne_m3, d ne/dr, d ne/dlat[, d ne/dphi]) with compile-time gating
+    of the plasmasphere / diffusive-equilibrium terms when their weights
+    are Python-float zero (e.g. the RayMain medium).
+
+    mlt: None (axisymmetric; 3-tuple return) or the
+    medium.mlt_ps_params(phi, env, with_grads=True) pair -- the MLT-
+    resolved CA1992 parameters and their phi-derivatives; the return
+    then grows a 4th element d ne/dphi (branch-1 is MLT-independent,
+    branch-2 moves with the plasmapause shape + its continuity density,
+    branch-3 with the day-night trough level)."""
     ni = env.iono_n0 * jnp.exp(-env.iono_decay * (r - env.iono_r0))
     ni_r = -env.iono_decay * ni
     if not (isinstance(env.iono_mix, float) and env.iono_mix == 1.0):
@@ -52,7 +59,10 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
 
     ps_on = not (isinstance(env.ps_weight, float) and env.ps_weight == 0.0)
     if not ps_on:
-        return 1.0e6 * ni, 1.0e6 * ni_r, jnp.zeros_like(ni)
+        z = jnp.zeros_like(ni)
+        if mlt is not None:
+            return 1.0e6 * ni, 1.0e6 * ni_r, z, z
+        return 1.0e6 * ni, 1.0e6 * ni_r, z
 
     # one reciprocal serves the whole L chain (divisions are ~10x a mul
     # on the VPU; the RHS roofline is op-count-bound, BASELINE.md)
@@ -63,6 +73,8 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
     L_r = inv_cl2
     L_lat = 2.0 * L * sl * inv_cl
 
+    if env.ps_model == "gcpm" and mlt is not None:
+        raise ValueError("ps_mlt is CA1992-only (enforced by make_env)")
     if env.ps_model == "gcpm":
         # simplified-GCPM (plasmasphere.ne_gcpm_cm3): log-space value and
         # d/dL + direct d/dlat (the mirror-ratio factor depends on lat at
@@ -92,22 +104,40 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
         return _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat, L,
                            ne_p_lat_direct)
 
+    # MLT-resolved parameters (medium.mlt_ps_params): effective values
+    # replace the frozen env fields; their phi-derivatives drive the
+    # dne/dphi chain computed alongside the d/dL one below
+    if mlt is not None:
+        (lppi_e, lppo_e, ne_lppi_e, trough_e), (
+            dlppi, dlppo, dg1i, dtrough) = mlt
+    else:
+        lppi_e, lppo_e = env.lppi, env.lppo
+        ne_lppi_e, trough_e = env.ne_lppi, env.ps_trough
+
     # CA1992 branches: value and d/dL together (RayTrace_lat.jl:72-81)
     e1 = jnp.exp((2.0 - L) / 1.5)
     g1 = (-0.3145 * L + 3.9043) + env.ps_season * e1
     ne1 = jnp.exp(LN10 * g1)
     dne1 = LN10 * ne1 * (-0.3145 - env.ps_season * e1 / 1.5)
-    ne2 = env.ne_lppi * jnp.exp(LN10 * (env.lppi - L) / 0.1)
+    ne2 = ne_lppi_e * jnp.exp(LN10 * (lppi_e - L) / 0.1)
     dne2 = -(LN10 / 0.1) * ne2
     Ls = jnp.maximum(L, 1.0e-6)
     # L^-4.5 as (1/L)^4 * rsqrt(L): one div + one rsqrt + 3 muls instead
     # of exp(-4.5 log L) -- same value to rounding, ~2x cheaper on VPU
     inv_Ls = 1.0 / Ls
     inv_Ls2 = inv_Ls * inv_Ls
-    p3 = env.ps_trough * (inv_Ls2 * inv_Ls2) * jax.lax.rsqrt(Ls)
+    f45 = (inv_Ls2 * inv_Ls2) * jax.lax.rsqrt(Ls)
+    p3 = trough_e * f45
     e3 = jnp.exp((2.0 - L) * 0.1)
     ne3 = p3 + (1.0 - e3)
     dne3 = -4.5 * p3 * inv_Ls + e3 * 0.1
+    if mlt is not None:
+        # d/dphi of the branches: ln ne2 = LN10 (g1(lppi_e)
+        # + (lppi_e - L)/0.1) so its phi-slope is parameter motion only;
+        # branch 3 scales its power-law term with the trough level
+        dln2_phi = LN10 * (dg1i + dlppi / 0.1)
+        dne2_phi = ne2 * dln2_phi
+        dne3_phi = dtrough * f45
     refill_on = not (
         isinstance(env.ps_refill, float) and env.ps_refill == 0.0
     )
@@ -136,22 +166,30 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
             (1.0 - w_r) * (dne3 / ne3) + w_r * (dne1 / ne1)
             + dw * (ln1 - ln3)
         )
+        if mlt is not None:
+            # refill blends toward branch 1, which is MLT-independent;
+            # w_r depends on L only
+            dne3_phi = jnp.exp(ln3_eff) * (1.0 - w_r) * (dne3_phi / ne3)
         ne3 = jnp.exp(ln3_eff)
         dne3 = ne3 * dln3_eff
     smooth_on = not (
         isinstance(env.ps_smooth, float) and env.ps_smooth == 0.0
     )
+    ne_p_phi = None
     if smooth_on:
         # log-space sigmoid blends (see models/plasmasphere.py):
         # value and d/dL together
         inv_w = 1.0 / env.ps_smooth
-        s1 = 1.0 / (1.0 + jnp.exp(-(env.lppi - L) * inv_w))
-        s2 = 1.0 / (1.0 + jnp.exp(-(env.lppo - L) * inv_w))
+        s1 = 1.0 / (1.0 + jnp.exp(-(lppi_e - L) * inv_w))
+        s2 = 1.0 / (1.0 + jnp.exp(-(lppo_e - L) * inv_w))
         ds1 = -s1 * (1.0 - s1) * inv_w     # d s1/dL
         ds2 = -s2 * (1.0 - s2) * inv_w
         ln1 = LN10 * g1
         dln1 = dne1 / ne1
-        ln2 = jnp.log(ne2)
+        # analytic, not log(ne2): ne2 underflows to 0 at extreme L under
+        # XLA's flush-to-zero and log(0) = -inf would NaN the chain via
+        # the ~0 sigmoid weights (see plasmasphere.ne_plasma_cm3)
+        ln2 = jnp.log(ne_lppi_e) + LN10 * (lppi_e - L) / 0.1
         dln2 = -(LN10 / 0.1)
         ln3 = jnp.log(ne3)
         dln3 = dne3 / ne3
@@ -162,21 +200,42 @@ def _ne_and_grads(r, lat, env: medium.EnvParams):
         dne_p = ne_p * (
             ds1 * (ln1 - inner) + s1 * dln1 + (1.0 - s1) * dinner
         )
+        if mlt is not None:
+            # the sigmoid weights move with the boundaries: d s/dphi =
+            # -ds/dL * dboundary/dphi (opposite sign to the L-slope)
+            ds1_phi = -ds1 * dlppi
+            ds2_phi = -ds2 * dlppo
+            dln3_phi = dne3_phi / ne3
+            dinner_phi = (
+                ds2_phi * (ln2 - ln3) + s2 * dln2_phi
+                + (1.0 - s2) * dln3_phi
+            )
+            ne_p_phi = ne_p * (
+                ds1_phi * (ln1 - inner) + (1.0 - s1) * dinner_phi
+            )
     else:
-        in1 = L <= env.lppi
-        in2 = L <= env.lppo
+        in1 = L <= lppi_e
+        in2 = L <= lppo_e
         ne_p = jnp.where(in1, ne1, jnp.where(in2, ne2, ne3))
         dne_p = jnp.where(in1, dne1, jnp.where(in2, dne2, dne3))
+        if mlt is not None:
+            zero = jnp.zeros_like(ne_p)
+            ne_p_phi = jnp.where(
+                in1, zero, jnp.where(in2, dne2_phi, dne3_phi)
+            )
 
-    return _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat, L)
+    return _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat, L,
+                       ne_p_phi=ne_p_phi)
 
 
 def _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat, L,
-                ne_p_lat_direct=0.0):
+                ne_p_lat_direct=0.0, ne_p_phi=None):
     """Common tail of _ne_and_grads: apply the duct and DE factors and
     assemble the total density and its (r, lat) partials. ne_p_lat_direct
     carries any plasmasphere lat-dependence at fixed L (the GCPM
-    mirror-ratio term)."""
+    mirror-ratio term); ne_p_phi (MLT-resolved medium) rides the same
+    multiplicative factors (both are L/r-only) and appends a 4th output
+    d ne/dphi."""
     duct_on = not (
         isinstance(env.duct_amp, float) and env.duct_amp == 0.0
     )
@@ -191,6 +250,8 @@ def _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat, L,
         dne_p = dne_p * g + ne_p * dg
         ne_p = ne_p * g
         ne_p_lat_direct = ne_p_lat_direct * g
+        if ne_p_phi is not None:
+            ne_p_phi = ne_p_phi * g
     de_on = not (isinstance(env.de_weight, float) and env.de_weight == 0.0)
     if de_on:
         # diffusive equilibrium factor and its r-derivative
@@ -207,6 +268,8 @@ def _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat, L,
     ne = 1.0e6 * (ni + w * ne_p * de)
     ne_r = 1.0e6 * (ni_r + w * (dne_p * L_r * de + ne_p * de_r))
     ne_lat = 1.0e6 * w * de * (dne_p * L_lat + ne_p_lat_direct)
+    if ne_p_phi is not None:
+        return ne, ne_r, ne_lat, 1.0e6 * w * de * ne_p_phi
     return ne, ne_r, ne_lat
 
 
@@ -405,9 +468,13 @@ def mu_and_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f,
       - unit-field derivatives d(Bhat_r)/dlat = -2 cos(lat)/q^3,
         d(Bhat_theta)/dlat = 4 sin(lat)/q^3 with q^2 = 1 + 3 sin^2 lat;
       - d(cos psi)/d(rho_k) = (Bhat_k - cos psi rhohat_k)/|rho|;
-      - axisymmetric: d/dphi == 0.
+      - axisymmetric field: psi and |B| carry no phi-dependence; with
+        an MLT-resolved plasmasphere (env.ps_mlt) d mu/dphi flows
+        entirely through the density (dmu_dn * dne/dphi), with dne/dphi
+        from the same fused CA1992 chain (_ne_and_grads mlt= path);
+        the axisymmetric medium keeps d/dphi == 0 exactly.
     Values/partials match jax.value_and_grad of dispersion.mu_3d to
-    ~1e-11 (tests/test_fused.py)."""
+    ~1e-11 (tests/test_fused.py, tests/test_mlt3d.py)."""
     lat = jnp.pi / 2.0 - theta
     sl, cl = jnp.sin(lat), jnp.cos(lat)
     q2 = 1.0 + 3.0 * sl * sl
@@ -449,14 +516,21 @@ def mu_and_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f,
     dcos_drho_t = (bhat_t - cospsi * rhat_t) * inv_rmag
     dcos_drho_p = (0.0 - cospsi * rhat_p) * inv_rmag
 
-    ne, ne_r, ne_lat = _ne_and_grads(r, lat, env)
+    if medium.mlt_on(env):
+        mlt = medium.mlt_ps_params(phi, env, with_grads=True)
+        ne, ne_r, ne_lat, ne_phi = _ne_and_grads(r, lat, env, mlt=mlt)
+    else:
+        ne, ne_r, ne_lat = _ne_and_grads(r, lat, env)
+        ne_phi = None
     mu, dmu_dn, dmu_db, dmu_df, dmu_dc = _stix_quartic_grads(
         ne, bm, f, sinpsi, cospsi, root, env.eta_he, env.eta_o,
         wrt_cos=True,
     )
     dmudr = dmu_dn * ne_r + dmu_db * bm_r
     dmudtheta = -(dmu_dn * ne_lat + dmu_db * bm_lat) + dmu_dc * dcos_dtheta
-    dmudphi = jnp.zeros_like(dmudr)
+    dmudphi = (
+        jnp.zeros_like(dmudr) if ne_phi is None else dmu_dn * ne_phi
+    )
     return mu, (
         dmudr, dmudtheta, dmudphi,
         dmu_dc * dcos_drho_r, dmu_dc * dcos_drho_t,

@@ -25,6 +25,10 @@ def _tolist(x):
         return [_tolist(v) for v in x]
     if isinstance(x, dict):
         return {k: _tolist(v) for k, v in x.items()}
+    if hasattr(x, "shape") and getattr(x, "shape") != ():
+        # non-scalar device arrays (e.g. the MLT Fourier coefficient
+        # vector ps_mlt_c after cast_env) -- item() only takes size 1
+        return np.asarray(x).tolist()
     if hasattr(x, "item"):
         return x.item()
     return x

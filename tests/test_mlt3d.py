@@ -1,0 +1,253 @@
+"""MLT-resolved (non-axisymmetric) 3D plasmasphere (make_env(ps_mlt=True)).
+
+The reference's 3D trace freezes MLT as a scalar even though it carries a
+longitude state (RayTrace_3D.jl:108-117: mlt enters only the trough
+constant at :114). Here phi maps to local time and modulates the
+plasmapause (the drift-derived dusk teardrop of convection.py, as a smooth
+low-order Fourier shape) and the trough level -- so d mu/d phi != 0 from
+the DENSITY alone, with the centered dipole field. Validated three ways:
+exact phi = 0 reduction to the axisymmetric medium, fused-vs-autodiff
+gradient parity, and independent-language trajectory parity against the
+C++ oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace_tpu.constants import RE
+from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
+from raytrace_tpu.models import medium as M
+from raytrace_tpu.ops import dispersion as D
+from raytrace_tpu.ops import fused as F
+from raytrace_tpu.ops import rhs as RHS
+
+
+@pytest.fixture(scope="module")
+def env_mlt():
+    return M.make_env(b0=3.12e-5, ps_mlt=True)
+
+
+@pytest.fixture(scope="module")
+def env_axi():
+    return M.make_env(b0=3.12e-5)
+
+
+def _dusk_dawn_phi(env):
+    """Longitudes whose MLT is 18 h / 6 h for this env's base angle."""
+    return np.pi / 2 - env.ps_mlt_a0, -np.pi / 2 - env.ps_mlt_a0
+
+
+def test_phi0_is_the_axisymmetric_medium_exactly(env_mlt, env_axi):
+    """The phi = 0 meridian reproduces the base medium bit-for-bit: the
+    shape is normalized to S(a0) == 1 and lppo/ne_lppi/trough are
+    anchored by construction (mlt_ps_params docstring)."""
+    lppi_e, lppo_e, ne_lppi_e, trough_e = M.mlt_ps_params(0.0, env_mlt)
+    np.testing.assert_allclose(float(lppi_e), env_axi.lppi, rtol=1e-14)
+    np.testing.assert_allclose(float(lppo_e), env_axi.lppo, rtol=1e-12)
+    np.testing.assert_allclose(float(ne_lppi_e), env_axi.ne_lppi,
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(trough_e), env_axi.ps_trough,
+                               rtol=1e-14)
+    for r, lat in ((1.5, 0.3), (3.0, 0.6), (4.3, 0.0), (6.5, 0.9)):
+        np.testing.assert_allclose(
+            float(M.ne_total_m3(r, lat, env_mlt, phi=0.0)),
+            float(M.ne_total_m3(r, lat, env_axi)), rtol=1e-12,
+        )
+
+
+def test_dusk_bulge_and_periodicity(env_mlt):
+    """The traced plasmapause bulges at dusk like the derived LCE
+    (roughly 1.5-1.7x dawn at 3 harmonics) and is 2 pi periodic."""
+    dusk, dawn = _dusk_dawn_phi(env_mlt)
+    li_dusk = float(M.mlt_ps_params(dusk, env_mlt)[0])
+    li_dawn = float(M.mlt_ps_params(dawn, env_mlt)[0])
+    assert 1.4 < li_dusk / li_dawn < 1.8
+    for a, b in [(0.3, 0.3 + 2 * np.pi), (dusk, dusk - 2 * np.pi)]:
+        pa = M.mlt_ps_params(a, env_mlt)
+        pb = M.mlt_ps_params(b, env_mlt)
+        for x, y in zip(pa, pb):
+            np.testing.assert_allclose(float(x), float(y), rtol=1e-12)
+    # lppo follows lppi with the branch-2/3 crossing width, staying a
+    # genuine knee everywhere (lppo > lppi)
+    for phi in np.linspace(-np.pi, np.pi, 17):
+        p = M.mlt_ps_params(phi, env_mlt)
+        assert float(p[1]) > float(p[0])
+
+
+def test_trough_day_night_modulation(env_mlt):
+    """trough(phi = 0) == ps_trough exactly; the full modulation swing is
+    2 * tamp (day-night); minimum at local midnight (mlt = 0/24 h,
+    i.e. cos(pi mlt/12) = 1)."""
+    tr0 = float(M.mlt_ps_params(0.0, env_mlt)[3])
+    np.testing.assert_allclose(tr0, env_mlt.ps_trough, rtol=1e-14)
+    phis = np.linspace(-np.pi, np.pi, 721)
+    tr = np.array([float(M.mlt_ps_params(p, env_mlt)[3]) for p in phis])
+    np.testing.assert_allclose(tr.max() - tr.min(),
+                               2.0 * env_mlt.ps_mlt_tamp, rtol=1e-4)
+    # midnight: ang = pi mlt/12 - pi = -pi -> cos(ang) = -1 (minimum)
+    i_min = np.argmin(tr)
+    ang_min = env_mlt.ps_mlt_a0 + phis[i_min]
+    np.testing.assert_allclose(
+        np.cos(ang_min), -1.0, atol=1e-4,
+    )
+
+
+def _parity_grid(env, n=160, seed=0):
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(1.2, 7.0, n)
+    th = rng.uniform(0.4, 2.6, n)
+    phi = rng.uniform(-4.0, 7.0, n)
+    f = rng.uniform(500.0, 8000.0, n)
+    k = rng.normal(size=(3, n))
+    k = 20.0 * k / np.linalg.norm(k, axis=0)
+
+    def ad(r, th, ph, rr, rt, rp, ff):
+        mu, g = jax.value_and_grad(D.mu_3d, argnums=(0, 1, 2, 3, 4, 5, 6))(
+            r, th, ph, rr, rt, rp, ff, env)
+        return jnp.stack([mu, *g])
+
+    def fu(r, th, ph, rr, rt, rp, ff):
+        mu, g = F.mu_and_grads_3d(r, th, ph, rr, rt, rp, ff, env)
+        return jnp.stack([mu, *g])
+
+    args = tuple(map(jnp.asarray, (r, th, phi, *k, f)))
+    return np.asarray(jax.vmap(ad)(*args)), np.asarray(jax.vmap(fu)(*args))
+
+
+@pytest.mark.parametrize("variant", ["hard", "smooth", "refill", "duct"])
+def test_fused_matches_autodiff_mlt(variant):
+    """The hand-fused d mu/d phi chain equals autodiff of mu_3d through
+    every medium variant the MLT parameters touch (hard branches, the
+    sigmoid-blend boundaries that MOVE with phi, refill toward the MLT-
+    independent branch 1, and the multiplicative duct)."""
+    kw = dict(
+        hard={}, smooth=dict(ps_smooth=0.05),
+        refill=dict(ps_refill=0.5, ps_refill_q=4.0),
+        duct=dict(duct_amp=0.5, duct_l0=3.0, duct_w=0.2),
+    )[variant]
+    env = M.make_env(b0=3.12e-5, ps_mlt=True, **kw)
+    A, B = _parity_grid(env)
+    # both chains must be finite over the whole grid, including extreme
+    # L where branch 2 underflows under XLA's flush-to-zero (the ln2
+    # log-space guard in plasmasphere.ne_plasma_cm3 / fused._ne_and_grads)
+    assert np.isfinite(B).all()
+    assert np.isfinite(A).all()
+    # standard atol + rtol form: relative 1e-9 where the entry is
+    # significant, with a per-column absolute floor (1e-9 of the column
+    # scale) that covers saturated-sigmoid tail noise -- autodiff gives
+    # O(1e-12) where the fused chain gives exact 0, on columns of scale
+    # O(10)
+    tol = 1e-9 * (np.abs(A) + np.max(np.abs(A), axis=0))
+    bad = np.abs(A - B) > tol
+    assert not bad.any(), (variant, np.abs(A - B)[bad].max())
+    # and the phi-gradient is alive somewhere on the grid
+    assert np.abs(A[:, 3]).max() > 1e-2
+
+
+def test_dmudphi_zero_iff_axisymmetric(env_mlt, env_axi):
+    """d mu/d phi != 0 from density alone (centered dipole) in the knee,
+    and identically 0 for the axisymmetric control."""
+    th = np.pi / 2 - 1.05
+    rho = D.consistent_rho_3d(4.0, th, 1.0, (1.0, 1.0, 0.0), 1000.0,
+                              env_mlt)
+    args = (4.0, th, 1.0, *map(float, rho), 1000.0)
+    g_mlt = float(jax.grad(D.mu_3d, argnums=2)(*args, env_mlt))
+    g_axi = float(jax.grad(D.mu_3d, argnums=2)(*args, env_axi))
+    assert g_axi == 0.0
+    assert abs(g_mlt) > 1e-3
+    # fused agrees
+    _, grads = F.mu_and_grads_3d(*args, env_mlt)
+    np.testing.assert_allclose(float(grads[2]), g_mlt, rtol=1e-10)
+
+
+def test_native_oracle_rhs_parity_mlt(env_mlt):
+    """Independent-language check: the C++ oracle's FD gradients through
+    its own MLT chain match the fused JAX RHS (3D, centered dipole)."""
+    from raytrace_tpu import native
+
+    rng = np.random.default_rng(1)
+    worst = 0.0
+    for _ in range(12):
+        r = rng.uniform(1.5, 6.5)
+        th = rng.uniform(0.6, 2.2)
+        ph = rng.uniform(-3.0, 5.0)
+        fq = rng.uniform(600.0, 5000.0)
+        rho = D.consistent_rho_3d(r, th, ph, (1.0, 1.0, 0.2), fq, env_mlt)
+        u = np.array([r, th, ph, *map(float, rho), 0.0])
+        du_n = native.rhs_3d(u, fq, env_mlt)
+        du_j = np.asarray(RHS.rhs_3d(jnp.asarray(u), fq, env_mlt))
+        rel = np.abs(du_n - du_j) / np.maximum(np.abs(du_j), 1e-10)
+        worst = max(worst, float(rel.max()))
+    assert worst < 5e-5, worst  # FD-accuracy floor of the oracle
+
+
+def test_plume_ray_native_trajectory_parity_and_physics(env_mlt, env_axi):
+    """A knee-crossing ray at dusk sees the EXPANDED plasmasphere (the
+    plume): its landing shifts vs the axisymmetric control, the dawn ray
+    shifts the other way, and the C++ oracle integrates the same dusk
+    trajectory (independent-language parity)."""
+    from raytrace_tpu import native
+
+    r0 = (RE + 1.0e6) / RE
+    th0 = np.pi / 2 - 1.05
+    dusk, dawn = _dusk_dawn_phi(env_mlt)
+    cfg = SolverConfig(rtol=1e-9, atol=1e-13, dt0=1e-4)
+    spec = StopSpec(r_floor=1.0, t_max=5e9 / RE, lat_sign=-1.0,
+                    lat_offset=np.pi / 2)
+
+    def run(env, ph0):
+        rho0 = D.consistent_rho_3d(r0, th0, ph0, (1.0, 1.0, 0.0), 1000.0,
+                                   env)
+        u0 = np.array([r0, th0, ph0, *map(float, rho0), 0.0])
+        res = trace(lambda u, ff: RHS.rhs_3d(u, ff, env),
+                    jnp.asarray([u0]), jnp.asarray([1000.0]), cfg=cfg,
+                    spec=spec, max_steps=400000, group_idx=6)
+        return u0, np.asarray(res.u[0]), int(res.status[0])
+
+    u0_dusk, u_dusk, st_dusk = run(env_mlt, dusk)
+    _, u_dawn, st_dawn = run(env_mlt, dawn)
+    _, u_ctrl, st_ctrl = run(env_axi, dusk)
+    assert st_dusk == st_dawn == st_ctrl == events.HIT_EARTH
+    d_dusk = u_dusk[1] - u_ctrl[1]
+    d_dawn = u_dawn[1] - u_ctrl[1]
+    # the medium change is real and opposite-signed at dusk vs dawn
+    assert abs(d_dusk) > 1e-3 and abs(d_dawn) > 1e-3
+    assert np.sign(d_dusk) != np.sign(d_dawn)
+
+    nat = native.trace_3d(u0_dusk, 1000.0, env_mlt, rtol=1e-9, atol=1e-13,
+                          t_max=5e9 / RE, max_steps=400000)
+    assert nat["status"] == events.HIT_EARTH
+    np.testing.assert_allclose(nat["u"][1], u_dusk[1], atol=5e-8)
+    np.testing.assert_allclose(nat["u"][6], u_dusk[6], rtol=1e-5)
+
+
+def test_make_env_refusals():
+    """ps_mlt composes with CA1992 + centered dipole only."""
+    with pytest.raises(ValueError, match="ps_mlt"):
+        M.make_env(ps_mlt=True, ps_model="gcpm")
+    with pytest.raises(ValueError, match="ps_mlt"):
+        M.make_env(ps_mlt=True, plasmasphere_on=False)
+    with pytest.raises(ValueError, match="ps_mlt"):
+        M.make_env(ps_mlt=True, b_model="tilted", b_tilt=0.2)
+
+
+def test_cast_env_and_config_roundtrip(env_mlt):
+    """The MLT fields survive the float32 device cast (coeff tuple ->
+    traced array) and the RunConfig JSON round-trip."""
+    from raytrace_tpu.config import MediumConfig, RunConfig
+
+    env32 = M.cast_env(env_mlt, jnp.float32)
+    ne64 = float(M.ne_total_m3(4.5, 0.2, env_mlt, phi=2.0))
+    ne32 = float(M.ne_total_m3(
+        jnp.float32(4.5), jnp.float32(0.2), env32, phi=jnp.float32(2.0)))
+    np.testing.assert_allclose(ne32, ne64, rtol=1e-5)
+
+    cfg = RunConfig(name="m", frame="3d",
+                    medium=MediumConfig(ps_mlt=True, ps_mlt_tamp=900.0))
+    back = RunConfig.from_json(cfg.to_json())
+    assert back.medium.ps_mlt is True
+    env2 = back.medium.build()
+    assert float(env2.ps_mlt_tamp) == 900.0
+    assert len(env2.ps_mlt_c) == 7

@@ -120,6 +120,43 @@ def test_run_3d_lats_are_latitudes():
     np.testing.assert_allclose(u0[0, 1], np.pi / 2 - 0.3, rtol=1e-12)
 
 
+def test_run_3d_chi_fan():
+    """3D frame chis rotate the rho0 direction within the meridional
+    plane (run._build_u0): chi = 0 keeps rho0 exactly (backward compat
+    for the lats x freqs presets), nonzero chi preserves the direction
+    norm and tilts from r-hat toward theta-hat, and the on-shell solve
+    applies per-ray (|rho| = mu of the ROTATED direction)."""
+    from raytrace_tpu.config import preset
+    from raytrace_tpu.run import _build_u0
+
+    cfg = preset("ensemble10k_3d", lats=(0.7,), chis=(0.0, 0.4),
+                 freqs=(1000.0,), rho_on_shell=False)
+    u0, f = _build_u0(cfg, np.float64)
+    assert u0.shape == (2, 7)
+    np.testing.assert_allclose(u0[0, 3:6], (1.0, 1.0, 0.0), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.linalg.norm(u0[1, 3:6]), np.sqrt(2.0), rtol=1e-12
+    )
+    c, s = np.cos(0.4), np.sin(0.4)
+    np.testing.assert_allclose(u0[1, 3:6], (c - s, s + c, 0.0), rtol=1e-12)
+
+    # on-shell: each ray's |rho| equals mu at its own rotated direction
+    from raytrace_tpu.ops.dispersion import mu_3d
+
+    cfg_on = preset("ensemble10k_3d", lats=(0.7,), chis=(0.0, 0.4),
+                    freqs=(1000.0,))
+    u0_on, f_on = _build_u0(cfg_on, np.float64)
+    env = cfg_on.medium.build()
+    for k in range(2):
+        khat = u0[k, 3:6] / np.linalg.norm(u0[k, 3:6])
+        rho = u0_on[k, 3:6]
+        mu = float(mu_3d(u0_on[k, 0], u0_on[k, 1], 0.0,
+                         *map(float, rho), float(f_on[k]), env))
+        np.testing.assert_allclose(np.linalg.norm(rho), mu, rtol=1e-10)
+        np.testing.assert_allclose(rho / np.linalg.norm(rho), khat,
+                                   rtol=1e-10)
+
+
 def test_checkpoint_resume_exact(tmp_path):
     """Stop after N steps, checkpoint, resume: identical final state to an
     uninterrupted run (deterministic integrator)."""
