@@ -54,6 +54,11 @@ class MediumConfig:
     ps_refill_q: float = 0.0        # tau(L) ~ L^q exponent (0 = global
                                     # weight; ~4 = flux-tube-volume rates)
     ps_refill_lref: float = 4.0     # shell where ps_refill applies exactly
+    ps_mlt: bool = False            # MLT-resolved plasmasphere (3D frame):
+                                    # derived-LCE plasmapause shape + day-
+                                    # night trough (medium.mlt_ps_params)
+    ps_mlt_harmonics: int = 3       # Fourier harmonics of the shape
+    ps_mlt_tamp: float = 1800.0     # trough day-night half-amplitude
 
     def build(self):
         fit = TRACED_FIT if self.iono_fit == "traced" else IRI_DAYSIDE_FIT
@@ -69,6 +74,8 @@ class MediumConfig:
             eta_he=self.eta_he, eta_o=self.eta_o,
             ps_refill=self.ps_refill, ps_refill_q=self.ps_refill_q,
             ps_refill_lref=self.ps_refill_lref,
+            ps_mlt=self.ps_mlt, ps_mlt_harmonics=self.ps_mlt_harmonics,
+            ps_mlt_tamp=self.ps_mlt_tamp,
         )
 
 
@@ -334,6 +341,25 @@ def preset(name, **overrides):
             freqs=tuple(np.geomspace(500.0, 8000.0, 16)),
             rho0=(1.0, 1.0, 0.0), rho_on_shell=True,
             rtol=1.0e-5, atol=1.0e-8,
+            ds_max=2.0e6 / RE, dt_max=8.0e6 / RE,
+        ),
+        # the 3D PRODUCTION HEADLINE: a 10,240-ray 7-state ensemble
+        # (lat x chi x freq fan; chi rotates the launch wave-normal
+        # direction within the meridional plane around the reference's
+        # rho0 = (1,1,0), run._build_u0) launched ON the dispersion
+        # surface at the production arc ceiling -- the at-scale 3D row
+        # next to ensemble10k (VERDICT r3 #1). Workload shape mirrors
+        # the 2D headline (40 x 16 x 16); the 7-state frame pays 12
+        # dispersion evals/RHS in the reference
+        # (RayTrace_3D.jl:336-344), one fused eval here.
+        "ensemble10k_3d": dict(
+            name="ensemble10k_3d", frame="3d",
+            medium=MediumConfig(b0=B0_3D),
+            lats=tuple(np.linspace(0.45, 1.1, 40)),
+            chis=tuple(np.linspace(-0.5, 0.5, 16)),
+            freqs=tuple(np.geomspace(500.0, 8000.0, 16)),
+            rho0=(1.0, 1.0, 0.0), rho_on_shell=True,
+            rtol=1.0e-5, atol=1.0e-8, base_stepper="bs3",
             ds_max=2.0e6 / RE, dt_max=8.0e6 / RE,
         ),
         # framework extension: He+-band EMIC rays in a multi-ion plasma

@@ -46,9 +46,20 @@ def _build_u0(config: RunConfig, dtype):
                          "needs rho0, which the grid builder supplies)")
     rows = []
     fs = []
-    for lat, fr in itertools.product(config.lats, config.freqs):
+    # chis fan the 3D frame too: each chi rotates the rho0 direction
+    # within the launch meridional plane (positive chi tilts from r-hat
+    # toward theta-hat, i.e. equatorward for a northern launch). chi = 0
+    # keeps rho0 exactly, so the lats x freqs presets are unchanged; a
+    # (lats x chis x freqs) grid is the 3D analogue of the 2D wave-
+    # normal fan (the reference pins rho0 = (1,1,0), RayTrace_3D.jl:391).
+    for lat, chi, fr in itertools.product(
+        config.lats, config.chis, config.freqs
+    ):
+        c, s = np.cos(chi), np.sin(chi)
+        pr, pt, pp = config.rho0
         rows.append(
-            [config.r0, np.pi / 2 - lat, 0.0, *config.rho0, 0.0]
+            [config.r0, np.pi / 2 - lat, 0.0,
+             c * pr - s * pt, s * pr + c * pt, pp, 0.0]
         )
         fs.append(fr)
     u0 = np.asarray(rows, dtype)
@@ -66,10 +77,14 @@ def _build_u0(config: RunConfig, dtype):
 
         env_host = config.medium.build()
         with jax.default_device(jax.devices("cpu")[0]):
-            rho = jax.jit(jax.vmap(lambda th, fq: jnp.stack(
-                consistent_rho_3d(config.r0, th, 0.0, config.rho0, fq,
+            rho = jax.jit(jax.vmap(lambda th, khat, fq: jnp.stack(
+                consistent_rho_3d(config.r0, th, 0.0, tuple(khat), fq,
                                   env_host, config.root)
-            )))(jnp.asarray(u0[:, 1]), jnp.asarray(f))
+            )))(
+                jnp.asarray(u0[:, 1]),
+                jnp.asarray(u0[:, 3:6].astype(np.float64)),
+                jnp.asarray(f),
+            )
             u0[:, 3:6] = np.asarray(rho, dtype)
     return u0, f
 
@@ -127,9 +142,29 @@ def run(config: RunConfig, out_dir=None, plots=False):
     if int(np.asarray(valid).sum()) <= 64:
         rounds_kw["round_steps"] = (config.max_steps,)
 
-    if config.save_every > 0:
-        # trajectory mode: scan tracer (fixed shapes), sharded over the
-        # ray axis like the final-state tracers
+    if config.save_every > 0 and config.use_rounds:
+        # PRODUCTION trajectory mode: the rounds tracer's snapshot
+        # channel (per-round decimated blocks, host-assembled) -- device
+        # memory bounded by one round's block instead of the full
+        # max_steps history, so 10k-ray trajectory runs fit on chip
+        # (VERDICT r3 #3; the reference records SavedValues on every
+        # solve, RayTrace_lat.jl:318-330). Requires round lengths and
+        # max_steps to be multiples of save_every.
+        save_fn = (
+            save_fn_for(config.frame, env) if config.save_diagnostics
+            else None
+        )
+        tracer = _cached_tracer(
+            config, env, env_host, mesh,
+            dict(rounds_kw, save_every=config.save_every,
+                 save_fn=save_fn),
+            rounds=True,
+        )
+        result = tracer(u0, f, valid)
+    elif config.save_every > 0:
+        # single-program trajectory mode (use_rounds=False): scan tracer
+        # (fixed shapes), sharded over the ray axis like the final-state
+        # tracers; the whole snapshot history lives on device
         from .parallel.mesh import ray_sharding
 
         rhs_fn, group_idx = _rhs_for(config, env)

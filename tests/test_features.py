@@ -405,3 +405,30 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
     # idempotent: a second call (different path) is a no-op
     assert cache.enable_compilation_cache(str(tmp_path / "other")) is not None
     assert jax.config.jax_compilation_cache_dir == d
+
+
+def test_runner_rounds_trajectory_channel(tmp_path):
+    """run() with save_every + use_rounds rides the rounds tracer's
+    snapshot channel (device memory bounded per round) and equals the
+    single-program scan tracer with a pinned stepper -- the production
+    trajectory path (reference SavedValues, RayTrace_lat.jl:318-330)."""
+    kw = dict(max_steps=512, dtype="float64", save_every=32,
+              save_diagnostics=True, stepper="dopri5")
+    cfg = preset("lat_fan", **kw)
+    cfg.lats = tuple(np.linspace(0.6, 0.8, 4))
+    cfg.chis = (0.0,)
+    out = run(cfg, out_dir=str(tmp_path))
+    traj = out["result"].traj
+    assert traj is not None and "extras" in traj
+    assert traj["u"].shape[0] == 512 // 32
+    assert (tmp_path / "lat_fan_traj.npz").exists()
+    cfg2 = preset("lat_fan", **dict(kw, use_rounds=False))
+    cfg2.lats = cfg.lats
+    cfg2.chis = (0.0,)
+    single = run(cfg2)["result"].traj
+    v = np.asarray(out["valid"])
+    for k in single:
+        np.testing.assert_array_equal(
+            np.asarray(traj[k])[:, v], np.asarray(single[k])[:, v],
+            err_msg=f"run()-level trajectory channel {k!r} diverged",
+        )
