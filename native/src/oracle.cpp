@@ -53,19 +53,41 @@ struct Env {
   double ps_mlt_c[7];   // Fourier shape coeffs c0, c1, s1, c2, s2, c3, s3
   double ps_mlt_tamp;   // trough day-night half-amplitude
   double ps_mlt_c3;     // base-knee trough log10 density
+  // day/night ionosphere blend (models/medium.py EnvParams.iono_mix):
+  // ne_iono = mix * fit_a + (1 - mix) * fit_b, fit_b sharing iono_r0
+  double iono_n0_b, iono_decay_b, iono_mix;
+  // plasmasphere model selector: 0 = CA1992 3-branch, 1 = simplified
+  // GCPM (models/plasmasphere.py::ne_gcpm_cm3)
+  double ps_sel;
+  double gcpm_ne0, gcpm_lscale, gcpm_bpow, gcpm_knee;
+  // field model selector: 0 = centered axial dipole, 1 = tilted dipole
+  // (models/dipole.py::b_vec_tilted), 2 = degree-3 IGRF truncation
+  // (models/dipole.py::b_vec_igrf). Tilted/IGRF are 3D-frame models;
+  // the density is organized by the tilted-frame magnetic latitude
+  // (b_tilt/b_tilt_phi -- for IGRF the tilt of its degree-1 part).
+  double b_sel;
+  double b_tilt, b_tilt_phi;
+  double igrf[15];      // Schmidt coefficients (nT), degrees 1-3
 };
 
-// env array protocol (raytrace_tpu/native.py::_env_array): 30 doubles in
-// the struct's field order (the Fourier block is fixed at 7 slots; unused
-// higher harmonics ride as zeros)
-constexpr int ENV_DOUBLES = 30;
+// env array protocol (raytrace_tpu/native.py::_env_array): 56 doubles in
+// the struct's field order (the Fourier block is fixed at 7 slots and the
+// IGRF block at 15; unused slots ride as zeros)
+constexpr int ENV_DOUBLES = 56;
 
 Env env_from(const double* v) {
   return Env{v[0],  v[1],  v[2],  v[3],  v[4],  v[5],  v[6],  v[7],  v[8],
              v[9],  v[10], v[11], v[12], v[13], v[14], v[15], v[16], v[17],
              v[18], v[19], v[20],
              {v[21], v[22], v[23], v[24], v[25], v[26], v[27]},
-             v[28], v[29]};
+             v[28], v[29],
+             v[30], v[31], v[32],
+             v[33],
+             v[34], v[35], v[36], v[37],
+             v[38],
+             v[39], v[40],
+             {v[41], v[42], v[43], v[44], v[45], v[46], v[47], v[48],
+              v[49], v[50], v[51], v[52], v[53], v[54], v[55]}};
 }
 
 // ---- environment (reference: RayTrace_lat.jl:66-84, plasmasphere.jl) ----
@@ -94,8 +116,39 @@ void mlt_params(const Env& e, double phi, double* lppi, double* lppo,
 
 double ne_total_m3(double r, double lat, const Env& e, double phi = 0.0) {
   double ne_i = e.iono_n0 * std::exp(-e.iono_decay * (r - e.iono_r0));
+  if (e.iono_mix != 1.0) {
+    // day/night fit blend (the MLT interpolation the reference planned,
+    // plasmasphere.jl:110-113)
+    double ne_b = e.iono_n0_b * std::exp(-e.iono_decay_b * (r - e.iono_r0));
+    ne_i = e.iono_mix * ne_i + (1.0 - e.iono_mix) * ne_b;
+  }
   double cl = std::cos(lat);
   double L = r / (cl * cl);
+  if (e.ps_sel != 0.0) {
+    // simplified GCPM (models/plasmasphere.py::ne_gcpm_cm3): exponential
+    // decay in L times the dipole mirror ratio to the power bpow,
+    // log-sigmoid-joined to the CA1992 trough at Lppo
+    double q2 = 1.0 + 3.0 * std::sin(lat) * std::sin(lat);
+    double ln_m = 0.5 * std::log(q2) - 6.0 * std::log(cl);
+    double ln_ps = std::log(e.gcpm_ne0) - (L - 2.0) / e.gcpm_lscale +
+                   e.gcpm_bpow * ln_m;
+    double Lsafe = std::max(L, 1e-6);
+    double ln_tr = std::log(e.ps_trough * std::exp(-4.5 * std::log(Lsafe)) +
+                            (1.0 - std::exp((2.0 - L) / 10.0)));
+    double w = 1.0 / (1.0 + std::exp(-(e.lppo - L) / e.gcpm_knee));
+    double ne_p = std::exp(w * ln_ps + (1.0 - w) * ln_tr);
+    if (e.duct_amp != 0.0) {
+      double x = (L - e.duct_l0) / e.duct_w;
+      ne_p *= 1.0 + e.duct_amp * std::exp(-0.5 * x * x);
+    }
+    if (e.de_weight > 0.5) {
+      double rb = 7.37e6, T = 2500.0;
+      double G = rb * (1.0 - rb / (r * RE_M));
+      double S = 1.506 * T * (rb / 7370.0) * (rb / 7370.0);
+      ne_p *= std::sqrt(std::exp(-G / S));
+    }
+    return (ne_i + e.ps_weight * ne_p) * 1.0e6;
+  }
   double lppi = e.lppi, lppo = e.lppo, ne_lppi = e.ne_lppi,
          trough = e.ps_trough;
   if (e.ps_mlt != 0.0) mlt_params(e, phi, &lppi, &lppo, &ne_lppi, &trough);
@@ -145,6 +198,98 @@ double ne_total_m3(double r, double lat, const Env& e, double phi = 0.0) {
 double b_mag(double r, double lat, const Env& e) {
   double s = std::sin(lat);
   return e.b0 * std::sqrt(1.0 + 3.0 * s * s) / (r * r * r);
+}
+
+// ---- 3D field models (models/dipole.py) ----
+
+// (B_r, B_theta, B_phi) at geographic (r, theta, phi), dispatched on
+// e.b_sel: centered axial dipole (RayTrace_3D.jl:54-66), tilted point
+// dipole (b_vec_tilted), or the degree-3 IGRF truncation (b_vec_igrf;
+// closed-form Schmidt P_nm, same 15-coefficient layout).
+void b_vec_model(const Env& e, double r, double theta, double phi,
+                 double* br, double* bt, double* bp) {
+  double s = std::sin(theta), c = std::cos(theta);
+  if (e.b_sel == 2.0) {
+    const double* g = e.igrf;
+    double g10 = g[0], g11 = g[1], h11 = g[2], g20 = g[3], g21 = g[4],
+           h21 = g[5], g22 = g[6], h22 = g[7], g30 = g[8], g31 = g[9],
+           h31 = g[10], g32 = g[11], h32 = g[12], g33 = g[13], h33 = g[14];
+    double sp = std::sin(phi), cp = std::cos(phi);
+    double s2p = 2.0 * sp * cp, c2p = cp * cp - sp * sp;
+    double s3p = s2p * cp + c2p * sp, c3p = c2p * cp - s2p * sp;
+    const double rt3 = 1.7320508075688772, rt6 = 2.449489742783178,
+                 rt15 = 3.872983346207417, rt10 = 3.1622776601683795;
+    double p10 = c, d10 = -s, p11 = s, d11 = c;
+    double p20 = 1.5 * c * c - 0.5, d20 = -3.0 * s * c;
+    double p21 = rt3 * s * c, d21 = rt3 * (c * c - s * s);
+    double p22 = 0.5 * rt3 * s * s, d22 = rt3 * s * c;
+    double p30 = 2.5 * c * c * c - 1.5 * c;
+    double d30 = -1.5 * s * (5.0 * c * c - 1.0);
+    double p31 = 0.25 * rt6 * s * (5.0 * c * c - 1.0);
+    double d31 = 0.25 * rt6 * (c * (5.0 * c * c - 1.0) - 10.0 * c * s * s);
+    double p32 = 0.5 * rt15 * s * s * c;
+    double d32 = 0.5 * rt15 * (2.0 * s * c * c - s * s * s);
+    double p33 = 0.25 * rt10 * s * s * s, d33 = 0.75 * rt10 * s * s * c;
+    double inv_r = 1.0 / r;
+    double f1 = inv_r * inv_r * inv_r, f2 = f1 * inv_r, f3 = f2 * inv_r;
+    double t1 = g10 * p10 + (g11 * cp + h11 * sp) * p11;
+    double dt1 = g10 * d10 + (g11 * cp + h11 * sp) * d11;
+    double pt1 = (g11 * sp - h11 * cp) * p11;
+    double t2 = g20 * p20 + (g21 * cp + h21 * sp) * p21 +
+                (g22 * c2p + h22 * s2p) * p22;
+    double dt2 = g20 * d20 + (g21 * cp + h21 * sp) * d21 +
+                 (g22 * c2p + h22 * s2p) * d22;
+    double pt2 = (g21 * sp - h21 * cp) * p21 +
+                 2.0 * (g22 * s2p - h22 * c2p) * p22;
+    double t3 = g30 * p30 + (g31 * cp + h31 * sp) * p31 +
+                (g32 * c2p + h32 * s2p) * p32 + (g33 * c3p + h33 * s3p) * p33;
+    double dt3 = g30 * d30 + (g31 * cp + h31 * sp) * d31 +
+                 (g32 * c2p + h32 * s2p) * d32 + (g33 * c3p + h33 * s3p) * d33;
+    double pt3 = (g31 * sp - h31 * cp) * p31 +
+                 2.0 * (g32 * s2p - h32 * c2p) * p32 +
+                 3.0 * (g33 * s3p - h33 * c3p) * p33;
+    const double nt = 1.0e-9;
+    *br = nt * (2.0 * f1 * t1 + 3.0 * f2 * t2 + 4.0 * f3 * t3);
+    *bt = -nt * (f1 * dt1 + f2 * dt2 + f3 * dt3);
+    *bp = nt / std::max(s, 1.0e-12) * (f1 * pt1 + f2 * pt2 + f3 * pt3);
+    return;
+  }
+  if (e.b_sel == 1.0) {
+    // tilted point dipole: B = (b0/r^3)(3 (m.rhat) rhat - m) on the
+    // local spherical basis (models/dipole.py::b_vec_tilted)
+    double st = std::sin(e.b_tilt), ct = std::cos(e.b_tilt);
+    double mx = st * std::cos(e.b_tilt_phi), my = st * std::sin(e.b_tilt_phi),
+           mz = -ct;
+    double sp = std::sin(phi), cp = std::cos(phi);
+    double m_r = mx * s * cp + my * s * sp + mz * c;
+    double m_t = mx * c * cp + my * c * sp - mz * s;
+    double m_p = -mx * sp + my * cp;
+    double k = e.b0 / (r * r * r);
+    *br = 2.0 * k * m_r;
+    *bt = -k * m_t;
+    *bp = -k * m_p;
+    return;
+  }
+  double lat = PI / 2.0 - theta;
+  double inv_r3 = 1.0 / (r * r * r);
+  *br = -2.0 * e.b0 * inv_r3 * std::sin(lat);
+  *bt = -e.b0 * inv_r3 * std::cos(lat);
+  *bp = 0.0;
+}
+
+// magnetic latitude organizing the density models (models/medium.py::
+// mlat_3d): geographic latitude for the centered dipole; the
+// tilted-frame latitude for tilted/IGRF (for IGRF the tilt of its
+// degree-1 part, marshalled into b_tilt/b_tilt_phi by make_env).
+double mlat_of(const Env& e, double theta, double phi) {
+  if (e.b_sel == 0.0) return PI / 2.0 - theta;
+  double st = std::sin(e.b_tilt), ct = std::cos(e.b_tilt);
+  double mx = st * std::cos(e.b_tilt_phi), my = st * std::sin(e.b_tilt_phi),
+         mz = -ct;
+  double s = std::sin(theta), c = std::cos(theta);
+  double sl = -(mx * s * std::cos(phi) + my * s * std::sin(phi) + mz * c);
+  sl = std::max(-1.0, std::min(1.0, sl));
+  return std::asin(sl);
 }
 
 // ---- dispersion (reference algebra: RayTrace_lat.jl:44-194) ----
@@ -444,19 +589,16 @@ void trace_2d_lat_impl(const double* u0, double f, const Env& e, int grad_mode,
 
 double mu_3d(double r, double theta, double phi, double rho_r, double rho_t,
              double rho_p, double f, const Env& e) {
-  (void)phi;  // dipole medium is axisymmetric
-  double lat = PI / 2.0 - theta;
-  // vector dipole (RayTrace_3D.jl:54-66)
-  double inv_r3 = 1.0 / (r * r * r);
-  double br = -2.0 * e.b0 * inv_r3 * std::sin(lat);
-  double bt = -e.b0 * inv_r3 * std::cos(lat);
-  double bmag = std::sqrt(br * br + bt * bt);
+  double br, bt, bp;
+  b_vec_model(e, r, theta, phi, &br, &bt, &bp);
+  double bmag = std::sqrt(br * br + bt * bt + bp * bp);
   double rmag = std::sqrt(rho_r * rho_r + rho_t * rho_t + rho_p * rho_p);
-  double cospsi = (br * rho_r + bt * rho_t) / (bmag * rmag);
+  double cospsi = (br * rho_r + bt * rho_t + bp * rho_p) / (bmag * rmag);
   cospsi = std::max(-1.0, std::min(1.0, cospsi));
   double psi = std::acos(cospsi);  // RayTrace_3D.jl:138-141
+  double mlat = mlat_of(e, theta, phi);
   double mu, mu2;
-  mu_dmudpsi(ne_total_m3(r, lat, e, phi), bmag, f, psi, &mu, nullptr, &mu2,
+  mu_dmudpsi(ne_total_m3(r, mlat, e, phi), bmag, f, psi, &mu, nullptr, &mu2,
              e.eta_he, e.eta_o);
   return mu;
 }
@@ -469,7 +611,6 @@ void rhs_3d(const double* u, double f, const Env& e, int grad_mode,
             double* du) {
   double r = u[0], theta = u[1], phi = u[2];
   double rho_r = u[3], rho_t = u[4], rho_p = u[5];
-  double lat = PI / 2.0 - theta;
   double hr = 1e-7 * r, ha = 1e-7, hf = 1e-3 * f;
   double rmag = std::sqrt(rho_r * rho_r + rho_t * rho_t + rho_p * rho_p);
   double hro = 1e-7 * rmag;
@@ -479,9 +620,10 @@ void rhs_3d(const double* u, double f, const Env& e, int grad_mode,
       (mu_3d(r, theta + ha / 2, phi, rho_r, rho_t, rho_p, f, e) -
        mu_3d(r, theta - ha / 2, phi, rho_r, rho_t, rho_p, f, e)) / ha;
   // axisymmetric medium: FD confirms d/dphi == 0 identically; the
-  // MLT-resolved plasmasphere makes it live
+  // MLT-resolved plasmasphere (density) or a tilted/IGRF field makes it
+  // live
   double dmudphi =
-      (e.ps_mlt != 0.0)
+      (e.ps_mlt != 0.0 || e.b_sel != 0.0)
           ? (mu_3d(r, theta, phi + ha / 2, rho_r, rho_t, rho_p, f, e) -
              mu_3d(r, theta, phi - ha / 2, rho_r, rho_t, rho_p, f, e)) / ha
           : 0.0;
@@ -492,19 +634,18 @@ void rhs_3d(const double* u, double f, const Env& e, int grad_mode,
   if (grad_mode & 1) {
     dmudr = 0.0;
     // Kimura chain with the reference's closed-form dmu/dpsi
-    double inv_r3 = 1.0 / (r * r * r);
-    double br = -2.0 * e.b0 * inv_r3 * std::sin(lat);
-    double bt = -e.b0 * inv_r3 * std::cos(lat);
-    double bmag = std::sqrt(br * br + bt * bt);
-    double cospsi = (br * rho_r + bt * rho_t) / (bmag * rmag);
+    double br, bt, bp;
+    b_vec_model(e, r, theta, phi, &br, &bt, &bp);
+    double bmag = std::sqrt(br * br + bt * bt + bp * bp);
+    double cospsi = (br * rho_r + bt * rho_t + bp * rho_p) / (bmag * rmag);
     cospsi = std::max(-1.0, std::min(1.0, cospsi));
     double psi = std::acos(cospsi);
     double mu_ref, mu2, dmudpsi;
-    mu_dmudpsi(ne_total_m3(r, lat, e, phi), bmag, f, psi, &mu_ref, &dmudpsi,
-               &mu2, e.eta_he, e.eta_o);
+    mu_dmudpsi(ne_total_m3(r, mlat_of(e, theta, phi), e, phi), bmag, f, psi,
+               &mu_ref, &dmudpsi, &mu2, e.eta_he, e.eta_o);
     double sinpsi = std::sin(psi);
     auto sgn = [](double x) { return x > 0 ? 1.0 : (x < 0 ? -1.0 : 0.0); };
-    double bk[3] = {br, bt, 0.0};
+    double bk[3] = {br, bt, bp};
     double rho[3] = {rho_r, rho_t, rho_p};
     double out_k[3];
     for (int k = 0; k < 3; k++) {

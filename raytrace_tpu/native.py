@@ -28,7 +28,11 @@ def ensure_built():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "src", "oracle.cpp")
+    stale = os.path.exists(_LIB_PATH) and os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if stale or not os.path.exists(_LIB_PATH):
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
@@ -57,7 +61,7 @@ def ensure_built():
 
 
 def _env_array(env):
-    # explicit 30-double layout matching the C++ Env struct (oracle.cpp
+    # explicit 56-double layout matching the C++ Env struct (oracle.cpp
     # env_from) -- independent of EnvParams field ordering. Features the
     # oracle does not implement are refused rather than silently dropped.
     if float(env.ps_smooth) != 0.0:
@@ -65,20 +69,14 @@ def _env_array(env):
             "native oracle implements the hard-branch plasmapause only; "
             f"got ps_smooth={float(env.ps_smooth)}"
         )
-    if float(env.iono_mix) != 1.0:
+    if env.ps_model not in ("ca1992", "gcpm"):
         raise ValueError(
-            "native oracle implements the single-fit ionosphere only; "
-            f"got iono_mix={float(env.iono_mix)}"
-        )
-    if env.ps_model != "ca1992":
-        raise ValueError(
-            "native oracle implements the CA1992 plasmasphere only; "
+            "native oracle implements the CA1992/GCPM plasmaspheres only; "
             f"got ps_model={env.ps_model!r}"
         )
-    if env.b_model != "dipole":
+    if env.b_model not in ("dipole", "tilted", "igrf"):
         raise ValueError(
-            "native oracle implements the centered axial dipole only; "
-            f"got b_model={env.b_model!r}"
+            f"native oracle: unknown b_model={env.b_model!r}"
         )
     # MLT-resolved plasmasphere block: the Fourier shape rides a fixed
     # 7-slot field (up to 3 harmonics; higher orders are refused)
@@ -89,6 +87,14 @@ def _env_array(env):
             f"{(len(coeffs) - 1) // 2}"
         )
     coeffs = coeffs + (0.0,) * (7 - len(coeffs))
+    igrf = tuple(float(c) for c in env.igrf_coeffs)
+    if len(igrf) not in (0, 15):
+        raise ValueError(
+            "native oracle implements the degree-3 IGRF truncation "
+            f"(15 Schmidt coefficients); got {len(igrf)}"
+        )
+    igrf = igrf + (0.0,) * (15 - len(igrf))
+    b_sel = {"dipole": 0.0, "tilted": 1.0, "igrf": 2.0}[env.b_model]
     return np.asarray(
         [
             env.b0, env.iono_n0, env.iono_decay, env.iono_r0,
@@ -99,9 +105,23 @@ def _env_array(env):
             env.ps_refill_q, env.ps_refill_lref,
             env.ps_mlt, env.ps_mlt_a0, *coeffs,
             env.ps_mlt_tamp, env.ps_mlt_c3,
+            env.iono_n0_b, env.iono_decay_b, env.iono_mix,
+            1.0 if env.ps_model == "gcpm" else 0.0,
+            env.gcpm_ne0, env.gcpm_lscale, env.gcpm_bpow, env.gcpm_knee,
+            b_sel, env.b_tilt, env.b_tilt_phi, *igrf,
         ],
         np.float64,
     )
+
+
+def _require_dipole(env, what):
+    # the tilted/IGRF fields break meridional symmetry; they are
+    # 3D-frame-only media (same guard as models/medium.py)
+    if env.b_model != "dipole":
+        raise ValueError(
+            f"native {what} is a 2D meridional-plane path; "
+            f"b_model={env.b_model!r} is 3D-only"
+        )
 
 
 def _ptr(a):
@@ -110,6 +130,7 @@ def _ptr(a):
 
 def mu_2d_lat_batch(r, lat, chi, f, env):
     """Native mu over batched inputs (broadcast to a common shape)."""
+    _require_dipole(env, "mu_2d_lat_batch")
     lib = ensure_built()
     r, lat, chi, f = np.broadcast_arrays(
         *[np.asarray(x, np.float64) for x in (r, lat, chi, f)]
@@ -127,6 +148,7 @@ def mu_2d_lat_batch(r, lat, chi, f, env):
 
 
 def rhs_2d_lat(u, f, env, grad_mode=GRAD_AUTODIFF_EQUIV):
+    _require_dipole(env, "rhs_2d_lat")
     lib = ensure_built()
     u = np.ascontiguousarray(np.asarray(u, np.float64))
     du = np.empty(4, np.float64)
@@ -145,6 +167,7 @@ def trace_2d(u0, f, env, *, frame=FRAME_LAT, grad_mode=GRAD_AUTODIFF_EQUIV,
              max_steps=100000, r_floor=1.0):
     """Single-ray native trace in either 2D frame;
     returns dict(u, t, status, n_accept, n_reject)."""
+    _require_dipole(env, "trace_2d")
     lib = ensure_built()
     u0 = np.ascontiguousarray(np.asarray(u0, np.float64))
     out = np.empty(8, np.float64)
@@ -167,6 +190,7 @@ def trace_2d_lat(u0, f, env, **kw):
 
 
 def rhs_2d_colat(u, f, env, grad_mode=GRAD_AUTODIFF_EQUIV):
+    _require_dipole(env, "rhs_2d_colat")
     lib = ensure_built()
     u = np.ascontiguousarray(np.asarray(u, np.float64))
     du = np.empty(4, np.float64)
