@@ -420,11 +420,16 @@ def _stix_quartic_grads(ne, bm, f, sinpsi, cospsi, root,
     return mu, dmu_dn, dmu_db, dmu_df, dmu_dpsi
 
 
-def mu_and_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, root=1.0):
+def mu_and_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, root=1.0,
+                        ne_fn=None):
     """(mu, dmu/dr, dmu/dlat, dmu/dpsi, dmu/df) -- one fused sweep.
 
     dmu/dpsi == dmu/dchi (psi = pi/2 + dip + chi). Value identical to
-    dispersion.mu_2d_lat; partials identical to jax.grad of it."""
+    dispersion.mu_2d_lat; partials identical to jax.grad of it.
+
+    ne_fn: optional (r, lat, env) -> (ne, dne/dr, dne/dlat) replacing the
+    closed-form _ne_and_grads -- the tabulated-medium hook
+    (ops/tabulated.py)."""
     sl, cl = jnp.sin(lat), jnp.cos(lat)
     q2 = 1.0 + 3.0 * sl * sl
     q = jnp.sqrt(q2)
@@ -448,7 +453,7 @@ def mu_and_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, root=1.0):
     cospsi = -(sindip * cc + cosdip * sc)
     dpsi_dlat = 2.0 * inv_q2  # d(atan(2 tan lat))/dlat, exact identity
 
-    ne, ne_r, ne_lat = _ne_and_grads(r, lat, env)
+    ne, ne_r, ne_lat = (ne_fn or _ne_and_grads)(r, lat, env)
     mu, dmu_dn, dmu_db, dmu_df, dmu_dpsi = _stix_quartic_grads(
         ne, bm, f, sinpsi, cospsi, root, env.eta_he, env.eta_o
     )

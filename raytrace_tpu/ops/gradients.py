@@ -74,16 +74,20 @@ def _require_dipole_2d(env):
 
 
 def mu_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, grad_mode=FUSED,
-                    root=1.0):
+                    root=1.0, ne_fn=None):
     """(mu, dmu/dr, dmu/dlat, dmu/dpsi, dmu/df) at a latitude-frame state.
 
     root=+1.0 traces the whistler branch (B+F)/2A; root=-1.0 the EMIC
-    branch the reference leaves commented out (RayMain.jl:243)."""
+    branch the reference leaves commented out (RayMain.jl:243).
+    ne_fn: optional density surrogate (fused mode only; ops/tabulated.py)."""
     _require_dipole_2d(env)
     if grad_mode == FUSED:
         from . import fused
 
-        return fused.mu_and_grads_2d_lat(r, lat, chi, f, env, root)
+        return fused.mu_and_grads_2d_lat(r, lat, chi, f, env, root, ne_fn)
+    if ne_fn is not None:
+        raise ValueError("ne_fn (tabulated medium) rides the fused chain "
+                         f"only; got grad_mode={grad_mode!r}")
     mu, (dmudr, dmudlat, dmudchi, dmudf) = jax.value_and_grad(
         dispersion.mu_2d_lat, argnums=(0, 1, 2, 3)
     )(r, lat, chi, f, env, root)

@@ -28,16 +28,17 @@ from . import gradients
 
 
 def rhs_2d_lat(u, f, env: medium.EnvParams, legacy_freq_state=False,
-               grad_mode=gradients.FUSED, root=1.0):
+               grad_mode=gradients.FUSED, root=1.0, ne_fn=None):
     """du/dt for the latitude-frame 2D ray (RayTrace_lat.jl:270-273).
 
     grad_mode="reference" reproduces the reference's mixed gradient set
     (analytic dmu/dpsi, FD-consistent spatial grads) for trajectory parity;
-    see ops/gradients.py."""
+    see ops/gradients.py. ne_fn: optional tabulated-medium surrogate
+    (ops/tabulated.py; fused mode only)."""
     r, lat, chi, T = u[0], u[1], u[2], u[3]
     freq = f + T if legacy_freq_state else f
     mu, dmudr, dmudlat, dmudpsi, dmudf = gradients.mu_grads_2d_lat(
-        r, lat, chi, freq, env, grad_mode, root
+        r, lat, chi, freq, env, grad_mode, root, ne_fn
     )
     # two reciprocals serve every term: 1/mu == mu * inv_mu2 (the
     # dependency-chain roofline is op-bound, BASELINE.md)
