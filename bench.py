@@ -186,11 +186,58 @@ def measure_tpu_ensemble():
     }
 
 
+def measure_tpu_ensemble_3d():
+    """The 3D production headline (VERDICT r3 #1): the 10,240-ray 7-state
+    ensemble (preset ensemble10k_3d -- lat x chi x freq fan launched ON
+    the dispersion surface, 12 dispersion evals/RHS in the reference,
+    RayTrace_3D.jl:336-344) through the rounds tracer with its on-chip-
+    tuned (512, 1024, 2048) schedule."""
+    import jax
+
+    from raytrace_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytrace_tpu.config import preset
+    from raytrace_tpu.models import cast_env
+    from raytrace_tpu.parallel import make_ray_mesh, pad_batch
+    from raytrace_tpu.parallel.ensemble import make_rounds_tracer
+    from raytrace_tpu.run import _build_u0
+
+    cfg = preset("ensemble10k_3d")
+    env = cast_env(cfg.medium.build(), jnp.float32)
+    mesh = make_ray_mesh()
+    u0, f = _build_u0(cfg, np.float32)
+    u0, f, valid = pad_batch(u0, f, mesh)
+    tracer = make_rounds_tracer(
+        env, mesh=mesh, frame="3d", cfg=cfg.solver(), spec=cfg.stop(),
+        max_steps=cfg.max_steps, round_steps=tuple(cfg.round_steps),
+        chunk=512, bucket_floor=256, stepper="auto",
+        base_stepper=cfg.base_stepper, want_carry=False,
+    )
+    tracer(u0, f, valid)  # compile + warm
+    t0 = time.perf_counter()
+    res = tracer(u0, f, valid)
+    wall = time.perf_counter() - t0
+    v = __import__("numpy").asarray(valid)
+    steps = int((res.n_accept + res.n_reject)[v].sum())
+    st = res.status[v]
+    return {
+        "wall_s": wall, "rays": int(v.sum()), "ray_steps": steps,
+        "hits": int((st == 1).sum()),
+        "n_devices": mesh.devices.size,
+    }
+
+
 LAST_GOOD = os.path.join(REPO, ".bench_last_good.json")
 
 
-def tpu_ensemble_with_retries(attempts=4, timeout_s=900):
-    """Run the TPU measurement in a subprocess with timeout + retry.
+def tpu_ensemble_with_retries(attempts=4, timeout_s=900, flag="--tpu-ensemble",
+                              cache=LAST_GOOD):
+    """Run a TPU measurement in a subprocess with timeout + retry.
 
     The tunneled compile service for this environment intermittently hangs
     on large-program compiles (reproduced on trivial programs too); a
@@ -200,23 +247,23 @@ def tpu_ensemble_with_retries(attempts=4, timeout_s=900):
     for _ in range(attempts):
         try:
             out = subprocess.run(
-                [sys.executable, __file__, "--tpu-ensemble"],
+                [sys.executable, __file__, flag],
                 capture_output=True, text=True, cwd=REPO, timeout=timeout_s,
             )
             for line in reversed(out.stdout.strip().splitlines()):
                 if line.startswith("{"):
                     ens = json.loads(line)
-                    with open(LAST_GOOD, "w") as fh:
+                    with open(cache, "w") as fh:
                         json.dump(ens, fh)
                     return ens
         except subprocess.TimeoutExpired:
             continue
-    if os.path.exists(LAST_GOOD):
-        with open(LAST_GOOD) as fh:
+    if os.path.exists(cache):
+        with open(cache) as fh:
             ens = json.load(fh)
         ens["stale"] = True
         return ens
-    raise RuntimeError("TPU ensemble measurement failed every attempt")
+    raise RuntimeError(f"TPU measurement {flag} failed every attempt")
 
 
 def pallas_record():
@@ -270,9 +317,16 @@ def main():
     if "--tpu-ensemble" in sys.argv:
         print(json.dumps(measure_tpu_ensemble()))
         return
+    if "--tpu-ensemble-3d" in sys.argv:
+        print(json.dumps(measure_tpu_ensemble_3d()))
+        return
     base = cpu_baseline()
     nat = measure_native_single_ray()
     ens = tpu_ensemble_with_retries()
+    ens3 = tpu_ensemble_with_retries(
+        flag="--tpu-ensemble-3d",
+        cache=os.path.join(REPO, ".bench_last_good_3d.json"),
+    )
     steps_per_sec = ens["ray_steps"] / ens["wall_s"] / ens["n_devices"]
     print(
         json.dumps(
@@ -308,6 +362,18 @@ def main():
                     ],
                     "cpu_single_ray_steps": base["steps"],
                     "native_cpp_single_ray_wall_s": round(nat["wall_s"], 4),
+                    # the 3D production headline (7-state Kimura frame):
+                    # same 10,240-ray fan shape, on-shell launch, tuned
+                    # (512, 1024, 2048) schedule
+                    "ensemble10k_3d": {
+                        "wall_s": round(ens3["wall_s"], 3),
+                        "ray_steps": ens3["ray_steps"],
+                        "steps_per_s": round(
+                            ens3["ray_steps"] / ens3["wall_s"]
+                            / ens3["n_devices"], 1),
+                        "hits": ens3.get("hits"),
+                        **({"stale": True} if ens3.get("stale") else {}),
+                    },
                     # honest compiled-baseline ratio: ensemble rays/s vs the
                     # C++ oracle's single compiled ray (see BASELINE.md)
                     "ensemble_rays_per_s_vs_native_ray_per_s": round(

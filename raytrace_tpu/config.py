@@ -157,6 +157,14 @@ class RunConfig:
     # execution
     dtype: str = "float32"          # "float32" (TPU) | "float64" (CPU oracle)
     use_rounds: bool = True         # bucketed re-batching
+    round_steps: tuple = ()         # rounds-tracer schedule override
+                                    # (empty = tracer default). Workload-
+                                    # tuned on chip: short early rounds
+                                    # pay off when most rays retire fast
+                                    # (the 3D headline's median ray takes
+                                    # ~270 attempts -> (512, 1024, 2048)
+                                    # runs 2.3x faster than the 2D
+                                    # headline's (2048, 2048, 1024))
     save_every: int = 0             # >0: record trajectory snapshots
     save_diagnostics: bool = False  # also record (mu, dmudpsi, dip, psi)
     sensitivity_rays: int = 0       # >0: landing-sensitivity analysis
@@ -361,6 +369,11 @@ def preset(name, **overrides):
             rho0=(1.0, 1.0, 0.0), rho_on_shell=True,
             rtol=1.0e-5, atol=1.0e-8, base_stepper="bs3",
             ds_max=2.0e6 / RE, dt_max=8.0e6 / RE,
+            # on-chip-tuned schedule (benchmarks/perf_r04_3d.json): the
+            # median 3D ray retires in ~270 attempts, so short early
+            # rounds re-bucket the fan fast -- 0.177 s vs 0.41 s on the
+            # 2D headline's (2048, 2048, 1024)
+            round_steps=(512, 1024, 2048),
         ),
         # framework extension: He+-band EMIC rays in a multi-ion plasma
         # (the '-' root the reference left commented out, RayMain.jl:243,

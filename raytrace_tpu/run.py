@@ -132,6 +132,8 @@ def run(config: RunConfig, out_dir=None, plots=False):
     rounds_kw = dict(
         common, want_carry=False, base_stepper=config.base_stepper
     )
+    if config.round_steps:
+        rounds_kw["round_steps"] = tuple(config.round_steps)
     # tiny batches cannot re-bucket profitably (they are already at or
     # below the bucket floor) but still pay ~10-30 ms tunnel dispatch
     # PER ROUND; run them as one full-budget round (measured: the

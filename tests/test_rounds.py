@@ -687,3 +687,52 @@ def test_rounds_trajectory_cadence_validation():
             env, mesh=mesh, spec=StopSpec(r_floor=1.0, t_max=1e8 / RE),
             max_steps=1024, round_steps=(100, 512), save_every=64,
         )
+
+
+def test_3d_fan_f32_landing_accuracy_vs_f64():
+    """3D headline accuracy pin (CI-scale of the BASELINE.md table row):
+    per-ray landing L of the f32 production path vs the f64 truth on a
+    small on-shell chi-fan. Median relative landing-L error must sit well
+    under 1e-4; a minority of resonance-cone corner rays legitimately
+    diverge (the sqrt(|mu^2|) quirk regime amplifies landing error there,
+    docs/NOTE_3D_GROUP_DELAY.md), so the pin is on the median + the
+    matched-status fraction."""
+    from raytrace_tpu.integrate import trace
+    from raytrace_tpu.models import make_env
+    from raytrace_tpu.ops import rhs
+    from raytrace_tpu.ops.dispersion import consistent_rho_3d
+
+    env64 = make_env(b0=3.12e-5)
+    env32 = cast_env(env64, jnp.float32)
+    r0 = (RE + 1.0e6) / RE
+    rows, fs = [], []
+    for lat in np.linspace(0.5, 1.05, 6):
+        th = np.pi / 2 - lat
+        for chi in (-0.25, 0.0, 0.25):
+            c, s = np.cos(chi), np.sin(chi)
+            khat = (c - s, s + c, 0.0)
+            rho = consistent_rho_3d(r0, th, 0.0, khat, 1500.0, env64)
+            rows.append([r0, th, 0.0, *map(float, rho), 0.0])
+            fs.append(1500.0)
+    spec = StopSpec(r_floor=1.0, t_max=5.0e9 / RE, lat_sign=-1.0,
+                    lat_offset=np.pi / 2)
+    cfg = SolverConfig(rtol=1e-5, atol=1e-8, dt0=1e-4,
+                       dt_max=8.0e6 / RE, ds_max=2.0e6 / RE)
+
+    def go(env, dt):
+        res = trace(lambda u, ff: rhs.rhs_3d(u, ff, env),
+                    jnp.asarray(np.asarray(rows), dt),
+                    jnp.asarray(np.asarray(fs), dt), cfg=cfg, spec=spec,
+                    max_steps=20000, group_idx=6)
+        return np.asarray(res.u), np.asarray(res.status)
+
+    u64, st64 = go(env64, jnp.float64)
+    u32, st32 = go(env32, jnp.float32)
+    match = st64 == st32
+    assert match.mean() >= 0.8, (st64.tolist(), st32.tolist())
+    hit = match & (st64 == events.HIT_EARTH)
+    assert hit.sum() >= 10
+    L64 = u64[hit, 0] / np.sin(u64[hit, 1]) ** 2
+    L32 = u32[hit, 0] / np.sin(u32[hit, 1]) ** 2
+    rel = np.abs(L32 - L64) / L64
+    assert np.median(rel) < 1e-4, rel
