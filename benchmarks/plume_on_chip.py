@@ -1,0 +1,103 @@
+"""On-chip cost of the MLT-resolved (longitude-dependent) 3D medium.
+
+Runs the ensemble10k_plume preset (the 3D headline fan spread over all
+local times through the ps_mlt plasmasphere) and the axisymmetric
+ensemble10k_3d control back-to-back on the real chip, so the marginal
+cost of the d mu/d phi medium chain (Fourier plasmapause shape + MLT
+trough modulation through the fused gradients) is measured at production
+scale, not inferred. Writes benchmarks/perf_r04_plume.json.
+
+Usage: python benchmarks/plume_on_chip.py [--attempts N]
+Each measurement runs in a subprocess with a timeout (the tunneled
+compile service intermittently hangs; see bench.py).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+OUT = os.path.join(HERE, "perf_r04_plume.json")
+
+
+def measure(name):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytrace_tpu.config import preset
+    from raytrace_tpu.models import cast_env
+    from raytrace_tpu.parallel import make_ray_mesh, pad_batch
+    from raytrace_tpu.parallel.ensemble import make_rounds_tracer
+    from raytrace_tpu.run import _build_u0
+    from raytrace_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = preset(name)
+    env = cast_env(cfg.medium.build(), jnp.float32)
+    mesh = make_ray_mesh()
+    u0, f = _build_u0(cfg, np.float32)
+    u0, f, valid = pad_batch(u0, f, mesh)
+    tracer = make_rounds_tracer(
+        env, mesh=mesh, frame="3d", cfg=cfg.solver(), spec=cfg.stop(),
+        max_steps=cfg.max_steps, round_steps=tuple(cfg.round_steps),
+        chunk=512, bucket_floor=256, stepper="auto",
+        base_stepper=cfg.base_stepper, want_carry=False,
+    )
+    tracer(u0, f, valid)  # compile + warm
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = tracer(u0, f, valid)
+        walls.append(round(time.perf_counter() - t0, 4))
+    v = np.asarray(valid)
+    st = np.asarray(res.status)[v]
+    steps = int(np.asarray(res.n_accept + res.n_reject)[v].sum())
+    return {
+        "walls_s": walls, "wall_s": sorted(walls)[1], "rays": int(v.sum()),
+        "ray_steps": steps,
+        "census": {int(k): int((st == k).sum()) for k in np.unique(st)},
+    }
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] in ("ensemble10k_3d",
+                                             "ensemble10k_plume"):
+        print(json.dumps(measure(sys.argv[1])))
+        return
+    out = {"study": "MLT-resolved plume medium at production scale: "
+                    "ensemble10k_plume vs the axisymmetric ensemble10k_3d "
+                    "control, one TPU v5e chip, median-of-3 warm walls"}
+    for name in ("ensemble10k_3d", "ensemble10k_plume"):
+        got = None
+        for _ in range(4):
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), name],
+                    capture_output=True, text=True, cwd=REPO, timeout=900)
+                for line in reversed(r.stdout.strip().splitlines()):
+                    if line.startswith("{"):
+                        got = json.loads(line)
+                        break
+            except subprocess.TimeoutExpired:
+                continue
+            if got:
+                break
+        out[name] = got
+    a, b = out.get("ensemble10k_3d"), out.get("ensemble10k_plume")
+    if a and b:
+        out["plume_overhead_wall"] = round(b["wall_s"] / a["wall_s"], 3)
+        out["plume_overhead_per_step"] = round(
+            (b["wall_s"] / b["ray_steps"]) / (a["wall_s"] / a["ray_steps"]),
+            3)
+    with open(OUT, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,11 @@ class RunConfig:
                                     # frame; colatitude frames convert to
                                     # theta = pi/2 - lat at launch build
     chis: tuple = (0.0,)
+    phis: tuple = (0.0,)            # launch longitudes (rad), 3D frame
+                                    # only -- fans the grid over MLT for
+                                    # longitude-resolved media (ps_mlt).
+                                    # 2D frames reject a non-default fan
+                                    # (their state has no longitude).
     rays: tuple = ()                # explicit (lat, chi, freq[, r0]) rows;
                                     # non-empty overrides the lats x chis x
                                     # freqs grid (the reference's planned
@@ -236,7 +241,7 @@ class RunConfig:
             with open(src) as fh:
                 d = json.load(fh)
         med = MediumConfig(**d.pop("medium", {}))
-        for key in ("lats", "chis", "freqs", "rho0"):
+        for key in ("lats", "chis", "phis", "freqs", "rho0"):
             if key in d:
                 d[key] = tuple(d[key])
         if "rays" in d:
@@ -373,6 +378,25 @@ def preset(name, **overrides):
             # median 3D ray retires in ~270 attempts, so short early
             # rounds re-bucket the fan fast -- 0.177 s vs 0.41 s on the
             # 2D headline's (2048, 2048, 1024)
+            round_steps=(512, 1024, 2048),
+        ),
+        # the 3D headline through the MLT-RESOLVED (longitude-dependent)
+        # plasmasphere: the launch fan spreads over all local times, so
+        # rays sample the drift-derived dusk plume (convection.lppi_at_mlt
+        # as a smooth Fourier shape; the reference freezes MLT to a
+        # scalar, RayTrace_3D.jl:114). Same ray count / solver settings
+        # as ensemble10k_3d for a like-for-like cost comparison of the
+        # d mu/d phi medium chain at production scale.
+        "ensemble10k_plume": dict(
+            name="ensemble10k_plume", frame="3d",
+            medium=MediumConfig(b0=B0_3D, ps_mlt=True),
+            lats=tuple(np.linspace(0.45, 1.1, 10)),
+            phis=tuple(np.linspace(-np.pi, np.pi, 8, endpoint=False)),
+            chis=tuple(np.linspace(-0.5, 0.5, 8)),
+            freqs=tuple(np.geomspace(500.0, 8000.0, 16)),
+            rho0=(1.0, 1.0, 0.0), rho_on_shell=True,
+            rtol=1.0e-5, atol=1.0e-8, base_stepper="bs3",
+            ds_max=2.0e6 / RE, dt_max=8.0e6 / RE,
             round_steps=(512, 1024, 2048),
         ),
         # framework extension: He+-band EMIC rays in a multi-ion plasma

@@ -30,6 +30,9 @@ def _build_u0(config: RunConfig, dtype):
     import itertools
 
     if config.frame in ("2d_lat", "2d_colat"):
+        if tuple(config.phis) != (0.0,):
+            raise ValueError("phis launch fan is 3D-only (the 2D state "
+                             "carries no longitude)")
         if config.rays:
             from .parallel.ensemble import build_launch_list
 
@@ -52,13 +55,13 @@ def _build_u0(config: RunConfig, dtype):
     # keeps rho0 exactly, so the lats x freqs presets are unchanged; a
     # (lats x chis x freqs) grid is the 3D analogue of the 2D wave-
     # normal fan (the reference pins rho0 = (1,1,0), RayTrace_3D.jl:391).
-    for lat, chi, fr in itertools.product(
-        config.lats, config.chis, config.freqs
+    for lat, phi, chi, fr in itertools.product(
+        config.lats, config.phis, config.chis, config.freqs
     ):
         c, s = np.cos(chi), np.sin(chi)
         pr, pt, pp = config.rho0
         rows.append(
-            [config.r0, np.pi / 2 - lat, 0.0,
+            [config.r0, np.pi / 2 - lat, phi,
              c * pr - s * pt, s * pr + c * pt, pp, 0.0]
         )
         fs.append(fr)
@@ -77,11 +80,12 @@ def _build_u0(config: RunConfig, dtype):
 
         env_host = config.medium.build()
         with jax.default_device(jax.devices("cpu")[0]):
-            rho = jax.jit(jax.vmap(lambda th, khat, fq: jnp.stack(
-                consistent_rho_3d(config.r0, th, 0.0, tuple(khat), fq,
+            rho = jax.jit(jax.vmap(lambda th, ph, khat, fq: jnp.stack(
+                consistent_rho_3d(config.r0, th, ph, tuple(khat), fq,
                                   env_host, config.root)
             )))(
                 jnp.asarray(u0[:, 1]),
+                jnp.asarray(u0[:, 2].astype(np.float64)),
                 jnp.asarray(u0[:, 3:6].astype(np.float64)),
                 jnp.asarray(f),
             )

@@ -233,6 +233,45 @@ def test_make_env_refusals():
         M.make_env(ps_mlt=True, b_model="tilted", b_tilt=0.2)
 
 
+def test_phis_launch_grid_plume_preset():
+    """The phis launch axis (3D-only) fans the grid over longitude with
+    the on-shell solve honoring each ray's own phi, and a tiny
+    ensemble10k_plume retires cleanly through run() (the production
+    entry points over the MLT-resolved medium)."""
+    import collections
+
+    from raytrace_tpu.config import RunConfig, preset
+    from raytrace_tpu.run import _build_u0, run
+
+    cfg = preset("ensemble10k_plume",
+                 lats=(0.6, 0.9), phis=(-2.0, 0.0, 2.5),
+                 chis=(-0.2, 0.2), freqs=(1000.0, 3000.0),
+                 dtype="float64")
+    u0, f = _build_u0(cfg, np.float64)
+    assert len(u0) == 24
+    assert sorted(set(u0[:, 2])) == [-2.0, 0.0, 2.5]
+    env = cfg.medium.build()
+    for i in range(len(u0)):
+        rho = u0[i, 3:6]
+        mu = float(D.mu_3d(*u0[i, :3], *rho, f[i], env))
+        assert abs(np.linalg.norm(rho) - mu) < 1e-8 * mu, (i, mu)
+    out = run(cfg)
+    st = np.asarray(out["result"].status)[np.asarray(out["valid"])]
+    assert collections.Counter(st.tolist()) == {int(events.HIT_EARTH): 24}
+    # phis survives the JSON round-trip
+    back = RunConfig.from_json(cfg.to_json())
+    assert tuple(back.phis) == tuple(cfg.phis)
+
+
+def test_phis_rejected_in_2d_frames():
+    from raytrace_tpu.config import preset
+    from raytrace_tpu.run import _build_u0
+
+    cfg = preset("lat_fan", phis=(0.0, 1.0))
+    with pytest.raises(ValueError, match="phis"):
+        _build_u0(cfg, np.float64)
+
+
 def test_cast_env_and_config_roundtrip(env_mlt):
     """The MLT fields survive the float32 device cast (coeff tuple ->
     traced array) and the RunConfig JSON round-trip."""
