@@ -122,6 +122,78 @@ def kp_critical_anisotropy(f, bmag):
     return np.asarray(f, np.float64) / (fce - f)
 
 
+def f_lhr(r, lat, env, iters=52):
+    """Lower-hybrid resonance frequency at (r, lat): the S = 0 root of
+    the framework's own Stix coefficients (S = (R + L)/2) above every
+    ion gyrofrequency.
+
+    This is the surface unducted whistlers magnetospherically reflect
+    from (Kimura 1966; Bortnik's thesis -- the lineage the reference's
+    3D script cites at RayTrace_3D.jl:5): where the wave's frequency
+    drops to the local f_LHR the refractive-index surface closes and the
+    ray mirrors instead of precipitating. The reference never computes
+    it; here it is derived from the SAME stix_rlp the tracer integrates
+    (multi-ion general -- He+/O+ fractions shift the root), by log-space
+    bisection on [1.5 f_cH+, 1.2 sqrt(f_ce f_cH+ + f_cH+^2)], a bracket
+    that contains exactly the LH root (all ion-ion hybrid roots lie
+    below the proton gyrofrequency). Vectorizes over r/lat; float64
+    recommended. In the proton-only dense limit this reduces to the
+    textbook f_LHR ~ sqrt(f_ce f_cH+) (pinned in tests/test_mr.py)."""
+    from .constants import FCE_P
+    from .models import medium
+    from .ops.dispersion import stix_rlp
+
+    r = np.asarray(r, np.float64)
+    lat = np.asarray(lat, np.float64)
+    ne = np.asarray(medium.ne_total_m3(r, lat, env), np.float64)
+    bm = np.asarray(medium.b_mag(r, lat, env), np.float64)
+    eta_he = float(env.eta_he) if isinstance(env.eta_he, float) else env.eta_he
+    eta_o = float(env.eta_o) if isinstance(env.eta_o, float) else env.eta_o
+
+    def s_of(f):
+        rr, ll, _ = stix_rlp(ne, bm, f, eta_he, eta_o)
+        return np.asarray(0.5 * (rr + ll))
+
+    fcp = FCE_P * bm
+    fce = FCE_E * bm
+    lo = np.log(1.5 * fcp)                      # S < 0 (proton pole side)
+    hi = np.log(1.2 * np.sqrt(fce * fcp + fcp * fcp))   # S > 0
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        neg = s_of(np.exp(mid)) < 0.0
+        lo = np.where(neg, mid, lo)
+        hi = np.where(neg, hi, mid)
+    return np.exp(0.5 * (lo + hi))
+
+
+def count_lat_reversals(traj_u, r_min=1.05):
+    """Latitude turning points of recorded trajectories while airborne.
+
+    traj_u: (S, B, state) snapshots ((S, state) for one ray). Returns
+    (n_reversals (B,), indices list per ray) counting sign changes of
+    d(lat)/d(step) at snapshots with r > r_min -- the mirror-bounce
+    count of a magnetospherically reflecting whistler. Latitude is
+    state 1 in the lat frame (pass colatitude trajectories as-is: a
+    colat turning point is a latitude turning point)."""
+    u = np.asarray(traj_u, np.float64)
+    squeeze = u.ndim == 2
+    if squeeze:
+        u = u[:, None, :]
+    n_rev, idx_all = [], []
+    for b in range(u.shape[1]):
+        lat, r = u[:, b, 1], u[:, b, 0]
+        dl = np.diff(lat)
+        sgn = np.sign(dl)
+        sgn[sgn == 0.0] = 1.0
+        rev = np.nonzero(np.abs(np.diff(sgn)) > 1.0)[0] + 1
+        rev = rev[r[rev] > r_min]
+        n_rev.append(len(rev))
+        idx_all.append(rev)
+    if squeeze:
+        return n_rev[0], idx_all[0]
+    return np.asarray(n_rev), idx_all
+
+
 def resonance_profile_2d_lat(traj_u, f, env):
     """(E_res [eV], A_c, fce [Hz]) along recorded 2D-lat trajectories.
 

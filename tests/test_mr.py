@@ -1,0 +1,87 @@
+"""Magnetospheric reflection: unducted whistlers mirror at the LHR.
+
+The classic non-ducted whistler behavior (Kimura 1966; the Bortnik
+thesis lineage the reference's 3D script cites at RayTrace_3D.jl:5):
+where the wave frequency drops to the local lower-hybrid resonance
+frequency the refractive-index surface closes and the ray REFLECTS
+instead of precipitating. The reference never demonstrates it; here it
+emerges from the framework's own traced dispersion (the proton term of
+stix_rlp), and `analysis.f_lhr` computes the mirror surface from the
+same Stix coefficients the tracer integrates.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytrace_tpu import analysis
+from raytrace_tpu.constants import FCE_E, FCE_P, RE
+from raytrace_tpu.integrate import SolverConfig, StopSpec, events, trace
+from raytrace_tpu.models import make_env_lat
+from raytrace_tpu.models import medium as M
+from raytrace_tpu.ops import rhs
+from raytrace_tpu.ops.dispersion import stix_rlp
+
+
+def test_f_lhr_is_the_s_zero_root():
+    """f_lhr solves S = 0 of the framework's own Stix coefficients, at
+    plasmasphere and trough points, proton-only and multi-ion."""
+    env = make_env_lat()
+    for (r, lat) in ((1.5, 0.2), (2.5, 0.5), (4.0, 0.0), (5.5, 0.3)):
+        fl = float(analysis.f_lhr(r, lat, env))
+        ne = float(M.ne_total_m3(r, lat, env))
+        bm = float(M.b_mag(r, lat, env))
+        rr, ll, _ = stix_rlp(ne, bm, fl)
+        s = 0.5 * (rr + ll)
+        # S sweeps orders of magnitude through the root; normalize by a
+        # 1%-offset finite difference of S itself
+        rr2, ll2, _ = stix_rlp(ne, bm, 1.01 * fl)
+        ds = abs(0.5 * (rr2 + ll2) - s)
+        assert abs(s) < 1e-6 * max(ds, 1.0), (r, lat, s, ds)
+        assert fl > 1.5 * FCE_P * bm
+
+
+def test_f_lhr_dense_limit_and_multiion_shift():
+    """Inner-plasmasphere (fpe >> fce) proton-only f_LHR approaches the
+    textbook sqrt(fce fcp); heavy-ion admixture lowers it."""
+    env = make_env_lat()
+    r, lat = 1.8, 0.1
+    bm = float(M.b_mag(r, lat, env))
+    fl = float(analysis.f_lhr(r, lat, env))
+    f_dense = np.sqrt(FCE_E * bm * FCE_P * bm)
+    assert abs(fl / f_dense - 1.0) < 0.05, (fl, f_dense)
+
+    from raytrace_tpu.models import make_env
+
+    env_o = make_env(b0=env.b0, eta_o=0.3)
+    fl_o = float(analysis.f_lhr(r, lat, env_o))
+    assert fl_o < fl
+    assert fl_o > 1.5 * FCE_P * bm
+
+
+def test_unducted_whistler_magnetospherically_reflects():
+    """A 1 kHz unducted whistler launched at 53.6 deg latitude bounces
+    between hemispheres, and at least one high-altitude turning point
+    sits ON the f = f_LHR surface (within 15%) -- none of which the
+    launch configuration encodes; the mirror emerges from the traced
+    dispersion."""
+    env = make_env_lat()
+    f = 1000.0
+    u0 = np.array([[(RE + 1.0e6) / RE, np.pi / 4 + 0.15, 0.0, 0.0]])
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env),
+        jnp.asarray(u0), jnp.asarray([f]),
+        cfg=SolverConfig(rtol=1e-7, atol=1e-12, dt0=1e-4, dt_max=1e6 / RE),
+        spec=StopSpec(r_floor=1.0, t_max=6e10 / RE, group_time_max=20.0),
+        max_steps=120000, save_every=20,
+    )
+    tu = np.asarray(res.traj["u"])[:, 0]
+    n_rev, idx = analysis.count_lat_reversals(tu, r_min=1.5)
+    assert n_rev >= 3, n_rev
+    # the ray crosses hemispheres (a bounce, not a local wiggle)
+    lats = tu[:, 1]
+    assert lats.max() > 0.7 and lats.min() < -0.7
+    # at least one turning point is an LHR mirror
+    fl = np.array([float(analysis.f_lhr(tu[i, 0], tu[i, 1], env))
+                   for i in idx])
+    rel = np.abs(fl - f) / f
+    assert rel.min() < 0.15, (fl, rel)
