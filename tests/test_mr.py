@@ -85,3 +85,30 @@ def test_unducted_whistler_magnetospherically_reflects():
                    for i in idx])
     rel = np.abs(fl - f) / f
     assert rel.min() < 0.15, (fl, rel)
+
+
+def test_mr_trajectory_native_parity():
+    """Independent-language check that the multi-bounce MR path is
+    physics, not an integrator artifact: the C++ oracle lands the SAME
+    1 kHz ray (status, latitude, group delay) after the full bounce
+    sequence. Chaos-sensitive: the ray grazes the resonance cone at
+    every mirror, so sub-ppm landing agreement at rtol 1e-9 means the
+    two implementations follow the same reflections step for step."""
+    from raytrace_tpu import native
+
+    env = make_env_lat()
+    f = 1000.0
+    u0 = np.array([(RE + 1.0e6) / RE, np.pi / 4 + 0.15, 0.0, 0.0])
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env),
+        jnp.asarray([u0]), jnp.asarray([f]),
+        cfg=SolverConfig(rtol=1e-9, atol=1e-13, dt0=1e-4, dt_max=1e6 / RE),
+        spec=StopSpec(r_floor=1.0, t_max=6e10 / RE, group_time_max=20.0),
+        max_steps=400000,
+    )
+    uj = np.asarray(res.u[0])
+    nat = native.trace_2d_lat(u0, f, env, rtol=1e-9, atol=1e-13,
+                              t_max=6e10 / RE, max_steps=400000)
+    assert int(res.status[0]) == events.HIT_EARTH == nat["status"]
+    assert abs(uj[1] - nat["u"][1]) < 5e-6, (uj[1], nat["u"][1])
+    np.testing.assert_allclose(uj[3], nat["u"][3], rtol=1e-5)
