@@ -87,6 +87,43 @@ def test_unducted_whistler_magnetospherically_reflects():
     assert rel.min() < 0.15, (fl, rel)
 
 
+def test_mr_landau_damping_isotropic_pure_loss():
+    """The MR energy budget (examples/mr_damping.py at CI scale): along
+    a multi-bounce MR path, the fully oblique kinetic rate with an
+    ISOTROPIC hot population is damping-only (A = 0 has no free energy:
+    gamma <= 0 up to quadrature noise), the cumulative gain is
+    monotonically non-increasing, and the loss is dominated by the
+    oblique post-mirror segments (the quasi-parallel first hop loses
+    almost nothing)."""
+    from raytrace_tpu import growth
+
+    env = make_env_lat()
+    f = 700.0
+    u0 = np.array([[2.5, 0.25, -0.6, 0.0]])
+    res = trace(
+        lambda u, ff: rhs.rhs_2d_lat(u, ff, env),
+        jnp.asarray(u0), jnp.asarray([f]),
+        cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4, dt_max=1e6 / RE),
+        spec=StopSpec(r_floor=1.0, t_max=6e10 / RE, group_time_max=3.0),
+        max_steps=120000, save_every=100,
+    )
+    tu = np.asarray(res.traj["u"])[:, 0]
+    m = int((tu[:, 0] > 1.0005).sum())
+    hot = growth.HotElectrons(eta=1e-3, t_par_ev=1e3, anisotropy=0.0)
+    pg = growth.path_gain(tu[:m], f, env, hot, frame="2d_lat",
+                          kinetics="oblique")
+    gam, gdb = pg["gamma"], pg["gain_db"]
+    assert np.isfinite(gam).all()
+    assert gam.max() <= 1e-6 * abs(gam.min()), gam.max()
+    assert (np.diff(gdb) <= 1e-9).all()
+    assert gdb[-1] < -1.0, gdb[-1]          # real absorption happened
+    # first-hop (pre-first-mirror) loss is a small fraction of the total
+    n_rev, idx = analysis.count_lat_reversals(tu[:m], r_min=1.5)
+    assert n_rev >= 2
+    first = gdb[idx[0]]
+    assert abs(first) < 0.25 * abs(gdb[-1]), (first, gdb[-1])
+
+
 def test_mr_trajectory_native_parity():
     """Independent-language check that the multi-bounce MR path is
     physics, not an integrator artifact: the C++ oracle lands the SAME
