@@ -399,6 +399,25 @@ def preset(name, **overrides):
             ds_max=2.0e6 / RE, dt_max=8.0e6 / RE,
             round_steps=(512, 1024, 2048),
         ),
+        # framework extension: a magnetospherically-reflecting fan --
+        # the extreme-straggler workload (unducted low-frequency
+        # whistlers launched oblique near the equator mirror at the
+        # f = f_LHR surface instead of landing, tests/test_mr.py, and
+        # live for many bounces before landing or exhausting a budget).
+        # The opposite load shape from the headline fans: the median ray
+        # integrates 5-10x the headline's median step count (multi-
+        # bounce paths, group delays of seconds), stressing sustained
+        # per-step throughput rather than re-bucketing.
+        "mr_fan": dict(
+            name="mr_fan", frame="2d_lat",
+            medium=MediumConfig(),
+            r0=2.5,
+            lats=tuple(np.linspace(0.0, 0.5, 16)),
+            chis=tuple(np.linspace(-0.9, -0.3, 8)),
+            freqs=tuple(np.geomspace(600.0, 1200.0, 16)),
+            group_time_max=10.0, t_max=6.0e10 / RE, max_steps=40960,
+            ds_max=2.0e6 / RE, dt_max=8.0e6 / RE, base_stepper="bs3",
+        ),
         # framework extension: He+-band EMIC rays in a multi-ion plasma
         # (the '-' root the reference left commented out, RayMain.jl:243,
         # in the composition that gives it its real band structure).

@@ -124,6 +124,27 @@ def test_mr_landau_damping_isotropic_pure_loss():
     assert abs(first) < 0.25 * abs(gdb[-1]), (first, gdb[-1])
 
 
+def test_mr_fan_preset_retires_cleanly():
+    """The mr_fan production preset (CI scale): every ray retires with a
+    legitimate terminal status (landed or budget-exhausted -- never
+    ACTIVE / MAX_STEPS / INVALID), and the fan is genuinely multi-bounce
+    (median group delay seconds, not the single-hop ~0.5 s)."""
+    from raytrace_tpu.config import preset
+    from raytrace_tpu.run import run
+
+    cfg = preset("mr_fan", lats=(0.1, 0.4), chis=(-0.8, -0.5),
+                 freqs=(700.0, 1000.0), dtype="float64")
+    out = run(cfg)
+    v = np.asarray(out["valid"])
+    st = np.asarray(out["result"].status)[v]
+    ok = {events.HIT_EARTH, events.MAX_PHASE_TIME, events.MAX_GROUP_TIME,
+          events.DT_UNDERFLOW}
+    assert set(st.tolist()) <= ok, st
+    assert (st == events.HIT_EARTH).sum() >= len(st) // 2
+    T = np.asarray(out["result"].u)[v, 3]
+    assert np.median(T[st == events.HIT_EARTH]) > 2.0
+
+
 def test_mr_trajectory_native_parity():
     """Independent-language check that the multi-bounce MR path is
     physics, not an integrator artifact: the C++ oracle lands the SAME
