@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
 ALL = ["raymain", "lat_fan", "knee", "3d", "ensemble10k",
-       "ensemble10k_production", "ensemble10k_3d", "ensemble10k_plume"]
+       "ensemble10k_production", "ensemble10k_3d", "ensemble10k_plume",
+       "mr_fan"]
 
 
 def bench_config(name):
