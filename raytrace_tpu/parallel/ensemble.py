@@ -868,4 +868,12 @@ def ensemble_stats(result, valid, lat_sign=1.0, lat_offset=0.0, xp=jnp):
     )
     out["total_accepted_steps"] = xp.sum(xp.where(valid, result.n_accept, 0))
     out["total_rejected_steps"] = xp.sum(xp.where(valid, result.n_reject, 0))
+    # quirk census: rays whose final group delay is NEGATIVE spent their
+    # life in the abs(mu^2) evanescent-tracing regime the reference
+    # knowingly integrates (RayMain.jl:243 comment lineage; docs/
+    # NOTE_3D_GROUP_DELAY.md) -- physically a non-propagating branch, so
+    # any downstream observable should exclude them. Surfacing the count
+    # makes the regime visible in every run record instead of silently
+    # polluting delay statistics (seen in the low-frequency MR band).
+    out["n_retrograde_t"] = xp.sum(xp.where(valid, T < 0.0, False))
     return out

@@ -143,6 +143,11 @@ def test_mr_fan_preset_retires_cleanly():
     assert (st == events.HIT_EARTH).sum() >= len(st) // 2
     T = np.asarray(out["result"].u)[v, 3]
     assert np.median(T[st == events.HIT_EARTH]) > 2.0
+    # the quirk census surfaces the evanescent-regime (negative-T) rays
+    # in the run stats instead of letting them pollute delay statistics
+    n_retro = int(out["stats"]["n_retrograde_t"])
+    assert n_retro == int((T < 0.0).sum())
+    assert n_retro >= 1  # the low-frequency MR band reliably has some
 
 
 def test_mr_trajectory_native_parity():
