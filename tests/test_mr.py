@@ -150,6 +150,51 @@ def test_mr_fan_preset_retires_cleanly():
     assert n_retro >= 1  # the low-frequency MR band reliably has some
 
 
+def test_mr_fan_tail_resumes_from_rounds_carry():
+    """The mr_fan MAX_STEPS tail is resumable BY CONSTRUCTION: rays that
+    exhaust the rounds tracer's budget continue from its returned carry
+    (trace(carry0=...) re-arms MAX_STEPS, integrate/solve.py), and the
+    two-stage run finishes bitwise-identical to one uninterrupted trace
+    with the combined budget."""
+    import jax
+
+    from raytrace_tpu.parallel import (LaunchSpec, build_launch,
+                                       make_ray_mesh, pad_batch)
+    from raytrace_tpu.parallel.ensemble import make_rounds_tracer
+
+    env = make_env_lat()
+    mesh = make_ray_mesh()
+    u0, f = build_launch(
+        LaunchSpec(r0=2.5, lats=(0.1, 0.4), chis=(-0.8, -0.5),
+                   freqs=(700.0,)), np.float64)
+    u0, f, valid = pad_batch(u0, f, mesh)
+    cfg = SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4, dt_max=1e6 / RE)
+    spec = StopSpec(r_floor=1.0, t_max=6e10 / RE, group_time_max=10.0)
+    rhs_fn = lambda u, ff: rhs.rhs_2d_lat(u, ff, env)
+
+    direct = trace(rhs_fn, jnp.asarray(u0), jnp.asarray(f), cfg=cfg,
+                   spec=spec, max_steps=6144, stepper="dopri5")
+
+    part = make_rounds_tracer(
+        env, mesh=mesh, cfg=cfg, spec=spec, max_steps=2048,
+        round_steps=1024, bucket_floor=4, stepper="dopri5",
+    )(u0, f, valid)
+    v = np.asarray(valid)
+    st_part = np.asarray(part.status)[v]
+    assert (st_part == events.MAX_STEPS).any(), st_part  # a real tail
+
+    carry = jax.tree.map(jnp.asarray, part.carry)
+    resumed = trace(rhs_fn, jnp.asarray(u0), jnp.asarray(f), cfg=cfg,
+                    spec=spec, max_steps=4096, stepper="dopri5",
+                    carry0=carry)
+    np.testing.assert_array_equal(
+        np.asarray(resumed.status)[v], np.asarray(direct.status)[v])
+    np.testing.assert_array_equal(
+        np.asarray(resumed.u)[v], np.asarray(direct.u)[v])
+    np.testing.assert_array_equal(
+        np.asarray(resumed.n_accept)[v], np.asarray(direct.n_accept)[v])
+
+
 def test_mr_trajectory_native_parity():
     """Independent-language check that the multi-bounce MR path is
     physics, not an integrator artifact: the C++ oracle lands the SAME
