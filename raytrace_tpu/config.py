@@ -170,6 +170,20 @@ class RunConfig:
                                     # ~270 attempts -> (512, 1024, 2048)
                                     # runs 2.3x faster than the 2D
                                     # headline's (2048, 2048, 1024))
+    continue_until_done: bool = False
+                                    # rounds path: if any ray retires as
+                                    # MAX_STEPS (budget exhausted, still
+                                    # integrable), chain up to
+                                    # max_continuations extra full-budget
+                                    # trace calls from the returned carry
+                                    # (exact by construction -- the resume
+                                    # is bitwise-identical to an
+                                    # uninterrupted run, test_mr.py). The
+                                    # continuation runs the fixed base
+                                    # method over the whole padded batch
+                                    # (the tail is tiny; re-bucketing
+                                    # cannot pay for itself there).
+    max_continuations: int = 4
     save_every: int = 0             # >0: record trajectory snapshots
     save_diagnostics: bool = False  # also record (mu, dmudpsi, dip, psi)
     sensitivity_rays: int = 0       # >0: landing-sensitivity analysis

@@ -192,10 +192,31 @@ def run(config: RunConfig, out_dir=None, plots=False):
         )
         result = traj_tracer(jnp.asarray(u0), jnp.asarray(f))
     elif config.use_rounds:
+        if config.continue_until_done:
+            # need the full carry back to chain continuations from it
+            rounds_kw = dict(rounds_kw, want_carry=True)
         tracer = _cached_tracer(
             config, env, env_host, mesh, rounds_kw, rounds=True
         )
         result = tracer(u0, f, valid)
+        if config.continue_until_done:
+            import jax
+
+            rhs_fn, group_idx = _rhs_for(config, env)
+            for _ in range(config.max_continuations):
+                st = np.asarray(result.status)[np.asarray(valid)]
+                if not (st == events.MAX_STEPS).any():
+                    break
+                # trace(carry0=...) re-arms exactly the MAX_STEPS rays;
+                # resume is bitwise-exact (test_mr.py::
+                # test_mr_fan_tail_resumes_from_rounds_carry)
+                carry = jax.tree.map(jnp.asarray, result.carry)
+                result = trace(
+                    rhs_fn, jnp.asarray(u0), jnp.asarray(f), cfg=cfg,
+                    spec=spec, group_idx=group_idx,
+                    adaptive=config.adaptive, stepper=fixed_stepper,
+                    max_steps=config.max_steps, carry0=carry,
+                )
     else:
         tracer = _cached_tracer(
             config, env, env_host, mesh,

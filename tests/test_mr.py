@@ -150,6 +150,32 @@ def test_mr_fan_preset_retires_cleanly():
     assert n_retro >= 1  # the low-frequency MR band reliably has some
 
 
+def test_continue_until_done_clears_max_steps():
+    """run(config.continue_until_done=True): a budget too small for the
+    MR fan strands rays as MAX_STEPS; the chained continuation finishes
+    them -- the final census has none."""
+    from raytrace_tpu.config import preset
+    from raytrace_tpu.run import run
+
+    cfg = preset("mr_fan", lats=(0.1, 0.4), chis=(-0.8, -0.5),
+                 freqs=(700.0, 1000.0), dtype="float64", max_steps=2048,
+                 use_rounds=True, round_steps=(1024,))
+    out = run(cfg)
+    v = np.asarray(out["valid"])
+    st = np.asarray(out["result"].status)[v]
+    assert (st == events.MAX_STEPS).any(), st  # the small budget strands
+
+    cfg2 = preset("mr_fan", lats=(0.1, 0.4), chis=(-0.8, -0.5),
+                  freqs=(700.0, 1000.0), dtype="float64", max_steps=2048,
+                  use_rounds=True, round_steps=(1024,),
+                  continue_until_done=True)
+    out2 = run(cfg2)
+    st2 = np.asarray(out2["result"].status)[np.asarray(out2["valid"])]
+    assert not (st2 == events.MAX_STEPS).any(), st2
+    assert not (st2 == events.ACTIVE).any()
+    assert int(out2["stats"]["n_max_steps"]) == 0
+
+
 def test_mr_fan_tail_resumes_from_rounds_carry():
     """The mr_fan MAX_STEPS tail is resumable BY CONSTRUCTION: rays that
     exhaust the rounds tracer's budget continue from its returned carry
