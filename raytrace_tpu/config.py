@@ -159,6 +159,13 @@ class RunConfig:
     r_ceil: float = float("inf")
     group_time_max: float = float("inf")
     stop_at_equator: bool = False
+    stop_evanescent: bool = False   # retire rays the moment their group
+                                    # delay runs BACKWARD (the abs(mu^2)
+                                    # evanescent-tracing regime) as
+                                    # status EVANESCENT instead of
+                                    # integrating a non-propagating
+                                    # branch to a budget stop. Off by
+                                    # default: reference parity.
     # execution
     dtype: str = "float32"          # "float32" (TPU) | "float64" (CPU oracle)
     use_rounds: bool = True         # bucketed re-batching
@@ -231,6 +238,7 @@ class RunConfig:
             group_time_max=self.group_time_max,
             stop_at_equator=1.0 if self.stop_at_equator else 0.0,
             lat_sign=lat_sign, lat_offset=lat_offset,
+            stop_retrograde=1.0 if self.stop_evanescent else 0.0,
         )
 
     def launch(self):

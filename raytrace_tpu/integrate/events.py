@@ -32,9 +32,26 @@ MAX_STEPS = 8          # step budget exhausted while still integrable --
                        # budget exhaustion stays non-terminal for
                        # checkpoint/restart and the rounds tracer.
 
+EVANESCENT = 9         # group delay unwound past ZERO (T < 0 at a step
+                       # end): the ray has spent more group time running
+                       # backward than it ever propagated forward -- the
+                       # abs(mu^2) evanescent-tracing regime the reference
+                       # knowingly rides (sqrt(abs(mu^2)), RayMain.jl:264
+                       # lineage; docs/NOTE_3D_GROUP_DELAY.md), not a
+                       # propagating wave. The T < 0 criterion is
+                       # stateless and robust: genuine MR rays take brief
+                       # retrograde excursions at every mirror (measured:
+                       # all of them trip a per-step dT < 0 test) but
+                       # never unwind past launch. OPT-IN via
+                       # StopSpec.stop_retrograde: the default keeps
+                       # reference parity (the canonical off-shell 3D
+                       # launch integrates retrograde from its first
+                       # step, and the goldens pin it).
+
 STATUS_NAMES = (
     "ACTIVE", "HIT_EARTH", "MAX_PHASE_TIME", "MAX_GROUP_TIME",
     "HIT_EQUATOR", "ESCAPED", "INVALID", "DT_UNDERFLOW", "MAX_STEPS",
+    "EVANESCENT",
 )
 
 
@@ -53,6 +70,13 @@ class StopSpec(NamedTuple):
     stop_at_equator: float = 0.0    # 1.0 enables the equator stop
     lat_sign: float = 1.0
     lat_offset: float = 0.0
+    stop_retrograde: float = 0.0    # 1.0 retires rays whose group delay
+                                    # unwinds past ZERO as EVANESCENT
+                                    # (the abs(mu^2) quirk regime; see
+                                    # events.EVANESCENT for why T < 0 and
+                                    # not per-step dT < 0). Default off:
+                                    # bug-compatible with the reference,
+                                    # which integrates straight through.
 
 
 def hermite_interp(tau, u0, du0, u1, du1, dt):
@@ -107,7 +131,9 @@ def classify_step(u0, u1, t1, spec: StopSpec, group_idx=3):
     group = u1[group_idx] >= spec.group_time_max
     phase = t1 >= spec.t_max
     invalid = ~jnp.all(jnp.isfinite(u1))
+    retro = (spec.stop_retrograde > 0.5) & (u1[group_idx] < 0.0)
     status = jnp.where(phase, MAX_PHASE_TIME, ACTIVE)
+    status = jnp.where(retro, EVANESCENT, status)
     status = jnp.where(group, MAX_GROUP_TIME, status)
     status = jnp.where(escaped, ESCAPED, status)
     status = jnp.where(equator, HIT_EQUATOR, status)

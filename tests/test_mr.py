@@ -150,6 +150,35 @@ def test_mr_fan_preset_retires_cleanly():
     assert n_retro >= 1  # the low-frequency MR band reliably has some
 
 
+def test_evanescent_stop_retires_retrograde_rays():
+    """stop_evanescent=True retires the quirk-regime (backward group
+    delay) rays as EVANESCENT at their first retrograde step, leaving
+    every propagating ray's outcome identical; default off keeps
+    reference parity."""
+    from raytrace_tpu.config import preset
+    from raytrace_tpu.run import run
+
+    kw = dict(lats=(0.1, 0.4), chis=(-0.8, -0.5),
+              freqs=(700.0, 1000.0), dtype="float64")
+    out0 = run(preset("mr_fan", **kw))
+    v = np.asarray(out0["valid"])
+    st0 = np.asarray(out0["result"].status)[v]
+    T0 = np.asarray(out0["result"].u)[v, 3]
+    assert (T0 < 0.0).any()  # the quirk ray exists in this fan
+
+    out1 = run(preset("mr_fan", stop_evanescent=True, **kw))
+    st1 = np.asarray(out1["result"].status)[np.asarray(out1["valid"])]
+    T1 = np.asarray(out1["result"].u)[np.asarray(out1["valid"]), 3]
+    retro = T0 < 0.0
+    assert (st1[retro] == events.EVANESCENT).all(), st1[retro]
+    # retired where T crossed zero on the way down, not after unwinding
+    # to the uninterrupted run's final negative value
+    assert (np.abs(T1[retro]) < 0.1).all(), T1[retro]
+    # propagating rays are untouched (same statuses, same landings)
+    np.testing.assert_array_equal(st1[~retro], st0[~retro])
+    np.testing.assert_array_equal(T1[~retro], T0[~retro])
+
+
 def test_continue_until_done_clears_max_steps():
     """run(config.continue_until_done=True): a budget too small for the
     MR fan strands rays as MAX_STEPS; the chained continuation finishes
