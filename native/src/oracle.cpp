@@ -292,6 +292,23 @@ double mlat_of(const Env& e, double theta, double phi) {
   return std::asin(sl);
 }
 
+// magnetic longitude organizing the MLT axis of the density models
+// (models/medium.py::mlon_3d / dipole.mlon_tilted): geographic phi for
+// the centered dipole; otherwise the azimuth in the frame whose pole is
+// the magnetic north axis, via the geodesic rotation
+// Rz(phi0) Ry(tilt) Rz(-phi0) (tilt -> 0 gives phi exactly).
+double mlon_of(const Env& e, double theta, double phi) {
+  if (e.b_sel == 0.0) return phi;
+  double s = std::sin(e.b_tilt), c = std::cos(e.b_tilt);
+  double s0 = std::sin(e.b_tilt_phi), c0 = std::cos(e.b_tilt_phi);
+  double xm[3] = {c * c0 * c0 + s0 * s0, (c - 1.0) * s0 * c0, s * c0};
+  double ym[3] = {(c - 1.0) * s0 * c0, c * s0 * s0 + c0 * c0, s * s0};
+  double st = std::sin(theta), ct = std::cos(theta);
+  double rx = st * std::cos(phi), ry = st * std::sin(phi), rz = ct;
+  return std::atan2(ym[0] * rx + ym[1] * ry + ym[2] * rz,
+                    xm[0] * rx + xm[1] * ry + xm[2] * rz);
+}
+
 // ---- dispersion (reference algebra: RayTrace_lat.jl:44-194) ----
 
 // mu = sqrt(|mu2_plus|) and the reference's closed-form dmu/dpsi.

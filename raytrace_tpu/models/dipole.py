@@ -82,6 +82,37 @@ def mlat_sin_tilted(theta, phi, tilt, phi0=0.0):
     return -(mx * st * jnp.cos(phi) + my * st * jnp.sin(phi) + mz * ct)
 
 
+def mlon_tilted(theta, phi, tilt, phi0=0.0):
+    """Magnetic longitude at geographic (theta, phi) in the tilted frame.
+
+    Convention: the magnetic frame is the geodesic rotation carrying the
+    geographic pole z-hat onto the magnetic north axis z_m = -moment_unit
+    (the rotation Rz(phi0) Ry(tilt) Rz(-phi0), which moves points the
+    shortest way); phi_m = atan2(y_m . rhat, x_m . rhat) with
+    x_m = R x-hat, y_m = R y-hat. tilt = 0 gives phi_m == phi EXACTLY
+    (identity rotation), so an MLT-resolved medium built on phi_m reduces
+    bitwise to the centered-dipole phi convention as the tilt vanishes.
+
+    The value is 2 pi-discontinuous across the atan2 cut, but every
+    consumer (medium.mlt_ps_params) reads it only through sin/cos of
+    ang = a0 + phi_m, which are smooth and periodic; gradients are
+    regular everywhere except the magnetic poles themselves (a
+    measure-zero axis no traced ray occupies)."""
+    s, c = jnp.sin(tilt), jnp.cos(tilt)
+    s0, c0 = jnp.sin(phi0), jnp.cos(phi0)
+    # R x-hat and R y-hat, closed form of Rz(phi0) Ry(tilt) Rz(-phi0)
+    xm = (c * c0 * c0 + s0 * s0, (c - 1.0) * s0 * c0, s * c0)
+    ym = ((c - 1.0) * s0 * c0, c * s0 * s0 + c0 * c0, s * s0)
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    rx = st * jnp.cos(phi)
+    ry = st * jnp.sin(phi)
+    rz = ct
+    return jnp.arctan2(
+        ym[0] * rx + ym[1] * ry + ym[2] * rz,
+        xm[0] * rx + xm[1] * ry + xm[2] * rz,
+    )
+
+
 # ---------------------------------------------------------------------------
 # IGRF-truncation internal field (degrees 1-3)
 #

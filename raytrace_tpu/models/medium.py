@@ -160,8 +160,16 @@ def make_env(
     Fourier shape anchored at this env's mlt, and the trough level gets
     the smooth periodic day-night modulation (half-amplitude
     ps_mlt_tamp cm^-3 L^4.5; the reference's 300/h slope over a 12 h
-    swing is 1800). CA1992 + centered dipole only; the 2D frames trace
-    the phi = 0 meridian, which is this medium's axisymmetric limit."""
+    swing is 1800). CA1992 only; the 2D frames trace the phi = 0
+    meridian, which is this medium's axisymmetric limit.
+
+    ps_mlt composes with b_model="tilted"/"igrf": the MLT axis is then
+    the MAGNETIC longitude (mlon_3d/dipole.mlon_tilted -- the
+    plasmasphere corotates organized by the field, so its local-time
+    structure is anchored to the tilted frame, exactly as its latitude
+    structure already is via mlat_3d). Convention: env `mlt` is the
+    local time of the phi_m = 0 magnetic meridian; tilt -> 0 recovers
+    the centered-dipole geographic-phi mapping bitwise."""
     lppi = plasmasphere.lppi_from_kp(kp_max)
     lppo, ne_lppi = plasmasphere.initialize_plasmasphere(lppi, day, rbar, mlt)
     if iono_mlt:
@@ -207,12 +215,9 @@ def make_env(
                 "ps_mlt modulates the CA1992 plasmapause; it needs "
                 "plasmasphere_on=True and ps_model='ca1992'"
             )
-        if b_model != "dipole":
-            raise ValueError(
-                "ps_mlt maps geographic longitude to MLT, which is only "
-                "exact for the centered axial dipole; tilted/IGRF media "
-                "are not supported with it yet"
-            )
+        # tilted/IGRF compose: the MLT axis is the magnetic longitude
+        # (mlon_3d), so no geographic-vs-magnetic ambiguity remains --
+        # see the docstring convention note
         from .. import convection
 
         a0, coeffs = convection.mlt_shape_fourier(
@@ -453,3 +458,16 @@ def mlat_3d(r, theta, phi, env: EnvParams):
         s = dipole.mlat_sin_tilted(theta, phi, env.b_tilt, env.b_tilt_phi)
         return jnp.arcsin(jnp.clip(s, -1.0, 1.0))
     return jnp.pi / 2.0 - theta
+
+
+def mlon_3d(r, theta, phi, env: EnvParams):
+    """Magnetic longitude at geographic (r, theta, phi) -- organizes the
+    MLT axis of the density models in the 3D frame, the longitude
+    counterpart of mlat_3d. Identity (phi) for the centered dipole; the
+    tilted-frame azimuth (dipole.mlon_tilted, whose tilt -> 0 limit is
+    also phi exactly) for tilted/IGRF. The plasmasphere rides the FIELD,
+    so its local-time structure (dusk plume, day-night trough) is a
+    function of magnetic, not geographic, longitude."""
+    if env.b_model in ("tilted", "igrf"):
+        return dipole.mlon_tilted(theta, phi, env.b_tilt, env.b_tilt_phi)
+    return phi

@@ -255,12 +255,16 @@ def mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams, root=1.0
     meridional symmetry (d mu/d phi != 0) and organizes the density by
     the tilted-frame magnetic latitude. An MLT-resolved plasmasphere
     (env.ps_mlt, medium.mlt_ps_params) breaks it through the DENSITY:
-    phi maps to local time, so rays see the dusk plume / day-night
-    trough -- d mu/d phi != 0 even for the centered dipole."""
+    longitude maps to local time, so rays see the dusk plume / day-night
+    trough -- d mu/d phi != 0 even for the centered dipole. When both
+    compose (ps_mlt + tilted/IGRF), the MLT axis is the MAGNETIC
+    longitude (medium.mlon_3d -- the plasmasphere rides the field), so
+    the density's local-time structure stays anchored to the tilted
+    frame; for the centered dipole mlon_3d is phi exactly."""
     sinpsi, cospsi, b = _psi_trig_bmag_3d(
         r, theta, phi, rho_r, rho_t, rho_p, env
     )
     lat = medium.mlat_3d(r, theta, phi, env)
-    ne = medium.ne_total_m3(r, lat, env, phi=phi)
+    ne = medium.ne_total_m3(r, lat, env, phi=medium.mlon_3d(r, theta, phi, env))
     rr, ll, pp = stix_rlp(ne, b, f, env.eta_he, env.eta_o)
     return mu_from_mu2(mu2_signed_trig(rr, ll, pp, sinpsi, cospsi, root))
