@@ -296,7 +296,7 @@ double mlat_of(const Env& e, double theta, double phi) {
 // (models/medium.py::mlon_3d / dipole.mlon_tilted): geographic phi for
 // the centered dipole; otherwise the azimuth in the frame whose pole is
 // the magnetic north axis, via the geodesic rotation
-// Rz(phi0) Ry(tilt) Rz(-phi0) (tilt -> 0 gives phi exactly).
+// Rz(phi0) Ry(-tilt) Rz(-phi0) (tilt -> 0 gives phi up to rounding).
 double mlon_of(const Env& e, double theta, double phi) {
   if (e.b_sel == 0.0) return phi;
   double s = std::sin(e.b_tilt), c = std::cos(e.b_tilt);
@@ -615,8 +615,8 @@ double mu_3d(double r, double theta, double phi, double rho_r, double rho_t,
   double psi = std::acos(cospsi);  // RayTrace_3D.jl:138-141
   double mlat = mlat_of(e, theta, phi);
   double mu, mu2;
-  mu_dmudpsi(ne_total_m3(r, mlat, e, phi), bmag, f, psi, &mu, nullptr, &mu2,
-             e.eta_he, e.eta_o);
+  mu_dmudpsi(ne_total_m3(r, mlat, e, mlon_of(e, theta, phi)), bmag, f, psi,
+             &mu, nullptr, &mu2, e.eta_he, e.eta_o);
   return mu;
 }
 
@@ -630,7 +630,7 @@ void rhs_3d(const double* u, double f, const Env& e, int grad_mode,
   double rho_r = u[3], rho_t = u[4], rho_p = u[5];
   double hr = 1e-7 * r, ha = 1e-7, hf = 1e-3 * f;
   double rmag = std::sqrt(rho_r * rho_r + rho_t * rho_t + rho_p * rho_p);
-  double hro = 1e-7 * rmag;
+  double hro = 1e-8 * rmag;
 
   double mu = mu_3d(r, theta, phi, rho_r, rho_t, rho_p, f, e);
   double dmudtheta =
@@ -658,8 +658,9 @@ void rhs_3d(const double* u, double f, const Env& e, int grad_mode,
     cospsi = std::max(-1.0, std::min(1.0, cospsi));
     double psi = std::acos(cospsi);
     double mu_ref, mu2, dmudpsi;
-    mu_dmudpsi(ne_total_m3(r, mlat_of(e, theta, phi), e, phi), bmag, f, psi,
-               &mu_ref, &dmudpsi, &mu2, e.eta_he, e.eta_o);
+    mu_dmudpsi(ne_total_m3(r, mlat_of(e, theta, phi), e,
+                           mlon_of(e, theta, phi)),
+               bmag, f, psi, &mu_ref, &dmudpsi, &mu2, e.eta_he, e.eta_o);
     double sinpsi = std::sin(psi);
     auto sgn = [](double x) { return x > 0 ? 1.0 : (x < 0 ? -1.0 : 0.0); };
     double bk[3] = {br, bt, bp};
@@ -756,6 +757,16 @@ void rt_rhs_3d(const double* u, double f, const double* env14, int grad_mode,
                double* du) {
   Env e = env_from(env14);
   rhs_3d(u, f, e, grad_mode, du);
+}
+
+// batch evaluation of the 3D mu for parity tests (u = 7-state rows)
+void rt_mu_3d_batch(const double* u, const double* f, int n,
+                    const double* env14, double* mu_out) {
+  Env e = env_from(env14);
+  for (int i = 0; i < n; i++) {
+    const double* ui = u + 7 * i;
+    mu_out[i] = mu_3d(ui[0], ui[1], ui[2], ui[3], ui[4], ui[5], f[i], e);
+  }
 }
 
 // full single-ray 3D trace; out layout: [u0..u6, t, status, n_accept,

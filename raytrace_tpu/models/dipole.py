@@ -87,11 +87,13 @@ def mlon_tilted(theta, phi, tilt, phi0=0.0):
 
     Convention: the magnetic frame is the geodesic rotation carrying the
     geographic pole z-hat onto the magnetic north axis z_m = -moment_unit
-    (the rotation Rz(phi0) Ry(tilt) Rz(-phi0), which moves points the
-    shortest way); phi_m = atan2(y_m . rhat, x_m . rhat) with
-    x_m = R x-hat, y_m = R y-hat. tilt = 0 gives phi_m == phi EXACTLY
-    (identity rotation), so an MLT-resolved medium built on phi_m reduces
-    bitwise to the centered-dipole phi convention as the tilt vanishes.
+    (Rz(phi0) Ry(-tilt) Rz(-phi0) under the active convention
+    Ry(t) z-hat = (sin t, 0, cos t) -- it moves points the shortest way);
+    phi_m = atan2(y_m . rhat, x_m . rhat) with x_m = R x-hat,
+    y_m = R y-hat. tilt = 0 reduces phi_m to phi up to rounding (~1 ulp:
+    the value still passes through atan2 of the rotated components); the
+    truly bitwise tilt->0 reduction lives in medium.mlon_3d, whose
+    b_model="dipole" branch returns phi itself.
 
     The value is 2 pi-discontinuous across the atan2 cut, but every
     consumer (medium.mlt_ps_params) reads it only through sin/cos of
@@ -100,7 +102,7 @@ def mlon_tilted(theta, phi, tilt, phi0=0.0):
     measure-zero axis no traced ray occupies)."""
     s, c = jnp.sin(tilt), jnp.cos(tilt)
     s0, c0 = jnp.sin(phi0), jnp.cos(phi0)
-    # R x-hat and R y-hat, closed form of Rz(phi0) Ry(tilt) Rz(-phi0)
+    # R x-hat and R y-hat, closed form of Rz(phi0) Ry(-tilt) Rz(-phi0)
     xm = (c * c0 * c0 + s0 * s0, (c - 1.0) * s0 * c0, s * c0)
     ym = ((c - 1.0) * s0 * c0, c * s0 * s0 + c0 * c0, s * s0)
     st, ct = jnp.sin(theta), jnp.cos(theta)

@@ -169,7 +169,8 @@ def make_env(
     structure is anchored to the tilted frame, exactly as its latitude
     structure already is via mlat_3d). Convention: env `mlt` is the
     local time of the phi_m = 0 magnetic meridian; tilt -> 0 recovers
-    the centered-dipole geographic-phi mapping bitwise."""
+    the centered-dipole geographic-phi mapping up to rounding (the
+    b_model="dipole" branch of mlon_3d is phi itself, bitwise)."""
     lppi = plasmasphere.lppi_from_kp(kp_max)
     lppo, ne_lppi = plasmasphere.initialize_plasmasphere(lppi, day, rbar, mlt)
     if iono_mlt:

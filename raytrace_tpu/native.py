@@ -51,6 +51,7 @@ def ensure_built():
     ]
     lib.rt_rhs_2d_colat.argtypes = [d, ctypes.c_double, d, ctypes.c_int, d]
     lib.rt_rhs_3d.argtypes = [d, ctypes.c_double, d, ctypes.c_int, d]
+    lib.rt_mu_3d_batch.argtypes = [d, d, ctypes.c_int, d, d]
     lib.rt_trace_3d.argtypes = [
         d, ctypes.c_double, d, ctypes.c_int, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -197,6 +198,19 @@ def rhs_2d_colat(u, f, env, grad_mode=GRAD_AUTODIFF_EQUIV):
     lib.rt_rhs_2d_colat(_ptr(u), float(f), _ptr(_env_array(env)), grad_mode,
                         _ptr(du))
     return du
+
+
+def mu_3d_batch(u, f, env):
+    """Native 3D mu over batched 7-state rows (n, 7) and frequencies (n,)."""
+    lib = ensure_built()
+    u = np.ascontiguousarray(np.asarray(u, np.float64).reshape(-1, 7))
+    f = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(f, np.float64), (len(u),))
+    )
+    out = np.empty(len(u), np.float64)
+    lib.rt_mu_3d_batch(_ptr(u), _ptr(f), len(u), _ptr(_env_array(env)),
+                       _ptr(out))
+    return out
 
 
 def rhs_3d(u, f, env, grad_mode=GRAD_AUTODIFF_EQUIV):

@@ -224,13 +224,171 @@ def test_plume_ray_native_trajectory_parity_and_physics(env_mlt, env_axi):
 
 
 def test_make_env_refusals():
-    """ps_mlt composes with CA1992 + centered dipole only."""
-    with pytest.raises(ValueError, match="ps_mlt"):
-        M.make_env(ps_mlt=True, ps_model="gcpm")
+    """ps_mlt needs a plasmasphere to modulate; tilted/IGRF fields
+    compose (the MLT axis becomes the magnetic longitude, mlon_3d)."""
     with pytest.raises(ValueError, match="ps_mlt"):
         M.make_env(ps_mlt=True, plasmasphere_on=False)
-    with pytest.raises(ValueError, match="ps_mlt"):
-        M.make_env(ps_mlt=True, b_model="tilted", b_tilt=0.2)
+    # composes without raising
+    M.make_env(ps_mlt=True, b_model="tilted", b_tilt=0.2)
+    M.make_env(ps_mlt=True, b_model="igrf")
+
+
+@pytest.fixture(scope="module")
+def env_mlt_tilted():
+    return M.make_env(b0=3.12e-5, ps_mlt=True, b_model="tilted",
+                      b_tilt=0.2, b_tilt_phi=0.5)
+
+
+def test_mlon_tilt_to_zero_limit(env_mlt):
+    """tilt -> 0 collapses the magnetic longitude back to geographic phi:
+    bitwise via the b_model="dipole" branch of mlon_3d, and to ~1 ulp
+    through mlon_tilted itself (the value still passes through atan2 of
+    the rotated components, so the reduction is exact only up to
+    rounding -- mlon_tilted docstring)."""
+    from raytrace_tpu.models import dipole
+
+    for theta, phi in [(0.7, 0.3), (1.2, -2.0), (0.4, 2.9), (2.1, -0.1)]:
+        assert float(M.mlon_3d(2.5, theta, phi, env_mlt)) == phi
+        np.testing.assert_allclose(
+            float(dipole.mlon_tilted(theta, phi, 0.0, 0.5)), phi,
+            rtol=0.0, atol=5e-15,
+        )
+    # geometry pin for a live tilt: the point the rotation carries
+    # x-hat to has magnetic longitude 0, and the one y-hat goes to has
+    # pi/2 (phi0 = 0 keeps the images in closed form)
+    tilt = 0.3
+    th_x, ph_x = np.pi / 2 - tilt, 0.0  # R x-hat = (cos t, 0, -sin t)
+    np.testing.assert_allclose(
+        float(dipole.mlon_tilted(th_x, ph_x, tilt, 0.0)), 0.0, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        float(dipole.mlon_tilted(np.pi / 2, np.pi / 2, tilt, 0.0)),
+        np.pi / 2, rtol=1e-14,
+    )
+
+
+def test_tilted_plume_fused_fallback_is_autodiff(env_mlt_tilted):
+    """mu_grads_3d(FUSED) on a non-dipole medium falls back to autodiff
+    (ops/gradients.py dispatch): values must agree bitwise with the
+    explicit-autodiff call, and d mu/d phi must carry BOTH asymmetry
+    sources (tilted field + MLT density)."""
+    from raytrace_tpu.ops import gradients as G
+
+    rho = D.consistent_rho_3d(4.0, 1.0, 1.3, (1.0, 1.0, 0.1), 1200.0,
+                              env_mlt_tilted)
+    args = (4.0, 1.0, 1.3, *map(float, rho), 1200.0)
+    mu_f, g_f = G.mu_grads_3d(*args, env_mlt_tilted, grad_mode=G.FUSED)
+    mu_a, g_a = G.mu_grads_3d(*args, env_mlt_tilted, grad_mode=G.AUTODIFF)
+    assert float(mu_f) == float(mu_a)
+    for a, b in zip(g_f, g_a):
+        assert float(a) == float(b)
+    assert abs(float(g_f[2])) > 1e-3
+    # and the reference chain (axial-dipole Kimura) refuses tilted media
+    with pytest.raises(ValueError, match="reference"):
+        G.mu_grads_3d(*args, env_mlt_tilted, grad_mode=G.REFERENCE)
+
+
+def test_native_oracle_mu_parity_mlt_tilted(env_mlt_tilted):
+    """THE magnetic-longitude convention pin: the oracle's mu_3d feeds
+    its density mlon_of(theta, phi) exactly as the JAX path feeds
+    mlon_3d (native/src/oracle.cpp mu_3d vs ops/dispersion.py::mu_3d),
+    so mu agrees to machine precision over a wide grid of tilted+plume
+    states spanning all three CA1992 branches. A geographic-phi oracle
+    (the pre-r05 dead-code bug) shifts the knee by the mlon-phi offset
+    and fails this at the 1e-3 level in the knee region."""
+    from raytrace_tpu import native
+
+    rng = np.random.default_rng(11)
+    n = 512
+    u = np.empty((n, 7))
+    u[:, 0] = rng.uniform(1.2, 7.0, n)
+    u[:, 1] = rng.uniform(0.4, 2.6, n)
+    u[:, 2] = rng.uniform(-4.0, 7.0, n)
+    k = rng.normal(size=(n, 3))
+    u[:, 3:6] = 20.0 * k / np.linalg.norm(k, axis=1, keepdims=True)
+    u[:, 6] = 0.0
+    f = rng.uniform(500.0, 8000.0, n)
+    mu_n = native.mu_3d_batch(u, f, env_mlt_tilted)
+    mu_j = np.asarray(jax.vmap(
+        lambda uu, ff: D.mu_3d(uu[0], uu[1], uu[2], uu[3], uu[4], uu[5],
+                               ff, env_mlt_tilted)
+    )(jnp.asarray(u), jnp.asarray(f)))
+    np.testing.assert_allclose(mu_n, mu_j, rtol=1e-12)
+
+
+def test_native_oracle_rhs_parity_mlt_tilted(env_mlt_tilted):
+    """The magnetic-longitude convention pin: the C++ oracle feeds its
+    density the SAME mlon_of(theta, phi) the JAX path uses
+    (native/src/oracle.cpp mu_3d vs models/medium.py::mlon_3d), so the
+    full RHS agrees through the tilted + plume composition. A
+    geographic-phi oracle would diverge at the plume gradient."""
+    from raytrace_tpu import native
+
+    rng = np.random.default_rng(7)
+    worst = 0.0
+    for _ in range(12):
+        r = rng.uniform(1.5, 6.5)
+        th = rng.uniform(0.6, 2.2)
+        ph = rng.uniform(-3.0, 5.0)
+        fq = rng.uniform(600.0, 5000.0)
+        rho = D.consistent_rho_3d(r, th, ph, (1.0, 1.0, 0.2), fq,
+                                  env_mlt_tilted)
+        u = np.array([r, th, ph, *map(float, rho), 0.0])
+        du_n = native.rhs_3d(u, fq, env_mlt_tilted)
+        du_j = np.asarray(RHS.rhs_3d(jnp.asarray(u), fq, env_mlt_tilted))
+        rel = np.abs(du_n - du_j) / np.maximum(np.abs(du_j), 1e-10)
+        worst = max(worst, float(rel.max()))
+    assert worst < 5e-5, worst  # FD-accuracy floor of the oracle
+
+
+def test_tilted_plume_trajectory_native_parity(env_mlt_tilted, env_mlt):
+    """A dusk knee-crossing ray in the TILTED field: the composed medium
+    genuinely moves the landing vs the centered-dipole plume, and the
+    C++ oracle integrates the same trajectory end-to-end (independent-
+    language parity for the ps_mlt x tilted composition).
+
+    Tolerance note (measured, r05): this composed geometry makes the ray
+    run OBLIQUELY along the hard plasmapause-knee kink (L crosses
+    lppo/lppi slowly near t ~ 45-55 while both surfaces drift with
+    mlon). On a kink the oracle's central differences see the MEAN of
+    the one-sided slopes while autodiff takes the branch side, so the
+    two RHS genuinely differ there -- an FD-step- and rtol-INDEPENDENT
+    ~3e-5 landing offset (verified: scipy RK45 on an FD replica of the
+    JAX mu reproduces the oracle landing to 1e-8 at h = 1e-7 AND 1e-8,
+    while scipy on the autodiff RHS reproduces the JAX landing to
+    1e-12; mu itself agrees to 5e-15 along the whole path). Both limits
+    are valid solutions of the non-smooth ODE; the convention pin lives
+    in test_native_oracle_mu_parity_mlt_tilted, so the trajectory row
+    asserts at the measured kink-sliding floor."""
+    from raytrace_tpu import native
+
+    r0 = (RE + 1.0e6) / RE
+    th0 = np.pi / 2 - 1.05
+    dusk, _ = _dusk_dawn_phi(env_mlt_tilted)
+    cfg = SolverConfig(rtol=1e-9, atol=1e-13, dt0=1e-4)
+    spec = StopSpec(r_floor=1.0, t_max=5e9 / RE, lat_sign=-1.0,
+                    lat_offset=np.pi / 2)
+
+    def run(env):
+        rho0 = D.consistent_rho_3d(r0, th0, dusk, (1.0, 1.0, 0.0), 1000.0,
+                                   env)
+        u0 = np.array([r0, th0, dusk, *map(float, rho0), 0.0])
+        res = trace(lambda u, ff: RHS.rhs_3d(u, ff, env),
+                    jnp.asarray([u0]), jnp.asarray([1000.0]), cfg=cfg,
+                    spec=spec, max_steps=400000, group_idx=6)
+        return u0, np.asarray(res.u[0]), int(res.status[0])
+
+    u0_t, u_t, st_t = run(env_mlt_tilted)
+    _, u_c, st_c = run(env_mlt)
+    assert st_t == st_c == events.HIT_EARTH
+    assert abs(u_t[1] - u_c[1]) > 1e-3  # the tilt moves the landing
+
+    nat = native.trace_3d(u0_t, 1000.0, env_mlt_tilted, rtol=1e-9,
+                          atol=1e-13, t_max=5e9 / RE, max_steps=400000)
+    assert nat["status"] == events.HIT_EARTH
+    np.testing.assert_allclose(nat["u"][1], u_t[1], atol=1e-4)
+    np.testing.assert_allclose(nat["u"][2], u_t[2], atol=5e-4)
+    np.testing.assert_allclose(nat["u"][6], u_t[6], rtol=2e-3)
 
 
 def test_phis_launch_grid_plume_preset():
