@@ -440,6 +440,67 @@ def preset(name, **overrides):
             group_time_max=10.0, t_max=6.0e10 / RE, max_steps=40960,
             ds_max=2.0e6 / RE, dt_max=8.0e6 / RE, base_stepper="bs3",
         ),
+        # the plume fan on a TILTED dipole (b_model="tilted"; the realis-
+        # tic ~11.5 deg moment tilt): the full ps_mlt x tilted composit-
+        # ion at production scale -- the MLT axis rides the MAGNETIC
+        # longitude (medium.mlon_3d) and the gradient chain runs through
+        # the autodiff fallback (ops/gradients.py: the hand-fused chain
+        # covers the centered dipole only). Same fan/solver settings as
+        # ensemble10k_plume for a like-for-like cost comparison.
+        # Match: RayTrace_3D.jl:54-66 (the field model the 3D frame owns).
+        "ensemble10k_tilted": dict(
+            name="ensemble10k_tilted", frame="3d",
+            medium=MediumConfig(b0=B0_3D, ps_mlt=True, b_model="tilted",
+                                b_tilt=0.2, b_tilt_phi=0.5),
+            lats=tuple(np.linspace(0.45, 1.1, 10)),
+            phis=tuple(np.linspace(-np.pi, np.pi, 8, endpoint=False)),
+            chis=tuple(np.linspace(-0.5, 0.5, 8)),
+            freqs=tuple(np.geomspace(500.0, 8000.0, 16)),
+            rho0=(1.0, 1.0, 0.0), rho_on_shell=True,
+            rtol=1.0e-5, atol=1.0e-8, base_stepper="bs3",
+            ds_max=2.0e6 / RE, dt_max=8.0e6 / RE,
+            round_steps=(512, 1024, 2048),
+        ),
+        # the same fan on the degree-3 IGRF truncation (the most
+        # expensive traced field: spherical harmonics per B evaluation)
+        "ensemble10k_igrf": dict(
+            name="ensemble10k_igrf", frame="3d",
+            medium=MediumConfig(b0=B0_3D, ps_mlt=True, b_model="igrf"),
+            lats=tuple(np.linspace(0.45, 1.1, 10)),
+            phis=tuple(np.linspace(-np.pi, np.pi, 8, endpoint=False)),
+            chis=tuple(np.linspace(-0.5, 0.5, 8)),
+            freqs=tuple(np.geomspace(500.0, 8000.0, 16)),
+            rho0=(1.0, 1.0, 0.0), rho_on_shell=True,
+            rtol=1.0e-5, atol=1.0e-8, base_stepper="bs3",
+            ds_max=2.0e6 / RE, dt_max=8.0e6 / RE,
+            round_steps=(512, 1024, 2048),
+        ),
+        # framework extension: magnetospheric reflection in the 7-state
+        # Kimura frame over the MLT-RESOLVED medium -- the Bortnik-
+        # thesis behavior the reference's 3D script cites
+        # (RayTrace_3D.jl:5) in the frame where it matters physically:
+        # low-altitude mid-latitude launches whose near-field-aligned
+        # wave normals rotate toward the resonance cone, mirror on the
+        # f = f_LHR surface (tests/test_mr3d.py: oracle-confirmed
+        # bounce-for-bounce) and DRIFT in longitude through the dusk
+        # plume (d mu/d phi != 0 steers rays across local time; the
+        # escape subpopulation crosses >1 rad of longitude). The MR band
+        # itself moves with MLT (a (lat0, chi, f) cell that bounces at
+        # dawn can land at dusk -- measured, r05), so the fan spreads
+        # over all 8 sectors. Same 2,048-ray count and budget semantics
+        # as the 2D mr_fan for a like-for-like census.
+        "mr_fan_3d": dict(
+            name="mr_fan_3d", frame="3d",
+            medium=MediumConfig(b0=B0_3D, ps_mlt=True),
+            lats=tuple(np.linspace(0.95, 1.2, 8)),
+            phis=tuple(np.linspace(-np.pi, np.pi, 8, endpoint=False)),
+            chis=tuple(np.linspace(-0.3, 0.1, 4)),
+            freqs=tuple(np.geomspace(700.0, 1600.0, 8)),
+            rho0=(1.0, 0.0, 0.0), rho_on_shell=True,
+            rtol=1.0e-6, atol=1.0e-10, base_stepper="bs3",
+            dt_max=1.0e6 / RE,
+            group_time_max=10.0, t_max=6.0e10 / RE, max_steps=40960,
+        ),
         # framework extension: He+-band EMIC rays in a multi-ion plasma
         # (the '-' root the reference left commented out, RayMain.jl:243,
         # in the composition that gives it its real band structure).

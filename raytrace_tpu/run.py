@@ -202,20 +202,62 @@ def run(config: RunConfig, out_dir=None, plots=False):
         if config.continue_until_done:
             import jax
 
+            from .parallel.ensemble import _bucket_size
+
             rhs_fn, group_idx = _rhs_for(config, env)
+            v = np.asarray(valid)
+            u0_np, f_np = np.asarray(u0), np.asarray(f)
             for _ in range(config.max_continuations):
-                st = np.asarray(result.status)[np.asarray(valid)]
-                if not (st == events.MAX_STEPS).any():
+                st_full = np.asarray(result.status)
+                idx = np.nonzero((st_full == events.MAX_STEPS) & v)[0]
+                if len(idx) == 0:
                     break
-                # trace(carry0=...) re-arms exactly the MAX_STEPS rays;
-                # resume is bitwise-exact (test_mr.py::
-                # test_mr_fan_tail_resumes_from_rounds_carry)
-                carry = jax.tree.map(jnp.asarray, result.carry)
-                result = trace(
-                    rhs_fn, jnp.asarray(u0), jnp.asarray(f), cfg=cfg,
-                    spec=spec, group_idx=group_idx,
+                # gather the stragglers into a floor-sized bucket (the
+                # rounds tracer's re-bucketing applied to continuations):
+                # the continuation wall scales with the straggler count,
+                # not the padded batch -- mr_fan's ~19 genuine stragglers
+                # ride a 256-lane program instead of re-dispatching all
+                # 2,048. trace(carry0=...) re-arms exactly the MAX_STEPS
+                # rays and per-ray stepping is vmapped, so the gathered
+                # resume takes the identical step sequence (statuses and
+                # accept counts equal step for step; final u to the
+                # event-refinement floor -- XLA fuses the Hermite
+                # bisection differently per dispatch width).
+                # test_mr.py::test_mr_fan_tail_resumes_from_rounds_carry
+                # pins the carry semantics;
+                # test_continue_until_done_bucketed_matches_full_width
+                # pins the gather/scatter path against full-width resume.
+                b = _bucket_size(len(idx), len(st_full), 256)
+                sel = np.concatenate([idx, np.repeat(idx[:1], b - len(idx))])
+                carry = jax.tree.map(
+                    lambda a: jnp.asarray(np.asarray(a)[sel]), result.carry
+                )
+                # padding duplicates retire instantly: a terminal status
+                # is not re-armed and masks the lane from step one
+                pad = np.zeros(len(sel), bool)
+                pad[len(idx):] = True
+                carry = carry._replace(status=jnp.where(
+                    jnp.asarray(pad), events.HIT_EARTH, carry.status
+                ).astype(jnp.int32))
+                sub = trace(
+                    rhs_fn, jnp.asarray(u0_np[sel]), jnp.asarray(f_np[sel]),
+                    cfg=cfg, spec=spec, group_idx=group_idx,
                     adaptive=config.adaptive, stepper=fixed_stepper,
                     max_steps=config.max_steps, carry0=carry,
+                )
+
+                def scatter(full, part, idx=idx):
+                    out = np.asarray(full).copy()
+                    out[idx] = np.asarray(part)[: len(idx)]
+                    return out
+
+                result = result._replace(
+                    u=scatter(result.u, sub.u),
+                    t=scatter(result.t, sub.t),
+                    status=scatter(result.status, sub.status),
+                    n_accept=scatter(result.n_accept, sub.n_accept),
+                    n_reject=scatter(result.n_reject, sub.n_reject),
+                    carry=jax.tree.map(scatter, result.carry, sub.carry),
                 )
     else:
         tracer = _cached_tracer(

@@ -205,6 +205,73 @@ def test_continue_until_done_clears_max_steps():
     assert int(out2["stats"]["n_max_steps"]) == 0
 
 
+def test_continue_until_done_bucketed_matches_full_width():
+    """run()'s bucketed continuation (floor-sized straggler gather,
+    run.py) retires the stragglers to EXACTLY the states a full-width
+    resume produces: per-ray stepping is vmapped, so gathering the
+    MAX_STEPS set into a padded bucket cannot change any ray's
+    arithmetic -- only the dispatch width."""
+    import jax
+
+    from raytrace_tpu.config import preset
+    from raytrace_tpu.run import _rhs_for, run
+
+    kw = dict(lats=(0.1, 0.4), chis=(-0.8, -0.5), freqs=(700.0, 1000.0),
+              dtype="float64", max_steps=2048, use_rounds=True,
+              round_steps=(1024,))
+    # stage 1: the stranded run, keeping the carry (max_continuations=0
+    # arms want_carry without running any continuation)
+    cfg1 = preset("mr_fan", continue_until_done=True, max_continuations=0,
+                  **kw)
+    out1 = run(cfg1)
+    res1 = out1["result"]
+    v = np.asarray(out1["valid"])
+    assert res1.carry is not None
+    assert (np.asarray(res1.status)[v] == events.MAX_STEPS).any()
+
+    # full-width resume (the retired r04 behavior, inlined)
+    cfg_obj = preset("mr_fan", **kw)
+    env = cfg_obj.medium.build()
+    rhs_fn, group_idx = _rhs_for(cfg_obj, env)
+    from raytrace_tpu.run import _build_u0
+    from raytrace_tpu.parallel import make_ray_mesh, pad_batch
+
+    u0, f = _build_u0(cfg_obj, np.float64)
+    u0, f, valid = pad_batch(u0, f, make_ray_mesh())
+    carry = jax.tree.map(jnp.asarray, res1.carry)
+    full = trace(rhs_fn, jnp.asarray(u0), jnp.asarray(f),
+                 cfg=cfg_obj.solver(), spec=cfg_obj.stop(),
+                 group_idx=group_idx, max_steps=2048, carry0=carry)
+
+    # bucketed continuation through run()
+    out2 = run(preset("mr_fan", continue_until_done=True,
+                      max_continuations=1, **kw))
+    res2 = out2["result"]
+    strag = (np.asarray(res1.status) == events.MAX_STEPS) & v
+    np.testing.assert_array_equal(
+        np.asarray(res2.status)[v], np.asarray(full.status)[v])
+    # stragglers: the integration itself is exact -- statuses and the
+    # full accept counts match step for step. The final u agrees to the
+    # event-refinement floor rather than bitwise: XLA fuses the Hermite
+    # bisection differently at the two dispatch widths (measured 3.3e-8
+    # on this fan), while any divergence in the stepping would have
+    # broken the accept-count equality long before.
+    np.testing.assert_array_equal(
+        np.asarray(res2.n_accept)[strag], np.asarray(full.n_accept)[strag])
+    np.testing.assert_allclose(
+        np.asarray(res2.u)[strag], np.asarray(full.u)[strag],
+        rtol=1e-6, atol=1e-6)
+    # already-retired rays: untouched (the full-width control instead
+    # re-applies trace's event refinement to the carry, which wobbles
+    # their u at the 1e-8 refinement-noise level -- exactly the kind of
+    # churn the bucketed gather avoids)
+    keep = v & ~strag
+    np.testing.assert_array_equal(
+        np.asarray(res2.u)[keep], np.asarray(res1.u)[keep])
+    np.testing.assert_array_equal(
+        np.asarray(res2.n_accept)[keep], np.asarray(res1.n_accept)[keep])
+
+
 def test_mr_fan_tail_resumes_from_rounds_carry():
     """The mr_fan MAX_STEPS tail is resumable BY CONSTRUCTION: rays that
     exhaust the rounds tracer's budget continue from its returned carry
