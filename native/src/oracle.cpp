@@ -114,6 +114,22 @@ void mlt_params(const Env& e, double phi, double* lppi, double* lppo,
             e.ps_mlt_tamp * (std::cos(ang) - std::cos(e.ps_mlt_a0));
 }
 
+// effective GCPM parameters at longitude phi for the MLT-resolved
+// medium (models/medium.py::mlt_gcpm_params): the knee center rides the
+// same Fourier teardrop (lppo * S(ang), S(a0) == 1), the trough the
+// same smooth day-night modulation. No continuity constants: the GCPM
+// knee is a C-infinity blend.
+void mlt_gcpm(const Env& e, double phi, double* lppo, double* trough) {
+  double ang = e.ps_mlt_a0 + phi;
+  double shape = e.ps_mlt_c[0];
+  for (int k = 1; k <= 3; k++)
+    shape += e.ps_mlt_c[2 * k - 1] * std::cos(k * ang) +
+             e.ps_mlt_c[2 * k] * std::sin(k * ang);
+  *lppo = e.lppo * shape;
+  *trough = e.ps_trough +
+            e.ps_mlt_tamp * (std::cos(ang) - std::cos(e.ps_mlt_a0));
+}
+
 double ne_total_m3(double r, double lat, const Env& e, double phi = 0.0) {
   double ne_i = e.iono_n0 * std::exp(-e.iono_decay * (r - e.iono_r0));
   if (e.iono_mix != 1.0) {
@@ -128,14 +144,16 @@ double ne_total_m3(double r, double lat, const Env& e, double phi = 0.0) {
     // simplified GCPM (models/plasmasphere.py::ne_gcpm_cm3): exponential
     // decay in L times the dipole mirror ratio to the power bpow,
     // log-sigmoid-joined to the CA1992 trough at Lppo
+    double lppo_e = e.lppo, trough_e = e.ps_trough;
+    if (e.ps_mlt != 0.0) mlt_gcpm(e, phi, &lppo_e, &trough_e);
     double q2 = 1.0 + 3.0 * std::sin(lat) * std::sin(lat);
     double ln_m = 0.5 * std::log(q2) - 6.0 * std::log(cl);
     double ln_ps = std::log(e.gcpm_ne0) - (L - 2.0) / e.gcpm_lscale +
                    e.gcpm_bpow * ln_m;
     double Lsafe = std::max(L, 1e-6);
-    double ln_tr = std::log(e.ps_trough * std::exp(-4.5 * std::log(Lsafe)) +
+    double ln_tr = std::log(trough_e * std::exp(-4.5 * std::log(Lsafe)) +
                             (1.0 - std::exp((2.0 - L) / 10.0)));
-    double w = 1.0 / (1.0 + std::exp(-(e.lppo - L) / e.gcpm_knee));
+    double w = 1.0 / (1.0 + std::exp(-(lppo_e - L) / e.gcpm_knee));
     double ne_p = std::exp(w * ln_ps + (1.0 - w) * ln_tr);
     if (e.duct_amp != 0.0) {
       double x = (L - e.duct_l0) / e.duct_w;

@@ -160,8 +160,11 @@ def make_env(
     Fourier shape anchored at this env's mlt, and the trough level gets
     the smooth periodic day-night modulation (half-amplitude
     ps_mlt_tamp cm^-3 L^4.5; the reference's 300/h slope over a 12 h
-    swing is 1800). CA1992 only; the 2D frames trace the phi = 0
-    meridian, which is this medium's axisymmetric limit.
+    swing is 1800). The 2D frames trace the phi = 0 meridian, which is
+    this medium's axisymmetric limit. With ps_model="gcpm" the same
+    teardrop scales the GCPM knee center and the same day-night term
+    modulates its trough (mlt_gcpm_params) -- the C-infinity knee
+    moves with local time without creating branch seams.
 
     ps_mlt composes with b_model="tilted"/"igrf": the MLT axis is then
     the MAGNETIC longitude (mlon_3d/dipole.mlon_tilted -- the
@@ -211,10 +214,10 @@ def make_env(
         raise ValueError(f"unknown b_model {b_model!r}")
     mlt_kw = {}
     if ps_mlt:
-        if ps_model != "ca1992" or not plasmasphere_on:
+        if not plasmasphere_on:
             raise ValueError(
-                "ps_mlt modulates the CA1992 plasmapause; it needs "
-                "plasmasphere_on=True and ps_model='ca1992'"
+                "ps_mlt modulates the plasmapause; it needs "
+                "plasmasphere_on=True"
             )
         # tilted/IGRF compose: the MLT axis is the magnetic longitude
         # (mlon_3d), so no geographic-vs-magnetic ambiguity remains --
@@ -224,18 +227,25 @@ def make_env(
         a0, coeffs = convection.mlt_shape_fourier(
             kp_max, mlt, n_harm=int(ps_mlt_harmonics)
         )
-        # base-knee trough log-density: the branch-2/branch-3 crossing
-        # condition log10 ne3(lppo) = g1(lppi) - (lppo - lppi)/0.1, with
-        # (lppi, lppo) from the host pre-solve -- defining lppo(phi) from
-        # this frozen constant keeps lppo(0) == lppo EXACTLY
-        g1_lppi = float(plasmasphere._branch1_log10(
-            float(lppi), plasmasphere.season_coeff(day, rbar)))
+        if ps_model == "ca1992":
+            # base-knee trough log-density: the branch-2/branch-3
+            # crossing condition log10 ne3(lppo) = g1(lppi) -
+            # (lppo - lppi)/0.1, with (lppi, lppo) from the host
+            # pre-solve -- defining lppo(phi) from this frozen constant
+            # keeps lppo(0) == lppo EXACTLY
+            g1_lppi = float(plasmasphere._branch1_log10(
+                float(lppi), plasmasphere.season_coeff(day, rbar)))
+            c3 = float(g1_lppi - 10.0 * (lppo - lppi))
+        else:
+            # GCPM: the knee is scaled directly (mlt_gcpm_params), no
+            # branch-continuity constant exists
+            c3 = 0.0
         mlt_kw = dict(
             ps_mlt=1.0,
             ps_mlt_a0=float(a0),
             ps_mlt_c=coeffs,
             ps_mlt_tamp=float(ps_mlt_tamp),
-            ps_mlt_c3=float(g1_lppi - 10.0 * (lppo - lppi)),
+            ps_mlt_c3=c3,
         )
     if b_model == "tilted":
         b_kw = dict(b_model="tilted", b_tilt=float(b_tilt),
@@ -382,6 +392,45 @@ def mlt_ps_params(phi, env: EnvParams, with_grads=False):
     return params
 
 
+def mlt_gcpm_params(phi, env: EnvParams, with_grads=False):
+    """Effective GCPM parameters (lppo, trough_c) at longitude phi for
+    an MLT-resolved medium (make_env(ps_mlt=True, ps_model="gcpm")).
+
+    The simplified-GCPM plasmasphere has exactly two MLT-sensitive
+    parameters: the knee position (the log-sigmoid blend center, lppo)
+    and the CA1992-trough level it joins to. Both take the SAME
+    local-time structure as the CA1992 chain (mlt_ps_params): the knee
+    rides the derived-LCE Fourier teardrop, lppo(phi) = lppo * S(ang)
+    with S(a0) == 1 (base value exact at phi = 0), and the trough gets
+    the smooth day-night modulation. No continuity constants are needed
+    -- the GCPM knee is a C-infinity log-sigmoid blend, so scaling its
+    center moves the dusk plume without creating seams (and, unlike
+    CA1992's hard branches, without any kink surface for trajectories
+    to ride -- native-oracle trajectory parity is tight here,
+    tests/test_mlt3d.py)."""
+    c = env.ps_mlt_c
+    n_harm = (len(c) - 1) // 2
+    ang = env.ps_mlt_a0 + phi
+    s1a, c1a = jnp.sin(ang), jnp.cos(ang)
+    sk, ck = s1a, c1a
+    shape = c[0]
+    dshape = jnp.zeros_like(s1a)
+    for k in range(1, n_harm + 1):
+        if k > 1:
+            sk, ck = sk * c1a + ck * s1a, ck * c1a - sk * s1a
+        shape = shape + c[2 * k - 1] * ck + c[2 * k] * sk
+        dshape = dshape + k * (c[2 * k] * ck - c[2 * k - 1] * sk)
+    lppo_e = env.lppo * shape
+    trough_e = env.ps_trough + env.ps_mlt_tamp * (
+        c1a - jnp.cos(env.ps_mlt_a0)
+    )
+    if with_grads:
+        return (lppo_e, trough_e), (
+            env.lppo * dshape, -env.ps_mlt_tamp * s1a
+        )
+    return lppo_e, trough_e
+
+
 def ne_total_m3(r, lat, env: EnvParams, phi=None):
     """Total electron density in m^-3 at (r [RE], lat [rad]).
 
@@ -401,8 +450,12 @@ def ne_total_m3(r, lat, env: EnvParams, phi=None):
         )
     L = dipole.l_shell(r, lat)
     if env.ps_model == "gcpm":
+        if mlt_on(env) and phi is not None:
+            lppo_e, trough_e = mlt_gcpm_params(phi, env)
+        else:
+            lppo_e, trough_e = env.lppo, env.ps_trough
         ne_p = plasmasphere.ne_gcpm_cm3(
-            L, lat, env.lppo, env.ps_trough, env.gcpm_ne0, env.gcpm_lscale,
+            L, lat, lppo_e, trough_e, env.gcpm_ne0, env.gcpm_lscale,
             env.gcpm_bpow, env.gcpm_knee,
         )
     else:

@@ -73,12 +73,16 @@ def _ne_and_grads(r, lat, env: medium.EnvParams, mlt=None):
     L_r = inv_cl2
     L_lat = 2.0 * L * sl * inv_cl
 
-    if env.ps_model == "gcpm" and mlt is not None:
-        raise ValueError("ps_mlt is CA1992-only (enforced by make_env)")
     if env.ps_model == "gcpm":
         # simplified-GCPM (plasmasphere.ne_gcpm_cm3): log-space value and
         # d/dL + direct d/dlat (the mirror-ratio factor depends on lat at
-        # fixed L) together
+        # fixed L) together. mlt: the medium.mlt_gcpm_params(phi, env,
+        # with_grads=True) pair -- the knee center and trough level move
+        # with local time, driving the d ne/dphi channel
+        if mlt is not None:
+            (lppo_e, trough_e), (dlppo, dtrough) = mlt
+        else:
+            lppo_e, trough_e = env.lppo, env.ps_trough
         q2g = 1.0 + 3.0 * sl * sl
         ln_m = 0.5 * jnp.log(q2g) - 6.0 * jnp.log(cl)
         dln_m = 3.0 * sl * cl / q2g + 6.0 * sl / cl
@@ -87,13 +91,14 @@ def _ne_and_grads(r, lat, env: medium.EnvParams, mlt=None):
             + env.gcpm_bpow * ln_m
         )
         Lsg = jnp.maximum(L, 1.0e-6)
-        p3g = env.ps_trough * jnp.exp(-4.5 * jnp.log(Lsg))
+        f45g = jnp.exp(-4.5 * jnp.log(Lsg))
+        p3g = trough_e * f45g
         e3g = jnp.exp((2.0 - L) / 10.0)
         ne3g = p3g + (1.0 - e3g)
         ln_tr = jnp.log(ne3g)
         dln_tr = (-4.5 * p3g / Lsg + e3g / 10.0) / ne3g
         inv_k = 1.0 / env.gcpm_knee
-        wk = 1.0 / (1.0 + jnp.exp(-(env.lppo - L) * inv_k))
+        wk = 1.0 / (1.0 + jnp.exp(-(lppo_e - L) * inv_k))
         dwk = -wk * (1.0 - wk) * inv_k
         ne_p = jnp.exp(wk * ln_ps + (1.0 - wk) * ln_tr)
         dne_p = ne_p * (
@@ -101,8 +106,16 @@ def _ne_and_grads(r, lat, env: medium.EnvParams, mlt=None):
             + (1.0 - wk) * dln_tr
         )
         ne_p_lat_direct = ne_p * wk * env.gcpm_bpow * dln_m
+        ne_p_phi = None
+        if mlt is not None:
+            # knee motion (wk through lppo) + trough-level motion
+            dwk_phi = wk * (1.0 - wk) * inv_k * dlppo
+            dln_tr_phi = dtrough * f45g / ne3g
+            ne_p_phi = ne_p * (
+                dwk_phi * (ln_ps - ln_tr) + (1.0 - wk) * dln_tr_phi
+            )
         return _compose_ne(r, env, ni, ni_r, ne_p, dne_p, L_r, L_lat, L,
-                           ne_p_lat_direct)
+                           ne_p_lat_direct, ne_p_phi=ne_p_phi)
 
     # MLT-resolved parameters (medium.mlt_ps_params): effective values
     # replace the frozen env fields; their phi-derivatives drive the
@@ -522,7 +535,11 @@ def mu_and_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f,
     dcos_drho_p = (0.0 - cospsi * rhat_p) * inv_rmag
 
     if medium.mlt_on(env):
-        mlt = medium.mlt_ps_params(phi, env, with_grads=True)
+        mlt = (
+            medium.mlt_gcpm_params(phi, env, with_grads=True)
+            if env.ps_model == "gcpm"
+            else medium.mlt_ps_params(phi, env, with_grads=True)
+        )
         ne, ne_r, ne_lat, ne_phi = _ne_and_grads(r, lat, env, mlt=mlt)
     else:
         ne, ne_r, ne_lat = _ne_and_grads(r, lat, env)

@@ -116,16 +116,19 @@ def _parity_grid(env, n=160, seed=0):
     return np.asarray(jax.vmap(ad)(*args)), np.asarray(jax.vmap(fu)(*args))
 
 
-@pytest.mark.parametrize("variant", ["hard", "smooth", "refill", "duct"])
+@pytest.mark.parametrize("variant",
+                         ["hard", "smooth", "refill", "duct", "gcpm"])
 def test_fused_matches_autodiff_mlt(variant):
     """The hand-fused d mu/d phi chain equals autodiff of mu_3d through
     every medium variant the MLT parameters touch (hard branches, the
     sigmoid-blend boundaries that MOVE with phi, refill toward the MLT-
-    independent branch 1, and the multiplicative duct)."""
+    independent branch 1, the multiplicative duct, and the GCPM knee
+    whose sigmoid center rides the teardrop)."""
     kw = dict(
         hard={}, smooth=dict(ps_smooth=0.05),
         refill=dict(ps_refill=0.5, ps_refill_q=4.0),
         duct=dict(duct_amp=0.5, duct_l0=3.0, duct_w=0.2),
+        gcpm=dict(ps_model="gcpm"),
     )[variant]
     env = M.make_env(b0=3.12e-5, ps_mlt=True, **kw)
     A, B = _parity_grid(env)
@@ -224,13 +227,16 @@ def test_plume_ray_native_trajectory_parity_and_physics(env_mlt, env_axi):
 
 
 def test_make_env_refusals():
-    """ps_mlt needs a plasmasphere to modulate; tilted/IGRF fields
-    compose (the MLT axis becomes the magnetic longitude, mlon_3d)."""
+    """ps_mlt needs a plasmasphere to modulate; tilted/IGRF fields and
+    the GCPM plasmasphere all compose (the MLT axis becomes the
+    magnetic longitude, mlon_3d; the GCPM knee rides the same Fourier
+    teardrop, mlt_gcpm_params)."""
     with pytest.raises(ValueError, match="ps_mlt"):
         M.make_env(ps_mlt=True, plasmasphere_on=False)
     # composes without raising
     M.make_env(ps_mlt=True, b_model="tilted", b_tilt=0.2)
     M.make_env(ps_mlt=True, b_model="igrf")
+    M.make_env(ps_mlt=True, ps_model="gcpm")
 
 
 @pytest.fixture(scope="module")
@@ -448,3 +454,101 @@ def test_cast_env_and_config_roundtrip(env_mlt):
     env2 = back.medium.build()
     assert float(env2.ps_mlt_tamp) == 900.0
     assert len(env2.ps_mlt_c) == 7
+
+
+# ---- ps_mlt x GCPM (the second plasmasphere model, r05) --------------
+
+
+@pytest.fixture(scope="module")
+def env_gcpm_mlt():
+    return M.make_env(b0=3.12e-5, ps_mlt=True, ps_model="gcpm")
+
+
+@pytest.fixture(scope="module")
+def env_gcpm_axi():
+    return M.make_env(b0=3.12e-5, ps_model="gcpm")
+
+
+def test_gcpm_mlt_phi0_reduction_and_dusk_knee(env_gcpm_mlt, env_gcpm_axi):
+    """phi = 0 reproduces the axisymmetric GCPM medium (S(a0) == 1 and
+    the trough modulation vanishes by construction), and the knee
+    center bulges at dusk by the same derived-LCE factor as the CA1992
+    plasmapause (it rides the identical Fourier shape)."""
+    lppo0, tr0 = M.mlt_gcpm_params(0.0, env_gcpm_mlt)
+    np.testing.assert_allclose(float(lppo0), env_gcpm_axi.lppo, rtol=1e-14)
+    np.testing.assert_allclose(float(tr0), env_gcpm_axi.ps_trough,
+                               rtol=1e-14)
+    for r, lat in ((1.5, 0.3), (3.0, 0.6), (4.3, 0.0), (6.5, 0.9)):
+        np.testing.assert_allclose(
+            float(M.ne_total_m3(r, lat, env_gcpm_mlt, phi=0.0)),
+            float(M.ne_total_m3(r, lat, env_gcpm_axi)), rtol=1e-12,
+        )
+    dusk, dawn = _dusk_dawn_phi(env_gcpm_mlt)
+    k_dusk = float(M.mlt_gcpm_params(dusk, env_gcpm_mlt)[0])
+    k_dawn = float(M.mlt_gcpm_params(dawn, env_gcpm_mlt)[0])
+    assert 1.4 < k_dusk / k_dawn < 1.8
+    # the knee really moves the density: at a shell between the dawn and
+    # dusk knees, dusk sees plasmasphere-level density, dawn trough-level
+    Lmid = 0.5 * (k_dusk + k_dawn)
+    ne_dusk = float(M.ne_total_m3(Lmid, 0.0, env_gcpm_mlt, phi=dusk))
+    ne_dawn = float(M.ne_total_m3(Lmid, 0.0, env_gcpm_mlt, phi=dawn))
+    assert ne_dusk / ne_dawn > 3.0
+
+
+def test_gcpm_mlt_native_oracle_rhs_parity(env_gcpm_mlt):
+    """Independent-language check through the GCPM + MLT chain (the C++
+    oracle's mlt_gcpm vs models/medium.py::mlt_gcpm_params)."""
+    from raytrace_tpu import native
+
+    rng = np.random.default_rng(5)
+    worst = 0.0
+    for _ in range(12):
+        r = rng.uniform(1.5, 6.5)
+        th = rng.uniform(0.6, 2.2)
+        ph = rng.uniform(-3.0, 5.0)
+        fq = rng.uniform(600.0, 5000.0)
+        rho = D.consistent_rho_3d(r, th, ph, (1.0, 1.0, 0.2), fq,
+                                  env_gcpm_mlt)
+        u = np.array([r, th, ph, *map(float, rho), 0.0])
+        du_n = native.rhs_3d(u, fq, env_gcpm_mlt)
+        du_j = np.asarray(RHS.rhs_3d(jnp.asarray(u), fq, env_gcpm_mlt))
+        rel = np.abs(du_n - du_j) / np.maximum(np.abs(du_j), 1e-10)
+        worst = max(worst, float(rel.max()))
+    assert worst < 5e-5, worst
+
+
+def test_gcpm_mlt_trajectory_native_parity(env_gcpm_mlt, env_gcpm_axi):
+    """A dusk knee-crossing ray through the MLT-resolved GCPM medium:
+    the plume moves the landing vs the axisymmetric control, and the
+    C++ oracle lands the SAME trajectory TIGHTLY -- the GCPM knee is
+    C-infinity, so there is no kink surface to ride and the
+    FD-vs-autodiff split that sets the CA1992 parity floor
+    (test_tilted_plume_trajectory_native_parity) does not appear."""
+    from raytrace_tpu import native
+
+    r0 = (RE + 1.0e6) / RE
+    th0 = np.pi / 2 - 1.05
+    dusk, _ = _dusk_dawn_phi(env_gcpm_mlt)
+    cfg = SolverConfig(rtol=1e-9, atol=1e-13, dt0=1e-4)
+    spec = StopSpec(r_floor=1.0, t_max=5e9 / RE, lat_sign=-1.0,
+                    lat_offset=np.pi / 2)
+
+    def run_one(env):
+        rho0 = D.consistent_rho_3d(r0, th0, dusk, (1.0, 1.0, 0.0), 1000.0,
+                                   env)
+        u0 = np.array([r0, th0, dusk, *map(float, rho0), 0.0])
+        res = trace(lambda u, ff: RHS.rhs_3d(u, ff, env),
+                    jnp.asarray([u0]), jnp.asarray([1000.0]), cfg=cfg,
+                    spec=spec, max_steps=400000, group_idx=6)
+        return u0, np.asarray(res.u[0]), int(res.status[0])
+
+    u0_m, u_m, st_m = run_one(env_gcpm_mlt)
+    _, u_c, st_c = run_one(env_gcpm_axi)
+    assert st_m == st_c == events.HIT_EARTH
+    assert abs(u_m[1] - u_c[1]) > 1e-3  # the plume moves the landing
+
+    nat = native.trace_3d(u0_m, 1000.0, env_gcpm_mlt, rtol=1e-9,
+                          atol=1e-13, t_max=5e9 / RE, max_steps=400000)
+    assert nat["status"] == events.HIT_EARTH
+    np.testing.assert_allclose(nat["u"][1], u_m[1], atol=5e-7)
+    np.testing.assert_allclose(nat["u"][6], u_m[6], rtol=1e-5)

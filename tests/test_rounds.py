@@ -736,3 +736,109 @@ def test_3d_fan_f32_landing_accuracy_vs_f64():
     L32 = u32[hit, 0] / np.sin(u32[hit, 1]) ** 2
     rel = np.abs(L32 - L64) / L64
     assert np.median(rel) < 1e-4, rel
+
+
+def test_stiff_pool_trajectory_cadence():
+    """Trajectory-channel contract for rays that enter the STIFF pool
+    mid-run (VERDICT r4 weak #5). The stiff pool's rounds are capped at
+    the save_every-aligned stiff_cap (1024), so once a ray switches it
+    advances fewer attempts per schedule round; the snapshot contract
+    stays exact on the ray's OWN attempt clock: row k is its state at
+    attempt (k+1)*save_every, the recorded row count equals
+    attempts // save_every EXACTLY, rows past it forward-fill, and the
+    last recorded row is the final carry state BITWISE (so the block
+    composes with MAX_STEPS resumability -- the frozen tail is the
+    resume point, not stale data)."""
+    mesh, env, u0, f, valid = _setup(tuple(np.linspace(0.6, 0.9, 4)))
+    save_every = 256
+    kw = dict(
+        mesh=mesh, cfg=SolverConfig(rtol=1e-6, atol=1e-10, dt0=1e-4),
+        spec=StopSpec(r_floor=1.0, t_max=5e9 / RE), max_steps=4096,
+        round_steps=2048, bucket_floor=8, save_every=save_every,
+    )
+    auto_tr = make_rounds_tracer(
+        env, stepper="auto", stiff_stepper="ros2x",
+        stiff_switch=0.001, stiff_unswitch=0.0, **kw
+    )
+    res = auto_tr(u0, f, valid)
+    v = np.asarray(valid)
+    stiff = auto_tr.last_stiff
+    assert stiff is not None and stiff[v].all()  # forced switch took
+    tt = np.asarray(res.traj["t"])
+    tu = np.asarray(res.traj["u"])
+    att = (np.asarray(res.n_accept) + np.asarray(res.n_reject))
+    for i in np.nonzero(v)[0]:
+        # the stiff cap bit: round 1 full (2048) + round 2 capped (1024)
+        assert att[i] == 3072, att[i]
+        assert int(res.status[i]) == events.MAX_STEPS
+        inc = np.nonzero(np.diff(tt[:, i]) > 0)[0]
+        kf = inc[-1] + 1
+        assert kf + 1 == att[i] // save_every  # exact own-clock cadence
+        # forward-fill beyond the cursor, bitwise
+        assert (tu[kf:, i] == tu[kf, i]).all()
+        # the frozen tail IS the resume point
+        np.testing.assert_array_equal(tu[kf, i], np.asarray(res.u)[i])
+
+    # control: the pinned-stepper run advances the full schedule rounds
+    # (no stiff cap), so it records more rows on the same own-clock
+    # cadence -- the divergence is the cap, not the channel
+    dp5 = make_rounds_tracer(env, stepper="dopri5", **kw)(u0, f, valid)
+    att5 = (np.asarray(dp5.n_accept) + np.asarray(dp5.n_reject))
+    tt5 = np.asarray(dp5.traj["t"])
+    for i in np.nonzero(v)[0]:
+        assert att5[i] > 3500  # both full-length rounds
+        inc5 = np.nonzero(np.diff(tt5[:, i]) > 0)[0]
+        assert inc5[-1] + 2 >= att5[i] // save_every
+
+
+def test_plume_fan_f32_landing_accuracy_vs_f64():
+    """The same f32-vs-f64 landing-L accuracy pin through the
+    MLT-RESOLVED medium (ensemble10k_plume's physics: d mu/d phi != 0
+    from the density, rays spread over local-time sectors through the
+    dusk plume). Pins that the extra phi-gradient chain does not
+    degrade f32 production accuracy (VERDICT r4 #7): median relative
+    landing-L error well under 1e-4 at >= 80% status agreement."""
+    from raytrace_tpu.integrate import trace
+    from raytrace_tpu.models import make_env
+    from raytrace_tpu.ops import rhs
+    from raytrace_tpu.ops.dispersion import consistent_rho_3d
+
+    env64 = make_env(b0=3.12e-5, ps_mlt=True)
+    env32 = cast_env(env64, jnp.float32)
+    r0 = (RE + 1.0e6) / RE
+    rows, fs = [], []
+    for lat in np.linspace(0.5, 1.05, 5):
+        th = np.pi / 2 - lat
+        for phi in (-2.4, -0.8, 0.8, 2.4):
+            for chi in (-0.25, 0.25):
+                c, s = np.cos(chi), np.sin(chi)
+                khat = (c - s, s + c, 0.0)
+                rho = consistent_rho_3d(r0, th, phi, khat, 1500.0, env64)
+                rows.append([r0, th, phi, *map(float, rho), 0.0])
+                fs.append(1500.0)
+    spec = StopSpec(r_floor=1.0, t_max=5.0e9 / RE, lat_sign=-1.0,
+                    lat_offset=np.pi / 2)
+    cfg = SolverConfig(rtol=1e-5, atol=1e-8, dt0=1e-4,
+                       dt_max=8.0e6 / RE, ds_max=2.0e6 / RE)
+
+    def go(env, dt):
+        res = trace(lambda u, ff: rhs.rhs_3d(u, ff, env),
+                    jnp.asarray(np.asarray(rows), dt),
+                    jnp.asarray(np.asarray(fs), dt), cfg=cfg, spec=spec,
+                    max_steps=20000, group_idx=6)
+        return np.asarray(res.u), np.asarray(res.status)
+
+    u64, st64 = go(env64, jnp.float64)
+    u32, st32 = go(env32, jnp.float32)
+    match = st64 == st32
+    assert match.mean() >= 0.8, (st64.tolist(), st32.tolist())
+    hit = match & (st64 == events.HIT_EARTH)
+    assert hit.sum() >= 20
+    L64 = u64[hit, 0] / np.sin(u64[hit, 1]) ** 2
+    L32 = u32[hit, 0] / np.sin(u32[hit, 1]) ** 2
+    rel = np.abs(L32 - L64) / L64
+    assert np.median(rel) < 1e-4, rel
+    # the plume is really in play: landings at different local times of
+    # the same (lat, chi) cell differ
+    th_land = u64[hit, 1]
+    assert np.std(th_land) > 1e-3
