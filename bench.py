@@ -271,7 +271,7 @@ def pallas_record():
     full Mosaic-relay outage -- 5/5 compile hangs -- recorded in
     pallas_r03.json; the kernel-tier decision is closed in DESIGN.md)."""
     path = None
-    for name in ("pallas_r03.json", "pallas_r02.json"):
+    for name in ("pallas_r05.json", "pallas_r03.json", "pallas_r02.json"):
         cand = os.path.join(REPO, "benchmarks", name)
         if os.path.exists(cand):
             with open(cand) as fh:

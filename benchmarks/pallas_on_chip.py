@@ -21,7 +21,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "benchmarks", "pallas_r03.json")
+OUT = os.path.join(REPO, "benchmarks", "pallas_r05.json")
 
 N_RAYS = 16384
 N_STEPS = 256
@@ -134,7 +134,7 @@ def attempt():
     }
 
 
-def main(attempts=5, timeout_s=420):
+def main(attempts=2, timeout_s=420):
     env = dict(os.environ)
     # prepend (never replace) PYTHONPATH: the axon plugin registration in
     # sitecustomize must stay importable

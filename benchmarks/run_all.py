@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
 ALL = ["raymain", "lat_fan", "knee", "3d", "ensemble10k",
        "ensemble10k_production", "ensemble10k_3d", "ensemble10k_plume",
-       "mr_fan"]
+       "mr_fan", "ensemble10k_tilted", "ensemble10k_igrf", "mr_fan_3d"]
 
 
 def bench_config(name):

@@ -1,17 +1,21 @@
 """On-chip cost of the non-dipole field models at production scale.
 
 Runs the ensemble10k_tilted and ensemble10k_igrf presets (the full
-ps_mlt x tilted/IGRF composition: magnetic-longitude MLT axis,
-autodiff gradient fallback -- ops/gradients.py falls back from the
-hand-fused dipole chain for b_model != "dipole") against the
-ensemble10k_plume control (same fan, centered dipole, fused chain), so
-the marginal cost of (a) the tilted geometry through autodiff and
-(b) the degree-3 spherical-harmonic IGRF field is measured on the real
-chip, not inferred. This is the decision input for whether a
-hand-fused tilted chain pays (VERDICT r4 #4; the fused-vs-autodiff
-dipole gap was measured at 1.27x in r03).
+ps_mlt x tilted/IGRF composition: magnetic-longitude MLT axis) against
+the ensemble10k_plume control (same fan, centered dipole, fused
+chain), so the marginal cost of (a) the tilted geometry and (b) the
+degree-3 spherical-harmonic IGRF field is measured on the real chip,
+not inferred.
 
-Writes benchmarks/perf_r05_tilted.json.
+Two records exist:
+  perf_r05_tilted.json       -- the AUTODIFF-fallback gradient chain
+                                (pre-fused measurement: tilted
+                                +22.5%/step, IGRF +28.3%/step)
+  perf_r05_tilted_fused.json -- the general hybrid fused chain
+                                (ops/fused.py::mu_and_grads_3d_general:
+                                forward-mode geometry jacobian + the
+                                hand-fused density/Stix core), the
+                                VERDICT r4 #4 decision output.
 
 Usage: python benchmarks/tilted_on_chip.py
 Each measurement runs in a subprocess with a timeout (the tunneled
@@ -28,7 +32,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
-OUT = os.path.join(HERE, "perf_r05_tilted.json")
+OUT = os.path.join(HERE, "perf_r05_tilted_fused.json")
 NAMES = ("ensemble10k_plume", "ensemble10k_tilted", "ensemble10k_igrf")
 
 
@@ -76,7 +80,8 @@ def main():
         print(json.dumps(measure(sys.argv[1])))
         return
     out = {"study": "non-dipole field cost at production scale: the "
-                    "ps_mlt x tilted/IGRF composition (autodiff fallback) "
+                    "ps_mlt x tilted/IGRF composition (general hybrid "
+                    "fused chain, ops/fused.py::mu_and_grads_3d_general) "
                     "vs the fused-dipole plume control, one TPU v5e chip, "
                     "median-of-3 warm walls"}
     for name in NAMES:

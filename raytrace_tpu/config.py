@@ -444,8 +444,8 @@ def preset(name, **overrides):
         # tic ~11.5 deg moment tilt): the full ps_mlt x tilted composit-
         # ion at production scale -- the MLT axis rides the MAGNETIC
         # longitude (medium.mlon_3d) and the gradient chain runs through
-        # the autodiff fallback (ops/gradients.py: the hand-fused chain
-        # covers the centered dipole only). Same fan/solver settings as
+        # the general hybrid fused chain (ops/fused.py::
+        # mu_and_grads_3d_general). Same fan/solver settings as
         # ensemble10k_plume for a like-for-like cost comparison.
         # Match: RayTrace_3D.jl:54-66 (the field model the 3D frame owns).
         "ensemble10k_tilted": dict(

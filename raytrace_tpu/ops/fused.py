@@ -475,6 +475,119 @@ def mu_and_grads_2d_lat(r, lat, chi, f, env: medium.EnvParams, root=1.0,
     return mu, dmudr, dmudlat, dmu_dpsi, dmu_df
 
 
+def mu_and_grads_3d_general(r, theta, phi, rho_r, rho_t, rho_p, f,
+                            env: medium.EnvParams, root=1.0):
+    """mu and all 7 partials for non-axisymmetric fields (tilted/IGRF).
+
+    Hybrid fusion: the EXPENSIVE part of the gradient -- the density
+    chain and the Stix quartic, where reverse-mode autodiff pays ~1.5x a
+    forward pass -- reuses the same hand-fused core as the dipole chain
+    (_ne_and_grads + _stix_quartic_grads); only the CHEAP geometry
+    (b_vec rotation / IGRF harmonics, magnetic latitude/longitude) goes
+    through forward-mode autodiff, as one jacfwd of a 5-vector
+    [B_r, B_theta, B_phi, mlat, mlon] w.r.t. (r, theta, phi). Building
+    the geometry from medium.b_vec / mlat_3d / mlon_3d keeps the forward
+    value definitionally identical to dispersion.mu_3d.
+
+    Geometry chain on top of the jacobian J (rows: B components, mlat,
+    mlon; columns: r, theta, phi):
+      |B|_x   = (B . B_x)/|B|
+      Bhat_x  = (B_x - Bhat |B|_x)/|B|
+      cos psi = Bhat . rhohat;  d cos/dx = Bhat_x . rhohat
+      sin psi = |Bhat x rhohat| (full 3-component cross: a tilted field
+                has Bhat_phi != 0 in geographic coordinates)
+      d cos/d rho_k = (Bhat_k - cos psi rhohat_k)/|rho|
+      ne(r, mlat[, mlon]):  d ne/dx = ne_r dx==r + ne_lat dmlat/dx
+                                      + ne_mlon dmlon/dx
+    Values/partials match jax.value_and_grad of dispersion.mu_3d
+    (tests/test_fused.py::test_fused_general_matches_autodiff_*); the
+    tilt -> 0 limit reduces to mu_and_grads_3d (same core, the tangent
+    columns collapse to the axisymmetric chain).
+
+    Measured on chip at production scale (10,240-ray ensembles vs the
+    fused-dipole plume control, benchmarks/perf_r05_tilted_fused.json):
+    tilted +10.5%/step, IGRF +4.4%/step -- roughly HALF the autodiff
+    fallback this replaces (tilted +22.5%, IGRF +28.3%,
+    perf_r05_tilted.json). Implementation note that cost 1.7-1.9x to
+    learn: a first form materialized the geometry jacobian as per-lane
+    (5,3) arrays and contracted with small matmuls; under the
+    production vmap those lower to layout ops (transposes over
+    8x128-tiled batches) and measured SLOWER than full autodiff. The
+    shipped form keeps every intermediate scalar per lane."""
+
+    def geom(r_, th_, ph_):
+        br_, bt_, bp_ = medium.b_vec(r_, th_, ph_, env)
+        return (br_, bt_, bp_,
+                medium.mlat_3d(r_, th_, ph_, env),
+                medium.mlon_3d(r_, th_, ph_, env))
+
+    # one primal + three scalar tangent passes sharing it (linearize);
+    # everything downstream stays SCALAR per lane -- no per-lane (5,3)
+    # jacobian arrays or small matmuls, which lower to layout ops
+    # (transposes over 8x128-tiled batches) under the production vmap
+    # and were measured to cost more than they save
+    (br, bt, bp, mlat, mlon), lin = jax.linearize(geom, r, theta, phi)
+    one, zero = jnp.ones_like(r), jnp.zeros_like(r)
+    br_r, bt_r, bp_r, mlat_r, mlon_r = lin(one, zero, zero)
+    br_t, bt_t, bp_t, mlat_t, mlon_t = lin(zero, one, zero)
+    br_p, bt_p, bp_p, mlat_p, mlon_p = lin(zero, zero, one)
+
+    bm = jnp.sqrt(br * br + bt * bt + bp * bp)
+    inv_bm = 1.0 / bm
+    bm_r = (br * br_r + bt * bt_r + bp * bp_r) * inv_bm
+    bm_t = (br * br_t + bt * bt_t + bp * bp_t) * inv_bm
+    bm_p = (br * br_p + bt * bt_p + bp * bp_p) * inv_bm
+    hr, ht, hp = br * inv_bm, bt * inv_bm, bp * inv_bm
+
+    inv_rmag = jax.lax.rsqrt(rho_r * rho_r + rho_t * rho_t + rho_p * rho_p)
+    rr_, rt_, rp_ = rho_r * inv_rmag, rho_t * inv_rmag, rho_p * inv_rmag
+    cospsi = jnp.clip(hr * rr_ + ht * rt_ + hp * rp_, -1.0, 1.0)
+    # full 3-component cross (a tilted field has Bhat_phi != 0)
+    c1 = ht * rp_ - hp * rt_
+    c2 = hp * rr_ - hr * rp_
+    c3 = hr * rt_ - ht * rr_
+    sinpsi = jnp.sqrt(c1 * c1 + c2 * c2 + c3 * c3)
+    # d cos/dx = (Bhat_x . rhohat); Bhat_x = (B_x - Bhat |B|_x)/|B|, and
+    # the Bhat |B|_x part contracts to cospsi |B|_x/|B|
+    dcos_dr = ((br_r * rr_ + bt_r * rt_ + bp_r * rp_)
+               - cospsi * bm_r) * inv_bm
+    dcos_dt = ((br_t * rr_ + bt_t * rt_ + bp_t * rp_)
+               - cospsi * bm_t) * inv_bm
+    dcos_dp = ((br_p * rr_ + bt_p * rt_ + bp_p * rp_)
+               - cospsi * bm_p) * inv_bm
+    dcos_drho_r = (hr - cospsi * rr_) * inv_rmag
+    dcos_drho_t = (ht - cospsi * rt_) * inv_rmag
+    dcos_drho_p = (hp - cospsi * rp_) * inv_rmag
+
+    if medium.mlt_on(env):
+        mlt = (
+            medium.mlt_gcpm_params(mlon, env, with_grads=True)
+            if env.ps_model == "gcpm"
+            else medium.mlt_ps_params(mlon, env, with_grads=True)
+        )
+        ne, ne_r, ne_lat, ne_mlon = _ne_and_grads(r, mlat, env, mlt=mlt)
+        dne_dr = ne_r + ne_lat * mlat_r + ne_mlon * mlon_r
+        dne_dt = ne_lat * mlat_t + ne_mlon * mlon_t
+        dne_dp = ne_lat * mlat_p + ne_mlon * mlon_p
+    else:
+        ne, ne_r, ne_lat = _ne_and_grads(r, mlat, env)
+        dne_dr = ne_r + ne_lat * mlat_r
+        dne_dt = ne_lat * mlat_t
+        dne_dp = ne_lat * mlat_p
+
+    mu, dmu_dn, dmu_db, dmu_df, dmu_dc = _stix_quartic_grads(
+        ne, bm, f, sinpsi, cospsi, root, env.eta_he, env.eta_o,
+        wrt_cos=True,
+    )
+    return mu, (
+        dmu_dn * dne_dr + dmu_db * bm_r + dmu_dc * dcos_dr,
+        dmu_dn * dne_dt + dmu_db * bm_t + dmu_dc * dcos_dt,
+        dmu_dn * dne_dp + dmu_db * bm_p + dmu_dc * dcos_dp,
+        dmu_dc * dcos_drho_r, dmu_dc * dcos_drho_t,
+        dmu_dc * dcos_drho_p, dmu_df,
+    )
+
+
 def mu_and_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f,
                     env: medium.EnvParams, root=1.0):
     """mu and all 7 partials for the 3D state -- fused sweep.

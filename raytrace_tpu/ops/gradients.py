@@ -136,19 +136,22 @@ def mu_grads_3d(r, theta, phi, rho_r, rho_t, rho_p, f, env: medium.EnvParams,
     autodiff (they match the reference's central differences).
 
     The fused chain hand-codes the centered-dipole geometry; non-dipole
-    media (b_model="tilted") fall back to autodiff automatically, and the
-    reference mode (built around the axial dipole's Kimura chain) refuses
-    them."""
+    media (b_model="tilted"/"igrf") route to the general hybrid chain
+    (ops/fused.py::mu_and_grads_3d_general -- forward-mode geometry
+    jacobian + the same fused density/Stix core), and the reference mode
+    (built around the axial dipole's Kimura chain) refuses them."""
     if grad_mode == REFERENCE and env.b_model != "dipole":
         raise ValueError(
             "grad_mode='reference' reproduces the reference's centered-"
             f"dipole chain; b_model={env.b_model!r} is unsupported there"
         )
-    if grad_mode == FUSED and env.b_model != "dipole":
-        grad_mode = AUTODIFF
     if grad_mode == FUSED:
         from . import fused
 
+        if env.b_model != "dipole":
+            return fused.mu_and_grads_3d_general(
+                r, theta, phi, rho_r, rho_t, rho_p, f, env, root
+            )
         return fused.mu_and_grads_3d(
             r, theta, phi, rho_r, rho_t, rho_p, f, env, root
         )

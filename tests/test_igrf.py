@@ -3,8 +3,9 @@
 Validation chain: the closed-form Schmidt-harmonic field must equal
 -autodiff(potential) everywhere (curl-free + correct by construction),
 reduce exactly to the axial and tilted dipoles when higher-degree
-coefficients vanish, and drive the full 3D ray path through the generic
-autodiff gradient fallback.
+coefficients vanish, and drive the full 3D ray path through the general
+hybrid fused chain (ops/fused.py::mu_and_grads_3d_general; autodiff
+parity pinned in tests/test_mlt3d.py).
 """
 
 import jax

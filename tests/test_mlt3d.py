@@ -94,7 +94,7 @@ def test_trough_day_night_modulation(env_mlt):
     )
 
 
-def _parity_grid(env, n=160, seed=0):
+def _parity_grid(env, n=160, seed=0, general=False):
     rng = np.random.default_rng(seed)
     r = rng.uniform(1.2, 7.0, n)
     th = rng.uniform(0.4, 2.6, n)
@@ -108,8 +108,10 @@ def _parity_grid(env, n=160, seed=0):
             r, th, ph, rr, rt, rp, ff, env)
         return jnp.stack([mu, *g])
 
+    fused_fn = F.mu_and_grads_3d_general if general else F.mu_and_grads_3d
+
     def fu(r, th, ph, rr, rt, rp, ff):
-        mu, g = F.mu_and_grads_3d(r, th, ph, rr, rt, rp, ff, env)
+        mu, g = fused_fn(r, th, ph, rr, rt, rp, ff, env)
         return jnp.stack([mu, *g])
 
     args = tuple(map(jnp.asarray, (r, th, phi, *k, f)))
@@ -273,11 +275,12 @@ def test_mlon_tilt_to_zero_limit(env_mlt):
     )
 
 
-def test_tilted_plume_fused_fallback_is_autodiff(env_mlt_tilted):
-    """mu_grads_3d(FUSED) on a non-dipole medium falls back to autodiff
-    (ops/gradients.py dispatch): values must agree bitwise with the
-    explicit-autodiff call, and d mu/d phi must carry BOTH asymmetry
-    sources (tilted field + MLT density)."""
+def test_tilted_plume_fused_general_matches_autodiff(env_mlt_tilted):
+    """mu_grads_3d(FUSED) on a non-dipole medium routes to the general
+    hybrid chain (ops/fused.py::mu_and_grads_3d_general): values and all
+    7 partials must match the explicit-autodiff call to rounding, and
+    d mu/d phi must carry BOTH asymmetry sources (tilted field + MLT
+    density)."""
     from raytrace_tpu.ops import gradients as G
 
     rho = D.consistent_rho_3d(4.0, 1.0, 1.3, (1.0, 1.0, 0.1), 1200.0,
@@ -285,13 +288,36 @@ def test_tilted_plume_fused_fallback_is_autodiff(env_mlt_tilted):
     args = (4.0, 1.0, 1.3, *map(float, rho), 1200.0)
     mu_f, g_f = G.mu_grads_3d(*args, env_mlt_tilted, grad_mode=G.FUSED)
     mu_a, g_a = G.mu_grads_3d(*args, env_mlt_tilted, grad_mode=G.AUTODIFF)
-    assert float(mu_f) == float(mu_a)
+    np.testing.assert_allclose(float(mu_f), float(mu_a), rtol=1e-12)
     for a, b in zip(g_f, g_a):
-        assert float(a) == float(b)
+        np.testing.assert_allclose(
+            float(a), float(b), rtol=1e-9, atol=1e-9 * abs(float(mu_a))
+        )
     assert abs(float(g_f[2])) > 1e-3
     # and the reference chain (axial-dipole Kimura) refuses tilted media
     with pytest.raises(ValueError, match="reference"):
         G.mu_grads_3d(*args, env_mlt_tilted, grad_mode=G.REFERENCE)
+
+
+@pytest.mark.parametrize("b_model", ["tilted", "igrf"])
+@pytest.mark.parametrize("mlt", [False, True])
+def test_fused_general_matches_autodiff_grid(b_model, mlt):
+    """The general hybrid chain (forward-mode geometry jacobian + the
+    hand-fused density/Stix core) equals autodiff of mu_3d over a random
+    grid spanning all three CA1992 branches, for the tilted dipole and
+    the IGRF-3 field, with and without the MLT-resolved plasmasphere.
+    Same tolerance form as test_fused_matches_autodiff_mlt."""
+    env = M.make_env(b0=3.12e-5, b_model=b_model, b_tilt=0.2,
+                     ps_mlt=mlt)
+    A, B = _parity_grid(env, general=True)
+    assert np.isfinite(B).all()
+    assert np.isfinite(A).all()
+    tol = 1e-9 * (np.abs(A) + np.max(np.abs(A), axis=0))
+    bad = np.abs(A - B) > tol
+    assert not bad.any(), (b_model, mlt, np.abs(A - B)[bad].max())
+    # the phi-gradient is alive (tilted field alone already breaks
+    # axisymmetry; the MLT density adds to it)
+    assert np.abs(A[:, 3]).max() > 1e-4
 
 
 def test_native_oracle_mu_parity_mlt_tilted(env_mlt_tilted):
