@@ -96,9 +96,14 @@ def main():
                         got = json.loads(line)
                         break
             except subprocess.TimeoutExpired:
+                print(f"{name}: timeout, retrying", file=sys.stderr)
                 continue
             if got:
                 break
+            # a non-timeout failure (import error, preset rename, chip
+            # allocation) must be visible, not retried into a null row
+            print(f"{name}: child exit {r.returncode}\n{r.stderr[-2000:]}",
+                  file=sys.stderr)
         out[name] = got
     a = out.get("ensemble10k_plume")
     for name in ("ensemble10k_tilted", "ensemble10k_igrf"):
@@ -109,6 +114,14 @@ def main():
             out[f"{key}_overhead_per_step"] = round(
                 (b["wall_s"] / b["ray_steps"]) /
                 (a["wall_s"] / a["ray_steps"]), 3)
+    # the committed record's provenance note (autodiff-fallback baseline
+    # numbers + the array-form dead end DESIGN.md section 15 cites) must
+    # survive a re-run: carry forward any keys this script doesn't own
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            prev = json.load(fh)
+        for k, v in prev.items():
+            out.setdefault(k, v)
     with open(OUT, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1))

@@ -97,21 +97,32 @@ Env env_from(const double* v) {
 // for the plasmapause, branch-1/branch-2 continuity for ne_lppi/lppo,
 // smooth periodic day-night trough modulation. Exact base values at
 // phi = 0 by construction.
+// the shared local-time structure of every MLT-resolved medium: the
+// Fourier teardrop S(ang) and the day-night trough modulation (mirrors
+// models/medium.py::_mlt_shape -- the CA1992 and GCPM models must
+// never diverge in MLT structure)
+void mlt_shape_at(const Env& e, double phi, double* shape,
+                  double* trough) {
+  double ang = e.ps_mlt_a0 + phi;
+  double s = e.ps_mlt_c[0];
+  for (int k = 1; k <= 3; k++)
+    s += e.ps_mlt_c[2 * k - 1] * std::cos(k * ang) +
+         e.ps_mlt_c[2 * k] * std::sin(k * ang);
+  *shape = s;
+  *trough = e.ps_trough +
+            e.ps_mlt_tamp * (std::cos(ang) - std::cos(e.ps_mlt_a0));
+}
+
 void mlt_params(const Env& e, double phi, double* lppi, double* lppo,
                 double* ne_lppi, double* trough) {
-  double ang = e.ps_mlt_a0 + phi;
-  double shape = e.ps_mlt_c[0];
-  for (int k = 1; k <= 3; k++)
-    shape += e.ps_mlt_c[2 * k - 1] * std::cos(k * ang) +
-             e.ps_mlt_c[2 * k] * std::sin(k * ang);
+  double shape;
+  mlt_shape_at(e, phi, &shape, trough);
   double li = e.lppi * shape;
   double g1i = (-0.3145 * li + 3.9043) +
                e.ps_season * std::exp((2.0 - li) / 1.5);
   *lppi = li;
   *ne_lppi = std::pow(10.0, g1i);
   *lppo = li + 0.1 * (g1i - e.ps_mlt_c3);
-  *trough = e.ps_trough +
-            e.ps_mlt_tamp * (std::cos(ang) - std::cos(e.ps_mlt_a0));
 }
 
 // effective GCPM parameters at longitude phi for the MLT-resolved
@@ -120,14 +131,9 @@ void mlt_params(const Env& e, double phi, double* lppi, double* lppo,
 // same smooth day-night modulation. No continuity constants: the GCPM
 // knee is a C-infinity blend.
 void mlt_gcpm(const Env& e, double phi, double* lppo, double* trough) {
-  double ang = e.ps_mlt_a0 + phi;
-  double shape = e.ps_mlt_c[0];
-  for (int k = 1; k <= 3; k++)
-    shape += e.ps_mlt_c[2 * k - 1] * std::cos(k * ang) +
-             e.ps_mlt_c[2 * k] * std::sin(k * ang);
+  double shape;
+  mlt_shape_at(e, phi, &shape, trough);
   *lppo = e.lppo * shape;
-  *trough = e.ps_trough +
-            e.ps_mlt_tamp * (std::cos(ang) - std::cos(e.ps_mlt_a0));
 }
 
 double ne_total_m3(double r, double lat, const Env& e, double phi = 0.0) {

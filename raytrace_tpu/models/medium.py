@@ -335,6 +335,35 @@ def mlt_on(env: EnvParams):
     return not (isinstance(env.ps_mlt, float) and env.ps_mlt == 0.0)
 
 
+def _mlt_shape(phi, env: EnvParams):
+    """The shared local-time structure of every MLT-resolved medium:
+    the Fourier plasmapause teardrop S(ang) with its phi-slope, and the
+    day-night trough modulation with its phi-slope. Single source for
+    mlt_ps_params (CA1992) and mlt_gcpm_params (GCPM) -- the two
+    plasmasphere models must never diverge in MLT structure (the C++
+    oracle mirrors this pair at native/src/oracle.cpp mlt_shape_at).
+
+    Harmonics by angle recursion: one sin + one cos total, regardless
+    of harmonic count. Returns (shape, dshape, trough_e, dtrough)."""
+    c = env.ps_mlt_c
+    n_harm = (len(c) - 1) // 2
+    ang = env.ps_mlt_a0 + phi
+    s1a, c1a = jnp.sin(ang), jnp.cos(ang)
+    sk, ck = s1a, c1a
+    shape = c[0]
+    dshape = jnp.zeros_like(s1a)
+    for k in range(1, n_harm + 1):
+        if k > 1:
+            sk, ck = sk * c1a + ck * s1a, ck * c1a - sk * s1a
+        shape = shape + c[2 * k - 1] * ck + c[2 * k] * sk
+        dshape = dshape + k * (c[2 * k] * ck - c[2 * k - 1] * sk)
+    trough_e = env.ps_trough + env.ps_mlt_tamp * (
+        c1a - jnp.cos(env.ps_mlt_a0)
+    )
+    dtrough = -env.ps_mlt_tamp * s1a
+    return shape, dshape, trough_e, dtrough
+
+
 def mlt_ps_params(phi, env: EnvParams, with_grads=False):
     """Effective CA1992 parameters (lppi, lppo, ne_lppi, trough_c) at
     longitude phi for an MLT-resolved medium (make_env(ps_mlt=True)).
@@ -362,18 +391,7 @@ def mlt_ps_params(phi, env: EnvParams, with_grads=False):
     returns (dlppi, dlppo, dg1i, dtrough)/dphi for the fused chain,
     where dg1i is d g1(lppi(phi))/dphi (the branch-1 log10 slope times
     dlppi)."""
-    c = env.ps_mlt_c
-    n_harm = (len(c) - 1) // 2
-    ang = env.ps_mlt_a0 + phi
-    s1a, c1a = jnp.sin(ang), jnp.cos(ang)
-    sk, ck = s1a, c1a
-    shape = c[0]
-    dshape = jnp.zeros_like(s1a)
-    for k in range(1, n_harm + 1):
-        if k > 1:
-            sk, ck = sk * c1a + ck * s1a, ck * c1a - sk * s1a
-        shape = shape + c[2 * k - 1] * ck + c[2 * k] * sk
-        dshape = dshape + k * (c[2 * k] * ck - c[2 * k - 1] * sk)
+    shape, dshape, trough_e, dtrough = _mlt_shape(phi, env)
     lppi_e = env.lppi * shape
     dlppi = env.lppi * dshape
     e_i = jnp.exp((2.0 - lppi_e) / 1.5)
@@ -382,10 +400,6 @@ def mlt_ps_params(phi, env: EnvParams, with_grads=False):
     ne_lppi_e = jnp.exp(plasmasphere.LN10 * g1i)
     lppo_e = lppi_e + 0.1 * (g1i - env.ps_mlt_c3)
     dlppo = dlppi + 0.1 * dg1i
-    trough_e = env.ps_trough + env.ps_mlt_tamp * (
-        c1a - jnp.cos(env.ps_mlt_a0)
-    )
-    dtrough = -env.ps_mlt_tamp * s1a
     params = (lppi_e, lppo_e, ne_lppi_e, trough_e)
     if with_grads:
         return params, (dlppi, dlppo, dg1i, dtrough)
@@ -408,26 +422,10 @@ def mlt_gcpm_params(phi, env: EnvParams, with_grads=False):
     CA1992's hard branches, without any kink surface for trajectories
     to ride -- native-oracle trajectory parity is tight here,
     tests/test_mlt3d.py)."""
-    c = env.ps_mlt_c
-    n_harm = (len(c) - 1) // 2
-    ang = env.ps_mlt_a0 + phi
-    s1a, c1a = jnp.sin(ang), jnp.cos(ang)
-    sk, ck = s1a, c1a
-    shape = c[0]
-    dshape = jnp.zeros_like(s1a)
-    for k in range(1, n_harm + 1):
-        if k > 1:
-            sk, ck = sk * c1a + ck * s1a, ck * c1a - sk * s1a
-        shape = shape + c[2 * k - 1] * ck + c[2 * k] * sk
-        dshape = dshape + k * (c[2 * k] * ck - c[2 * k - 1] * sk)
+    shape, dshape, trough_e, dtrough = _mlt_shape(phi, env)
     lppo_e = env.lppo * shape
-    trough_e = env.ps_trough + env.ps_mlt_tamp * (
-        c1a - jnp.cos(env.ps_mlt_a0)
-    )
     if with_grads:
-        return (lppo_e, trough_e), (
-            env.lppo * dshape, -env.ps_mlt_tamp * s1a
-        )
+        return (lppo_e, trough_e), (env.lppo * dshape, dtrough)
     return lppo_e, trough_e
 
 

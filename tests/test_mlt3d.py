@@ -265,7 +265,7 @@ def test_mlon_tilt_to_zero_limit(env_mlt):
     # x-hat to has magnetic longitude 0, and the one y-hat goes to has
     # pi/2 (phi0 = 0 keeps the images in closed form)
     tilt = 0.3
-    th_x, ph_x = np.pi / 2 - tilt, 0.0  # R x-hat = (cos t, 0, -sin t)
+    th_x, ph_x = np.pi / 2 - tilt, 0.0  # R x-hat = (cos t, 0, +sin t)
     np.testing.assert_allclose(
         float(dipole.mlon_tilted(th_x, ph_x, tilt, 0.0)), 0.0, atol=1e-14
     )
@@ -301,14 +301,18 @@ def test_tilted_plume_fused_general_matches_autodiff(env_mlt_tilted):
 
 @pytest.mark.parametrize("b_model", ["tilted", "igrf"])
 @pytest.mark.parametrize("mlt", [False, True])
-def test_fused_general_matches_autodiff_grid(b_model, mlt):
+@pytest.mark.parametrize("ps_model", ["ca1992", "gcpm"])
+def test_fused_general_matches_autodiff_grid(b_model, mlt, ps_model):
     """The general hybrid chain (forward-mode geometry jacobian + the
     hand-fused density/Stix core) equals autodiff of mu_3d over a random
     grid spanning all three CA1992 branches, for the tilted dipole and
-    the IGRF-3 field, with and without the MLT-resolved plasmasphere.
-    Same tolerance form as test_fused_matches_autodiff_mlt."""
+    the IGRF-3 field, with and without the MLT-resolved plasmasphere,
+    for BOTH plasmasphere models (the gcpm x mlt x non-dipole cell is
+    the one no other parity test reaches: mlt_gcpm_params through the
+    general chain's mlon tangent columns). Same tolerance form as
+    test_fused_matches_autodiff_mlt."""
     env = M.make_env(b0=3.12e-5, b_model=b_model, b_tilt=0.2,
-                     ps_mlt=mlt)
+                     ps_mlt=mlt, ps_model=ps_model)
     A, B = _parity_grid(env, general=True)
     assert np.isfinite(B).all()
     assert np.isfinite(A).all()
