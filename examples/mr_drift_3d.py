@@ -19,13 +19,15 @@ f = f_LHR mirror surface (`analysis.f_lhr`, the S = 0 root of the
 traced Stix coefficients) the tests pin against the C++ oracle
 (tests/test_mr3d.py). The figure:
 
-  1. meridional projection of three rays launched at dawn / noon /
-     dusk -- same (lat0, chi, f) cell, different bounce sequences
-     because the medium differs by local time;
+  1. meridional projection of the SAME (lat0, chi, f) launch cell at
+     three local times: in the nightside MR band it bounces 4 times,
+     near noon it is marginal (2 bounces), and in the dusk plume the
+     band is CLOSED and the ray lands directly -- the MR band itself
+     moves with MLT;
   2. the equatorial drift view: the same rays seen from above the
      north pole, longitude drift laid over the plasmapause teardrop
      (lppi(phi) / lppo(phi) from medium.mlt_ps_params);
-  3. the mechanism trace for the dusk ray: f_LHR/f along the path vs
+  3. the mechanism trace for the night ray: f_LHR/f along the path vs
      group delay, latitude reversals marked -- mirrors happen where
      the surface closes (f_LHR/f >= 1).
 
@@ -42,12 +44,18 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "output")
 
 # the exemplar MR cell from tests/test_mr3d.py, repeated at three local
 # times (phi is magnetic longitude = geographic for the centered dipole;
-# ang = ps_mlt_a0 + phi is the eastward-from-noon MLT angle)
+# ang = ps_mlt_a0 + phi is the eastward-from-noon MLT angle). Longitudes
+# chosen from a measured 17-point phi sweep of this cell: the MR band is
+# at night (4 bounces at MLT 23.5), marginal near noon (2 bounces), and
+# CLOSED in the dusk plume (direct landing) -- the band itself moves
+# with local time, which is the point of the figure.
 R0_ALT_M = 1.0e6
 LAT0, CHI0, F0 = 1.10, 0.0, 1000.0
-PHIS = (-2.0, 0.0, 1.6)  # ~dawn-side, noon anchor, dusk-plume flank
-LABELS = ("dawn flank", "noon (anchor)", "dusk plume")
-COLORS = ("#1f77b4", "#2ca02c", "#d62728")
+PHIS = (-0.39, 0.79, 2.75)
+LABELS = ("MLT 23.5 (night: in the MR band)",
+          "MLT 19.0 (dusk plume: band closed)",
+          "MLT 11.5 (noon: marginal)")
+COLORS = ("#1f77b4", "#d62728", "#2ca02c")
 
 
 def main():
@@ -154,25 +162,25 @@ def main():
     ax.set_aspect("equal")
     ax.legend(loc="lower left", fontsize=8)
 
-    # --- 3. the mechanism: f_LHR/f along the dusk ray ---
+    # --- 3. the mechanism: f_LHR/f along the in-band (night) ray ---
     ax = axes[2]
-    i = len(PHIS) - 1
+    i = 0
     u = tu[:, i]
     u = u[u[:, 0] > 1.0005]
     lat = np.pi / 2 - u[:, 1]
     arr = np.stack([u[:, 0], lat, u[:, 2], u[:, 6]], axis=1)
     n_rev, idx = analysis.count_lat_reversals(arr, r_min=1.3)
     fl_path = analysis.f_lhr(u[:, 0], lat, env)
-    T = u[:, 6] * RE / 2.99792458e8          # group delay [s]
+    T = u[:, 6]                              # group delay [s] (state units)
     ax.plot(T, fl_path / F0, color=COLORS[i], lw=1.0)
     ax.axhline(1.0, color="k", lw=0.8, ls="--")
     for j in idx:
         ax.axvline(T[j], color="0.7", lw=0.7)
     ax.set_xlabel("group delay [s]")
     ax.set_ylabel("f_LHR / f along the ray")
-    ax.set_title(f"dusk ray: {n_rev} latitude reversals\n(mirrors where "
+    ax.set_title(f"night ray: {n_rev} latitude reversals\n(mirrors where "
                  "the surface closes, f_LHR/f > 1)")
-    print(f"  dusk ray: {n_rev} bounces over {T[-1]:.2f} s group delay")
+    print(f"  night ray: {n_rev} bounces over {T[-1]:.2f} s group delay")
 
     fig.suptitle(
         "3D magnetospheric reflection over the MLT-resolved plasmasphere "
