@@ -288,26 +288,32 @@ def pallas_record():
     return {k: rec[k] for k in keep if k in rec}
 
 
-def production_record():
-    """Committed warm-pass record of the production arc-ceiling preset
-    (ensemble10k_production: ds_max 2e6 m + phase bound 8e6 m) from the
-    per-config harness -- cited, not re-measured, so the headline bench
-    does not pay a second full compile through the tunnel. Same
-    workload, landing medians inside tolerance noise of the headline
-    (benchmarks/perf_r03h.json)."""
+def results_json_record(config, extra=()):
+    """Committed warm-pass record of a preset from the per-config
+    harness (benchmarks/run_all.py) -- cited, not re-measured, so the
+    headline bench does not pay extra full compiles through the
+    tunnel."""
     path = os.path.join(REPO, "benchmarks", "results.json")
     if not os.path.exists(path):
         return None
     with open(path) as fh:
         rows = json.load(fh)
     for row in rows if isinstance(rows, list) else rows.get("results", []):
-        if row.get("config") == "ensemble10k_production":
+        if row.get("config") == config:
             return {
                 "wall_s": row["wall_s"],
                 "ray_steps": row["ray_steps"],
+                **{k: row[k] for k in extra if k in row},
                 "source": "benchmarks/results.json (run_all.py warm pass)",
             }
     return None
+
+
+def production_record():
+    """The production arc-ceiling preset (ensemble10k_production:
+    ds_max 2e6 m + phase bound 8e6 m). Same workload as the headline,
+    landing medians inside tolerance noise (benchmarks/perf_r03h.json)."""
+    return results_json_record("ensemble10k_production")
 
 
 def main():
@@ -383,6 +389,20 @@ def main():
                        if pallas_record() else {}),
                     **({"production_arc_ceiling": production_record()}
                        if production_record() else {}),
+                    # round-5 capability rows (cited from the committed
+                    # per-config harness): 3D magnetospheric reflection
+                    # and the non-dipole (tilted/IGRF, general hybrid
+                    # fused chain) production presets
+                    **{
+                        k: v for k, v in (
+                            ("mr_fan_3d",
+                             results_json_record("mr_fan_3d", ("status",))),
+                            ("ensemble10k_tilted",
+                             results_json_record("ensemble10k_tilted")),
+                            ("ensemble10k_igrf",
+                             results_json_record("ensemble10k_igrf")),
+                        ) if v
+                    },
                     **({"stale_tpu_measurement": True} if ens.get("stale") else {}),
                 },
             }
