@@ -43,18 +43,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "output")
 
 # the exemplar MR cell from tests/test_mr3d.py, repeated at three local
-# times (phi is magnetic longitude = geographic for the centered dipole;
-# ang = ps_mlt_a0 + phi is the eastward-from-noon MLT angle). Longitudes
-# chosen from a measured 17-point phi sweep of this cell: the MR band is
-# at night (4 bounces at MLT 23.5), marginal near noon (2 bounces), and
-# CLOSED in the dusk plume (direct landing) -- the band itself moves
-# with local time, which is the point of the figure.
+# times (phi is magnetic longitude = geographic for the centered
+# dipole; MLT = 12 + 12 (ps_mlt_a0 + phi)/pi, the convention
+# plume_crossing_3d.py and convection.py pin: dusk 18 h at
+# ang = +pi/2). Longitudes chosen from a measured 17-point phi sweep
+# of this cell: the MR band is open around midnight (4 bounces),
+# marginal just past noon (2 bounces), and CLOSED inside the dusk
+# plume bulge (direct landing) -- the band itself moves with local
+# time, which is the point of the figure.
 R0_ALT_M = 1.0e6
 LAT0, CHI0, F0 = 1.10, 0.0, 1000.0
-PHIS = (-0.39, 0.79, 2.75)
-LABELS = ("MLT 23.5 (night: in the MR band)",
-          "MLT 19.0 (dusk plume: band closed)",
-          "MLT 11.5 (noon: marginal)")
+PHIS = (-0.39, -2.09, 2.75)
+LABELS = ("MLT 0.5 (midnight: in the MR band)",
+          "MLT 18.0 (dusk plume: band closed)",
+          "MLT 12.5 (noon: marginal)")
 COLORS = ("#1f77b4", "#d62728", "#2ca02c")
 
 
@@ -108,10 +110,16 @@ def main():
     lat_g = np.linspace(-1.2, 1.2, 241)
     r_g = np.linspace(1.0, 4.0, 241)
     Rg, Lg = np.meshgrid(r_g, lat_g)
-    fl = analysis.f_lhr(Rg.ravel(), Lg.ravel(), env).reshape(Rg.shape)
-    ax.contour(Rg * np.cos(Lg), Rg * np.sin(Lg), fl, levels=[F0],
-               colors="k", linewidths=1.0, linestyles="--")
-    ax.plot([], [], "k--", lw=1.0, label=f"f_LHR = {F0:.0f} Hz")
+    # the mirror surface is itself MLT-dependent: draw it in the
+    # midnight sector (where the shown bounces happen) and in the dusk
+    # plume sector -- the surface moves with local time
+    for ph, ls, lab in ((PHIS[0], "--", "midnight"), (PHIS[1], ":", "dusk")):
+        fl = analysis.f_lhr(Rg.ravel(), Lg.ravel(), env,
+                            phi=np.full(Rg.size, ph)).reshape(Rg.shape)
+        ax.contour(Rg * np.cos(Lg), Rg * np.sin(Lg), fl, levels=[F0],
+                   colors="k", linewidths=1.0, linestyles=ls)
+        ax.plot([], [], "k" + ls, lw=1.0,
+                label=f"f_LHR = {F0:.0f} Hz ({lab})")
     for i, (lab, col) in enumerate(zip(LABELS, COLORS)):
         u = tu[:, i]
         u = u[u[:, 0] > 1.0005]
@@ -162,7 +170,8 @@ def main():
     ax.set_aspect("equal")
     ax.legend(loc="lower left", fontsize=8)
 
-    # --- 3. the mechanism: f_LHR/f along the in-band (night) ray ---
+    # --- 3. the mechanism: f_LHR/f along the in-band (midnight) ray,
+    # evaluated in the ray's OWN local-time sector ---
     ax = axes[2]
     i = 0
     u = tu[:, i]
@@ -170,7 +179,7 @@ def main():
     lat = np.pi / 2 - u[:, 1]
     arr = np.stack([u[:, 0], lat, u[:, 2], u[:, 6]], axis=1)
     n_rev, idx = analysis.count_lat_reversals(arr, r_min=1.3)
-    fl_path = analysis.f_lhr(u[:, 0], lat, env)
+    fl_path = analysis.f_lhr(u[:, 0], lat, env, phi=u[:, 2])
     T = u[:, 6]                              # group delay [s] (state units)
     ax.plot(T, fl_path / F0, color=COLORS[i], lw=1.0)
     ax.axhline(1.0, color="k", lw=0.8, ls="--")
@@ -178,9 +187,9 @@ def main():
         ax.axvline(T[j], color="0.7", lw=0.7)
     ax.set_xlabel("group delay [s]")
     ax.set_ylabel("f_LHR / f along the ray")
-    ax.set_title(f"night ray: {n_rev} latitude reversals\n(mirrors where "
-                 "the surface closes, f_LHR/f > 1)")
-    print(f"  night ray: {n_rev} bounces over {T[-1]:.2f} s group delay")
+    ax.set_title(f"midnight ray: {n_rev} latitude reversals\n(mirrors "
+                 "where the surface closes, f_LHR/f > 1)")
+    print(f"  midnight ray: {n_rev} bounces over {T[-1]:.2f} s group delay")
 
     fig.suptitle(
         "3D magnetospheric reflection over the MLT-resolved plasmasphere "

@@ -122,10 +122,13 @@ def kp_critical_anisotropy(f, bmag):
     return np.asarray(f, np.float64) / (fce - f)
 
 
-def f_lhr(r, lat, env, iters=52):
+def f_lhr(r, lat, env, iters=52, phi=None):
     """Lower-hybrid resonance frequency at (r, lat): the S = 0 root of
     the framework's own Stix coefficients (S = (R + L)/2) above every
-    ion gyrofrequency.
+    ion gyrofrequency. For an MLT-resolved medium (ps_mlt=True), pass
+    phi (the medium longitude: magnetic longitude for non-dipole
+    fields, see medium.mlon_3d) to evaluate the surface in that
+    local-time sector; phi=None uses the phi = 0 anchor meridian.
 
     This is the surface unducted whistlers magnetospherically reflect
     from (Kimura 1966; Bortnik's thesis -- the lineage the reference's
@@ -145,7 +148,9 @@ def f_lhr(r, lat, env, iters=52):
 
     r = np.asarray(r, np.float64)
     lat = np.asarray(lat, np.float64)
-    ne = np.asarray(medium.ne_total_m3(r, lat, env), np.float64)
+    if phi is not None:
+        phi = np.asarray(phi, np.float64)
+    ne = np.asarray(medium.ne_total_m3(r, lat, env, phi=phi), np.float64)
     bm = np.asarray(medium.b_mag(r, lat, env), np.float64)
     eta_he = float(env.eta_he) if isinstance(env.eta_he, float) else env.eta_he
     eta_o = float(env.eta_o) if isinstance(env.eta_o, float) else env.eta_o

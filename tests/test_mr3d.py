@@ -129,8 +129,11 @@ def test_3d_mr_band_moves_with_mlt(env_mlt):
     n_a, _, rel_a = _bounces(res_a, env_mlt, F0)
     n_b, _, rel_b = _bounces(res_b, env_mlt, F0)
     assert n_a >= 3
-    # at dusk-side longitude the cell degrades: fewer reversals and no
-    # on-LHR mirror (measured r05: 4 revs w/ mirror vs 2 revs w/o)
+    # near noon (phi = 2.75 is MLT ~12.5 under the repo convention
+    # MLT = 12 + 12 (a0 + phi)/pi) the cell degrades: fewer reversals
+    # and no on-LHR mirror (measured r05: 4 revs w/ mirror vs 2 w/o);
+    # inside the dusk plume bulge (phi ~ -2.09, MLT 18) the band is
+    # closed entirely -- see examples/mr_drift_3d.py
     assert n_b < n_a
     assert np.abs(rel_a - 1.0).min() < 0.15
     if len(rel_b):
